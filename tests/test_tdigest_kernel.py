@@ -1,0 +1,440 @@
+"""T-digest kernel contract tests.
+
+Ported oracle semantics from the reference test suite:
+- canonical [0,1,2,3] pins (integration/api_coherence/conftest.py:19-24)
+- mid-rank quantile exactness under capacity (quantile.rs:392-437)
+- midpoint-ECDF exactness at training values (cdf.rs:281-325)
+- two-atomic flat step (cdf.rs:328-385)
+- median even-count branch (quantile.rs:376-390)
+- centroid-addition regression (quantile.rs:296-317)
+- policy behaviors (compressor.rs tests)
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from gr_tdigest_spark.sketches.tdigest import TDigest
+
+
+def exact_ecdf_for_sorted(sorted_vals):
+    """Midpoint ECDF over ties (reference cdf.rs:211-231)."""
+    n = len(sorted_vals)
+    out = []
+    i = 0
+    while i < n:
+        j = i + 1
+        while j < n and sorted_vals[j] == sorted_vals[i]:
+            j += 1
+        mid = (i + j) * 0.5
+        out.extend([mid / n] * (j - i))
+        i = j
+    return out
+
+
+class TestCanonicalPins:
+    """conftest.py:19-24: data [0,1,2,3], max_size=10, K2, Use, f64."""
+
+    def setup_method(self):
+        self.td = TDigest.from_values([0.0, 1.0, 2.0, 3.0], max_size=10)
+
+    def test_q50(self):
+        assert self.td.quantile(0.5) == 1.5
+
+    def test_cdf_2(self):
+        assert self.td.cdf([2.0])[0] == 0.625
+
+    def test_cdf_vector_pin(self):
+        got = self.td.cdf([0.0, 1.5, 3.0])
+        assert got.tolist() == [0.125, 0.5, 0.875]
+
+    def test_q0_q1_are_min_max(self):
+        assert self.td.quantile(0.0) == 0.0
+        assert self.td.quantile(1.0) == 3.0
+
+    def test_stats(self):
+        assert self.td.count == 4.0
+        assert self.td.sum == 6.0
+        assert self.td.mean() == 1.5
+        assert self.td.min == 0.0
+        assert self.td.max == 3.0
+
+
+class TestExactnessContracts:
+    def test_quantile_midrank_exact_under_capacity_with_ties(self):
+        v = [-2.0, -2.0, -1.0, 0.0, 0.0, 0.0, 3.0, 7.0, 7.0]
+        n = len(v)
+        td = TDigest.from_values(v, max_size=1000)
+        assert td.quantile(0.0) == v[0]
+        assert td.quantile(1.0) == v[-1]
+        for i, x in enumerate(v):
+            q = (i + 0.5) / n
+            assert td.quantile(q) == x, f"mid-rank {i}"
+
+    def test_quantile_exact_random_9999(self):
+        rng = np.random.default_rng(42)
+        n = 9999
+        v = np.sort(rng.integers(0, n, size=n).astype(np.float64))
+        td = TDigest.from_values(v, max_size=n + 1)
+        assert td.quantile(0.0) == v[0]
+        assert td.quantile(1.0) == v[-1]
+        qs = (np.arange(n) + 0.5) / n
+        got = td.quantile(qs)
+        np.testing.assert_array_equal(got, v)
+
+    def test_cdf_midpoint_ecdf_exact_at_training_values(self):
+        v = [-2.0, -2.0, -1.0, 0.0, 0.0, 0.0, 3.0, 7.0, 7.0]
+        td = TDigest.from_values(v, max_size=1000)
+        expected = exact_ecdf_for_sorted(v)
+        got = td.cdf(v)
+        np.testing.assert_allclose(got, expected, rtol=0, atol=0)
+
+    def test_cdf_exact_random(self):
+        rng = np.random.default_rng(42)
+        n = 9999
+        v = np.sort(rng.integers(0, n, size=n).astype(np.float64))
+        td = TDigest.from_values(v, max_size=n + 1)
+        expected = exact_ecdf_for_sorted(v.tolist())
+        got = td.cdf(v)
+        np.testing.assert_array_equal(got, expected)
+
+
+class TestAtomicSemantics:
+    def test_two_atomic_piles_flat_step(self):
+        """cdf.rs:328-385: five 0s + seven 10s ⇒ flat step 5/12 between."""
+        v = [0.0] * 5 + [10.0] * 7
+        td = TDigest.from_values(v, max_size=64)
+        assert len(td) == 2
+        assert td.means64.tolist() == [0.0, 10.0]
+        assert td.weights64.tolist() == [5.0, 7.0]
+        out = td.cdf([1.0, 5.0, 9.0])
+        np.testing.assert_allclose(out, 5.0 / 12.0, atol=1e-9)
+        # exact hit at left mean = midpoint mass
+        assert abs(td.cdf([0.0])[0] - 2.5 / 12.0) <= 1e-12
+
+    def test_centroid_addition_regression(self):
+        """quantile.rs:296-317: [1,1,1,2,1,1] added one at a time ⇒ exactly
+        two centroids {1.0, 2.0}."""
+        td = TDigest.empty(max_size=10)
+        for x in [1.0, 1.0, 1.0, 2.0, 1.0, 1.0]:
+            td = td.merge_unsorted([x])
+        assert sorted(td.means64.tolist()) == [1.0, 2.0]
+        assert abs(td.quantile(0.5) - 1.0) < 0.01
+        assert abs(td.quantile(0.95) - 2.0) < 0.02
+
+
+class TestMedian:
+    def test_median_symmetric_piles(self):
+        """quantile.rs:376-390: n·(−1) + n·(+1) ⇒ median = Q(0.5) = 0."""
+        for num in [1, 2, 3, 10, 20]:
+            td = TDigest.empty(max_size=100)
+            for _ in range(num):
+                td = td.merge_sorted([-1.0])
+            for _ in range(num):
+                td = td.merge_sorted([1.0])
+            assert td.quantile(0.5) == 0.0, f"n={num}"
+            assert td.median() == 0.0, f"n={num}"
+
+    def test_median_matches_sorted_both_parities(self):
+        rng = np.random.default_rng(7)
+        for n in [5, 6, 101, 100]:
+            v = np.sort(rng.normal(size=n))
+            td = TDigest.from_values(v, max_size=1000)
+            if n % 2 == 1:
+                expected = v[n // 2]
+            else:
+                expected = 0.5 * (v[n // 2 - 1] + v[n // 2])
+            assert td.median() == pytest.approx(expected, abs=1e-12), f"n={n}"
+
+    def test_median_empty_nan(self):
+        assert math.isnan(TDigest.empty().median())
+
+
+class TestEdgeCases:
+    def test_empty_quantile_nan(self):
+        td = TDigest.empty()
+        assert math.isnan(td.quantile(0.5))
+
+    def test_empty_cdf_nan(self):
+        td = TDigest.empty()
+        out = td.cdf([1.0, math.inf, -math.inf])
+        assert np.all(np.isnan(out))
+
+    def test_nan_probe_propagates(self):
+        td = TDigest.from_values([0.0, 1.0, 2.0, 3.0])
+        assert math.isnan(td.quantile(math.nan))
+        assert math.isnan(td.cdf([math.nan])[0])
+
+    def test_inf_probes_clamp(self):
+        td = TDigest.from_values([0.0, 1.0, 2.0, 3.0])
+        assert td.cdf([-math.inf])[0] == 0.0
+        assert td.cdf([math.inf])[0] == 1.0
+
+    def test_nonfinite_training_raises(self):
+        for bad in [math.nan, math.inf, -math.inf]:
+            with pytest.raises(ValueError):
+                TDigest.from_values([1.0, bad])
+
+    def test_bad_weights_raise(self):
+        with pytest.raises(ValueError):
+            TDigest.from_weighted([1.0], [0.0])
+        with pytest.raises(ValueError):
+            TDigest.from_weighted([1.0], [-1.0])
+        with pytest.raises(ValueError):
+            TDigest.from_weighted([1.0], [math.nan])
+        with pytest.raises(ValueError):
+            TDigest.from_weighted([1.0, 2.0], [1.0])
+
+    def test_single_value(self):
+        td = TDigest.from_values([42.0])
+        assert td.quantile(0.5) == 42.0
+        assert td.median() == 42.0
+        assert td.cdf([42.0])[0] == 0.5
+
+
+class TestWeighted:
+    def test_weighted_equals_expanded_for_integer_weights(self):
+        """tdigest.rs:1147-1186: integer weights ⇒ identical stats/quantiles."""
+        vals = [1.0, 5.0, 9.0, 12.0]
+        ws = [3.0, 1.0, 2.0, 4.0]
+        expanded = []
+        for v, w in zip(vals, ws):
+            expanded.extend([v] * int(w))
+        a = TDigest.from_weighted(vals, ws, max_size=100)
+        b = TDigest.from_values(expanded, max_size=100)
+        assert a.count == b.count
+        assert a.sum == pytest.approx(b.sum)
+        assert a.min == b.min and a.max == b.max
+        for q in [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]:
+            assert a.quantile(q) == pytest.approx(b.quantile(q), abs=1e-12)
+
+
+class TestMergeLaws:
+    """north_rule: merge associativity + commutativity property tests."""
+
+    def _shards(self, seed, n, k):
+        rng = np.random.default_rng(seed)
+        data = rng.standard_normal(n) * 10.0
+        idx = rng.integers(0, k, size=n)
+        return data, [data[idx == i] for i in range(k)]
+
+    def test_shard_merge_matches_single_build_estimates(self):
+        data, shards = self._shards(123, 20000, 8)
+        whole = TDigest.from_values(data, max_size=200)
+        parts = [TDigest.from_values(s, max_size=200) for s in shards]
+        merged = TDigest.merge_digests(parts)
+        assert merged.count == pytest.approx(whole.count)
+        assert merged.min == whole.min and merged.max == whole.max
+        exact = np.sort(data)
+        for q in [0.01, 0.1, 0.5, 0.9, 0.99]:
+            e = exact[min(int(q * len(exact)), len(exact) - 1)]
+            span = exact[-1] - exact[0]
+            assert abs(merged.quantile(q) - e) <= 0.02 * span + abs(
+                whole.quantile(q) - e
+            ) + 0.01 * span
+
+    def _assert_rank_close(self, a, b, data, tol):
+        """Merge-order invariance is a rank-space property: compare the two
+        digests' CDFs on a probe grid (value-space diffs blow up where the
+        density is low)."""
+        grid = np.linspace(np.min(data), np.max(data), 200)
+        np.testing.assert_allclose(a.cdf(grid), b.cdf(grid), atol=tol)
+
+    def test_merge_commutative_within_tolerance(self):
+        data, shards = self._shards(5, 8000, 4)
+        parts = [TDigest.from_values(s, max_size=300) for s in shards]
+        ab = TDigest.merge_digests(parts)
+        ba = TDigest.merge_digests(parts[::-1])
+        assert ab.count == ba.count
+        assert ab.min == ba.min and ab.max == ba.max
+        self._assert_rank_close(ab, ba, data, 5e-3)
+
+    def test_merge_associative_within_tolerance(self):
+        data, shards = self._shards(9, 9000, 3)
+        p = [TDigest.from_values(s, max_size=300) for s in shards]
+        left = TDigest.merge_digests([TDigest.merge_digests(p[:2]), p[2]])
+        right = TDigest.merge_digests([p[0], TDigest.merge_digests(p[1:])])
+        assert left.count == right.count
+        self._assert_rank_close(left, right, data, 5e-3)
+
+    def test_merge_all_empty_gives_canonical_empty(self):
+        d = TDigest.merge_digests([])
+        assert d.is_effectively_empty
+        assert d.max_size == 1000
+        assert d.scale == "k2"
+        assert d.policy == "use"
+        assert d.precision == "f64"
+
+    def test_merge_config_from_first_nonempty(self):
+        e = TDigest.empty(max_size=50, scale="k1", policy="off")
+        a = TDigest.from_values([1.0, 2.0], max_size=77, scale="quad")
+        m = TDigest.merge_digests([e, a])
+        assert m.max_size == 77
+        assert m.scale == "quad"
+
+
+class TestPolicies:
+    def test_off_passthrough_under_capacity(self):
+        td = TDigest.from_values([0.0, 1.0, 2.0], max_size=10, policy="off")
+        assert len(td) == 3
+        assert np.all(td.kinds == 0)
+
+    def test_off_respects_max_size(self):
+        td = TDigest.from_values(np.arange(10.0), max_size=3, policy="off")
+        assert len(td) <= 3
+        assert td.count == 10.0
+        assert np.sum(td.weights64) == pytest.approx(10.0)
+
+    def test_use_keeps_endpoints_and_total_cap(self):
+        td = TDigest.from_values(np.arange(8.0), max_size=3, policy="use")
+        assert len(td) <= 3
+        assert td.means64[0] == 0.0
+        assert td.means64[-1] == 7.0
+
+    def test_edges_protects_k_atomic_per_side(self):
+        td = TDigest.from_values(
+            np.arange(200.0), max_size=20, policy="edges", pin_per_side=3
+        )
+        # first/last 3 are protected atomic units
+        np.testing.assert_array_equal(td.means64[:3], [0.0, 1.0, 2.0])
+        np.testing.assert_array_equal(td.means64[-3:], [197.0, 198.0, 199.0])
+        assert np.all(td.kinds[:3] == 0)
+        assert np.all(td.kinds[-3:] == 0)
+
+    def test_compression_bounds_centroids(self):
+        rng = np.random.default_rng(0)
+        v = rng.standard_normal(50000)
+        td = TDigest.from_values(v, max_size=100)
+        assert len(td) <= 100
+        assert td.count == 50000.0
+
+
+class TestAccuracy:
+    """Pinned-config accuracy regression (quality_base.rs style).
+
+    We assert bounds (not bit-pins): KS and MAE at the reference's Mixture
+    config must be within 3× its published pins (quantile KS 7.26e-4,
+    MAE 3.61e-5; cdf KS 1.68e-3, MAE 4.27e-5 — BASELINE.md)."""
+
+    def _mixture(self, n=100_000, seed=4242):
+        rng = np.random.default_rng(seed)
+        u = rng.uniform(size=n)
+        kind = rng.uniform(size=n)
+        out = np.empty(n)
+        clump = kind < 0.3
+        centers = np.array([0.1, 0.5, 0.9])
+        out[clump] = centers[rng.integers(0, 3, clump.sum())] + rng.uniform(
+            -1e-3, 1e-3, clump.sum()
+        )
+        uni = (kind >= 0.3) & (kind < 0.7)
+        out[uni] = u[uni]
+        heavy = kind >= 0.7
+        e = rng.uniform(3, 9, heavy.sum())
+        flip = rng.uniform(size=heavy.sum()) < 0.5
+        tails = np.where(flip, u[heavy] ** e, 1.0 - u[heavy] ** e)
+        out[heavy] = tails
+        return np.clip(out, 0.0, 1.0)
+
+    def test_quantile_accuracy_mixture(self):
+        data = self._mixture()
+        td = TDigest.from_values(data, max_size=1000, scale="quad")
+        s = np.sort(data)
+        n = len(s)
+        qs = np.linspace(0.001, 0.999, 999)
+        exact = s[np.minimum((qs * n).astype(int), n - 1)]
+        approx = td.quantile(qs)
+        err = np.abs(approx - exact)
+        assert err.max() <= 3 * 7.261420e-4, f"KS {err.max()}"
+        assert err.mean() <= 3 * 3.605881e-5, f"MAE {err.mean()}"
+
+    def test_cdf_accuracy_mixture(self):
+        data = self._mixture()
+        td = TDigest.from_values(data, max_size=1000, scale="quad")
+        s = np.sort(data)
+        n = len(s)
+        grid = np.linspace(s[0], s[-1], 1001)
+        # exact CDF via midpoint-free counting (below + 0.5*equal)
+        lo = np.searchsorted(s, grid, side="left")
+        hi = np.searchsorted(s, grid, side="right")
+        exact = (lo + 0.5 * (hi - lo)) / n
+        approx = td.cdf(grid)
+        err = np.abs(approx - exact)
+        assert err.max() <= 3 * 1.683400e-3, f"KS {err.max()}"
+        assert err.mean() <= 3 * 4.274473e-5, f"MAE {err.mean()}"
+
+
+class TestScalesMonotone:
+    @pytest.mark.parametrize("scale", ["quad", "k1", "k2", "k3"])
+    def test_quantile_monotone_all_scales(self, scale):
+        rng = np.random.default_rng(11)
+        v = rng.standard_normal(20000)
+        td = TDigest.from_values(v, max_size=100, scale=scale)
+        qs = np.linspace(0, 1, 101)
+        got = td.quantile(qs)
+        assert np.all(np.diff(got) >= -1e-12)
+        assert got[0] == td.min and got[-1] == td.max
+
+    @pytest.mark.parametrize("scale", ["quad", "k1", "k2", "k3"])
+    def test_cdf_monotone_bounded_all_scales(self, scale):
+        rng = np.random.default_rng(12)
+        v = rng.standard_normal(20000)
+        td = TDigest.from_values(v, max_size=100, scale=scale)
+        grid = np.linspace(v.min() - 1, v.max() + 1, 500)
+        got = td.cdf(grid)
+        assert np.all(np.diff(got) >= -1e-12)
+        assert np.all((got >= 0) & (got <= 1))
+
+
+class TestTransforms:
+    def test_scale_weights_preserves_shape(self):
+        v = np.random.default_rng(3).uniform(size=5000)
+        td = TDigest.from_values(v, max_size=100)
+        scaled = td.scale_weights(2.5)
+        assert scaled.count == pytest.approx(td.count * 2.5)
+        assert scaled.sum == pytest.approx(td.sum * 2.5)
+        qs = np.linspace(0.01, 0.99, 21)
+        np.testing.assert_allclose(scaled.quantile(qs), td.quantile(qs), atol=1e-9)
+
+    def test_scale_values(self):
+        td = TDigest.from_values([1.0, 2.0, 3.0, 4.0])
+        s = td.scale_values(10.0)
+        assert s.min == 10.0 and s.max == 40.0
+        assert s.quantile(0.5) == 10.0 * td.quantile(0.5)
+        assert s.count == td.count
+
+    def test_bad_factor_raises(self):
+        td = TDigest.from_values([1.0])
+        for bad in [0.0, -1.0, math.nan, math.inf]:
+            with pytest.raises(ValueError):
+                td.scale_weights(bad)
+            with pytest.raises(ValueError):
+                td.scale_values(bad)
+
+    def test_cast_precision_roundtrip(self):
+        v = np.random.default_rng(4).uniform(size=1000)
+        td = TDigest.from_values(v, max_size=100)
+        f32 = td.cast_precision("f32")
+        assert f32.precision == "f32"
+        assert f32.means.dtype == np.float32
+        back = f32.cast_precision("f64")
+        np.testing.assert_allclose(back.quantile(0.5), td.quantile(0.5), atol=1e-6)
+
+
+class TestTrimmedMean:
+    def test_full_range_equals_mean(self):
+        v = np.random.default_rng(8).uniform(size=2000)
+        td = TDigest.from_values(v, max_size=100)
+        assert td.trimmed_mean(0.0, 1.0) == pytest.approx(td.mean(), rel=1e-9)
+
+    def test_invalid_bounds_nan(self):
+        td = TDigest.from_values([1.0, 2.0])
+        assert math.isnan(td.trimmed_mean(0.9, 0.1))
+        assert math.isnan(td.trimmed_mean(-0.1, 0.5))
+        assert math.isnan(td.trimmed_mean(math.nan, 0.5))
+
+    def test_trimmed_mean_interior(self):
+        td = TDigest.from_values(np.arange(100.0), max_size=1000)
+        got = td.trimmed_mean(0.1, 0.9)
+        exact = np.arange(10, 90).mean()  # central 80%
+        assert got == pytest.approx(exact, abs=1.0)
