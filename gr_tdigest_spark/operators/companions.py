@@ -1,0 +1,299 @@
+"""SketchSpec adapters for the companion sketches (HLL / CMS / Bloom /
+KLL) — each plugs the kernel monoid into the shared two-phase
+``sketch_agg`` plan (see operators/agg.py), plus convenience aggregates.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    LongType,
+)
+
+from gr_tdigest_spark.operators.agg import SketchSpec, sketch_agg
+from gr_tdigest_spark.sketches.bloom import BloomFilter
+from gr_tdigest_spark.sketches.cms import CMS
+from gr_tdigest_spark.sketches.hll import HLL
+from gr_tdigest_spark.sketches.kll import KLL
+
+__all__ = [
+    "HLLSpec", "CMSSpec", "BloomSpec", "KLLSpec",
+    "hll_agg", "cms_agg", "bloom_agg", "kll_agg",
+    "hll_estimate", "cms_estimate", "bloom_contains",
+    "kll_quantile", "kll_rank", "kll_count",
+]
+
+
+def _to_numpy(values: np.ndarray) -> np.ndarray:
+    """Normalize pandas-extracted values for hashing (None→skip)."""
+    arr = np.asarray(values)
+    if arr.dtype == object:
+        mask = np.array([v is not None and v == v for v in arr])
+        return arr[mask]
+    if arr.dtype.kind == "f":
+        return arr[~np.isnan(arr)]
+    return arr
+
+
+class _KernelAcc:
+    __slots__ = ("sk",)
+
+    def __init__(self, sk):
+        self.sk = sk
+
+
+class HLLSpec(SketchSpec):
+    name = "hll"
+
+    def __init__(self, p: int = 14):
+        self.p = p
+
+    def new_accumulator(self):
+        return _KernelAcc(HLL(p=self.p))
+
+    def ingest(self, acc, values, weights=None):
+        v = _to_numpy(values)
+        if v.size:
+            acc.sk.add(v)
+
+    def finalize(self, acc) -> bytes:
+        return acc.sk.to_bytes()
+
+    def merge_blobs(self, blobs: Sequence[bytes]) -> bytes:
+        sks = [HLL.from_bytes(b) for b in blobs if b is not None]
+        out = sks[0]
+        for s in sks[1:]:
+            out = out.merge(s)
+        return out.to_bytes()
+
+
+class CMSSpec(SketchSpec):
+    name = "cms"
+
+    def __init__(self, depth: int = 5, width: int = 8192, seed: int = 7):
+        self.depth, self.width, self.seed = depth, width, seed
+
+    def new_accumulator(self):
+        return _KernelAcc(CMS(self.depth, self.width, self.seed))
+
+    def ingest(self, acc, values, weights=None):
+        v = _to_numpy(values)
+        if v.size:
+            acc.sk.add(v)
+
+    def finalize(self, acc) -> bytes:
+        return acc.sk.to_bytes()
+
+    def merge_blobs(self, blobs: Sequence[bytes]) -> bytes:
+        sks = [CMS.from_bytes(b) for b in blobs if b is not None]
+        out = sks[0]
+        for s in sks[1:]:
+            out = out.merge(s)
+        return out.to_bytes()
+
+
+class BloomSpec(SketchSpec):
+    name = "bloom"
+
+    def __init__(self, m_bits: int = 1 << 20, k: int = 7, seed: int = 11):
+        self.m_bits, self.k, self.seed = m_bits, k, seed
+
+    def new_accumulator(self):
+        return _KernelAcc(BloomFilter(self.m_bits, self.k, self.seed))
+
+    def ingest(self, acc, values, weights=None):
+        v = _to_numpy(values)
+        if v.size:
+            acc.sk.add(v)
+
+    def finalize(self, acc) -> bytes:
+        return acc.sk.to_bytes()
+
+    def merge_blobs(self, blobs: Sequence[bytes]) -> bytes:
+        sks = [BloomFilter.from_bytes(b) for b in blobs if b is not None]
+        out = sks[0]
+        for s in sks[1:]:
+            out = out.merge(s)
+        return out.to_bytes()
+
+
+class KLLSpec(SketchSpec):
+    name = "kll"
+
+    def __init__(self, k: int = 200, seed: int = 17):
+        self.k, self.seed = k, seed
+
+    def new_accumulator(self):
+        return _KernelAcc(KLL(k=self.k, seed=self.seed))
+
+    def ingest(self, acc, values, weights=None):
+        v = np.asarray(values, dtype=np.float64)
+        v = v[np.isfinite(v)]
+        if v.size:
+            acc.sk.add(v)
+
+    def finalize(self, acc) -> bytes:
+        return acc.sk.to_bytes()
+
+    def merge_blobs(self, blobs: Sequence[bytes]) -> bytes:
+        sks = [KLL.from_bytes(b) for b in blobs if b is not None]
+        out = sks[0]
+        for s in sks[1:]:
+            out = out.merge(s)
+        return out.to_bytes()
+
+
+# ------------------------------------------------------------------ #
+# aggregates (same two-phase plan as tdigest_agg)
+# ------------------------------------------------------------------ #
+
+def hll_agg(df: DataFrame, keys, col: str, p: int = 14, out_col: str = "hll",
+            salt_buckets: Optional[int] = None) -> DataFrame:
+    """Distinct-count sketch per group (oracle: countDistinct ±1.04/√m)."""
+    return sketch_agg(df, keys, col, HLLSpec(p), out_col=out_col,
+                      salt_buckets=salt_buckets)
+
+
+def cms_agg(df: DataFrame, keys, col: str, depth: int = 5, width: int = 8192,
+            seed: int = 7, out_col: str = "cms",
+            salt_buckets: Optional[int] = None) -> DataFrame:
+    """Heavy-hitter count sketch per group (ε=e/width, δ=e^−depth)."""
+    return sketch_agg(df, keys, col, CMSSpec(depth, width, seed),
+                      out_col=out_col, salt_buckets=salt_buckets)
+
+
+def bloom_agg(df: DataFrame, keys, col: str, m_bits: int = 1 << 20,
+              k: int = 7, seed: int = 11, out_col: str = "bloom",
+              salt_buckets: Optional[int] = None) -> DataFrame:
+    """Membership filter per group (FPR (1−e^{−kn/m})^k, no false negatives)."""
+    return sketch_agg(df, keys, col, BloomSpec(m_bits, k, seed),
+                      out_col=out_col, salt_buckets=salt_buckets)
+
+
+def kll_agg(df: DataFrame, keys, col: str, k: int = 200, seed: int = 17,
+            out_col: str = "kll",
+            salt_buckets: Optional[int] = None) -> DataFrame:
+    """Rank/quantile sketch with uniform guarantees per group."""
+    return sketch_agg(df, keys, col, KLLSpec(k, seed), out_col=out_col,
+                      salt_buckets=salt_buckets)
+
+
+# ------------------------------------------------------------------ #
+# query functions (pandas UDFs over the sketch blob columns)
+# ------------------------------------------------------------------ #
+
+def hll_estimate(col) -> Column:
+    @F.pandas_udf(DoubleType())
+    def _e(blobs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [HLL.from_bytes(b).estimate() for b in blobs], dtype="float64"
+        )
+
+    return _e(col)
+
+
+def cms_estimate(col, candidates: Sequence) -> Column:
+    """Estimated counts for a fixed candidate list → array<long>.
+
+    NOTE: candidate dtype must match the ingested column dtype (ints stay
+    ints) — hashing is dtype-aware."""
+    cand = np.asarray(candidates)
+    if cand.dtype.kind == "U":
+        cand = cand.astype(object)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _e(blobs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [CMS.from_bytes(b).estimate(cand).tolist() for b in blobs]
+        )
+
+    return _e(col)
+
+
+def _group_rows_by_blob(blobs: pd.Series):
+    """Yield (blob_bytes, row_indices) so each distinct sketch is decoded
+    once and probed vectorized."""
+    uniq = {}
+    for i, b in enumerate(blobs):
+        uniq.setdefault(bytes(b), []).append(i)
+    for bb, idxs in uniq.items():
+        yield bb, np.asarray(idxs, dtype=np.int64)
+
+
+def cms_estimate_col(blob_col, key_col) -> Column:
+    """Per-row estimate: sketch blob column × per-row key column.
+    Key dtype must match the ingested column dtype (hashing is
+    dtype-aware)."""
+
+    @F.pandas_udf(LongType())
+    def _e(blobs: pd.Series, keys: pd.Series) -> pd.Series:
+        out = np.zeros(len(blobs), dtype=np.int64)
+        arr = keys.to_numpy()
+        for bb, idxs in _group_rows_by_blob(blobs):
+            sk = CMS.from_bytes(bb)
+            out[idxs] = sk.estimate(arr[idxs])
+        return pd.Series(out)
+
+    return _e(blob_col, key_col)
+
+
+def bloom_contains(blob_col, key_col) -> Column:
+    """Membership probe: sketch blob column × per-row key column.
+    Key dtype must match the ingested column dtype (hashing is
+    dtype-aware)."""
+
+    @F.pandas_udf(BooleanType())
+    def _c(blobs: pd.Series, keys: pd.Series) -> pd.Series:
+        out = np.zeros(len(blobs), dtype=bool)
+        arr = keys.to_numpy()
+        for bb, idxs in _group_rows_by_blob(blobs):
+            sk = BloomFilter.from_bytes(bb)
+            out[idxs] = sk.contains(arr[idxs])
+        return pd.Series(out)
+
+    return _c(blob_col, key_col)
+
+
+def kll_quantile(col, q: float) -> Column:
+    qv = float(q)
+
+    @F.pandas_udf(DoubleType())
+    def _q(blobs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [float(KLL.from_bytes(b).quantile(qv)[0]) for b in blobs],
+            dtype="float64",
+        )
+
+    return _q(col)
+
+
+def kll_rank(col, x: float) -> Column:
+    xv = float(x)
+
+    @F.pandas_udf(DoubleType())
+    def _r(blobs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [float(KLL.from_bytes(b).rank(xv)[0]) for b in blobs],
+            dtype="float64",
+        )
+
+    return _r(col)
+
+
+def kll_count(col) -> Column:
+    @F.pandas_udf(DoubleType())
+    def _n(blobs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [KLL.from_bytes(b).n for b in blobs], dtype="float64"
+        )
+
+    return _n(col)

@@ -1,0 +1,113 @@
+"""Count-min sketch kernel (heavy hitters over tool/event columns).
+
+Companion sketch per BASELINE.json#north_rule. Standard Cormode–
+Muthukrishnan CMS: depth×width int64 matrix, estimate = min over rows;
+point-estimate error ≤ ε·N with probability ≥ 1−δ where ε = e/width,
+δ = e^−depth.
+
+Mergeable monoid: merge = elementwise add (same shape+seed required).
+Wire: ``GSCM`` + version + depth + width + seed + counters + total.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from gr_tdigest_spark.sketches.hashing import hash_pair
+
+__all__ = ["CMS"]
+
+_MAGIC = b"GSCM"
+
+
+@dataclass
+class CMS:
+    depth: int = 5
+    width: int = 8192
+    seed: int = 7
+    table: np.ndarray = field(default=None)
+    total: float = 0.0
+
+    def __post_init__(self):
+        if self.depth < 1 or self.width < 8:
+            raise ValueError("CMS requires depth >= 1 and width >= 8")
+        if self.table is None:
+            self.table = np.zeros((self.depth, self.width), dtype=np.int64)
+
+    @property
+    def epsilon(self) -> float:
+        return math.e / self.width
+
+    @property
+    def delta(self) -> float:
+        return math.exp(-self.depth)
+
+    def _cols(self, values) -> np.ndarray:
+        h1, h2 = hash_pair(np.asarray(values), seed=self.seed)
+        rows = np.arange(self.depth, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            cols = (h1[None, :] + rows * h2[None, :]) % np.uint64(self.width)
+        return cols.astype(np.int64)
+
+    def add(self, values, counts=None) -> None:
+        arr = np.asarray(values)
+        if arr.size == 0:
+            return
+        cols = self._cols(arr)
+        if counts is None:
+            c = np.ones(arr.size, dtype=np.int64)
+        else:
+            c = np.asarray(counts, dtype=np.int64)
+        for r in range(self.depth):
+            np.add.at(self.table[r], cols[r], c)
+        self.total += float(np.sum(c))
+
+    def estimate(self, values) -> np.ndarray:
+        arr = np.asarray(values)
+        if arr.size == 0:
+            return np.empty(0, dtype=np.int64)
+        cols = self._cols(arr)
+        ests = np.min(
+            np.stack([self.table[r][cols[r]] for r in range(self.depth)]),
+            axis=0,
+        )
+        return ests
+
+    def merge(self, other: "CMS") -> "CMS":
+        if (self.depth, self.width, self.seed) != (
+            other.depth, other.width, other.seed,
+        ):
+            raise ValueError("CMS merge: incompatible (depth, width, seed)")
+        return CMS(
+            self.depth, self.width, self.seed,
+            self.table + other.table, self.total + other.total,
+        )
+
+    # ---------------- wire ----------------
+
+    def to_bytes(self) -> bytes:
+        head = _MAGIC + struct.pack(
+            "<BIIqd", 1, self.depth, self.width, self.seed, self.total
+        )
+        return head + self.table.astype("<i8").tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "CMS":
+        blob = bytes(blob)
+        if blob[:4] != _MAGIC:
+            raise ValueError("invalid GSCM magic")
+        version, depth, width, seed, total = struct.unpack_from("<BIIqd", blob, 4)
+        if version != 1:
+            raise ValueError(f"unsupported GSCM version {version}")
+        off = 4 + struct.calcsize("<BIIqd")
+        table = np.frombuffer(blob, dtype="<i8", offset=off)
+        if table.size != depth * width:
+            raise ValueError("GSCM payload length mismatch")
+        return cls(depth, width, seed, table.reshape(depth, width).copy(), total)
+
+    def __reduce__(self):
+        return (CMS.from_bytes, (self.to_bytes(),))

@@ -1,0 +1,231 @@
+"""Companion sketch kernels: error-bound tests vs exact oracles
+(FIXTURES.md §7) + merge laws + wire round-trips."""
+
+import numpy as np
+import pytest
+
+from gr_tdigest_spark.sketches.bloom import BloomFilter, optimal_bloom
+from gr_tdigest_spark.sketches.cms import CMS
+from gr_tdigest_spark.sketches.hll import HLL
+from gr_tdigest_spark.sketches.kll import KLL
+
+
+class TestHLL:
+    @pytest.mark.parametrize("n", [10, 1000, 100_000])
+    def test_estimate_within_bound(self, n):
+        """FIXTURES.md: ±1.04/√m · 5σ at universe sizes {10, 1k, 100k}."""
+        h = HLL(p=14)
+        keys = np.array([f"conv-{i:08d}" for i in range(n)], dtype=object)
+        h.add(keys)
+        est = h.estimate()
+        assert abs(est - n) <= max(5 * h.std_error * n, 3), (est, n)
+
+    def test_merge_equals_union(self):
+        a, b = HLL(p=12), HLL(p=12)
+        a.add(np.arange(5000))
+        b.add(np.arange(2500, 7500))
+        m = a.merge(b)
+        whole = HLL(p=12)
+        whole.add(np.arange(7500))
+        assert m.estimate() == whole.estimate()  # identical registers
+        np.testing.assert_array_equal(m.registers, whole.registers)
+
+    def test_merge_commutative(self):
+        a, b = HLL(p=10), HLL(p=10)
+        a.add(np.arange(100))
+        b.add(np.arange(50, 200))
+        np.testing.assert_array_equal(
+            a.merge(b).registers, b.merge(a).registers
+        )
+
+    def test_precision_mismatch_raises(self):
+        with pytest.raises(ValueError):
+            HLL(p=10).merge(HLL(p=12))
+
+    def test_wire_roundtrip(self):
+        h = HLL(p=12)
+        h.add(np.arange(1000))
+        back = HLL.from_bytes(h.to_bytes())
+        np.testing.assert_array_equal(back.registers, h.registers)
+        assert back.p == 12
+
+    def test_duplicates_dont_change_estimate(self):
+        a = HLL(p=12)
+        a.add(np.arange(1000))
+        e1 = a.estimate()
+        a.add(np.arange(1000))  # same keys again
+        assert a.estimate() == e1
+
+
+class TestCMS:
+    def _zipf_tools(self, n=50_000, seed=3):
+        rng = np.random.default_rng(seed)
+        ids = np.minimum(rng.zipf(1.5, size=n) - 1, 49)
+        return np.array([f"tool_{i:02d}" for i in ids], dtype=object)
+
+    def test_estimates_within_epsilon(self):
+        tools = self._zipf_tools()
+        c = CMS(depth=5, width=8192)
+        c.add(tools)
+        uniq, counts = np.unique(tools, return_counts=True)
+        est = c.estimate(uniq)
+        # overestimate-only, within eps*N
+        assert np.all(est >= counts)
+        assert np.all(est - counts <= c.epsilon * c.total)
+
+    def test_exact_for_few_keys_wide_table(self):
+        tools = self._zipf_tools()
+        c = CMS(depth=5, width=8192)
+        c.add(tools)
+        uniq, counts = np.unique(tools, return_counts=True)
+        # 50 keys in 8192 columns: collisions across all 5 rows ~ impossible
+        np.testing.assert_array_equal(c.estimate(uniq), counts)
+
+    def test_merge_equals_single_build(self):
+        tools = self._zipf_tools()
+        a, b = CMS(), CMS()
+        a.add(tools[:25_000])
+        b.add(tools[25_000:])
+        m = a.merge(b)
+        whole = CMS()
+        whole.add(tools)
+        np.testing.assert_array_equal(m.table, whole.table)
+        assert m.total == whole.total
+
+    def test_weighted_add(self):
+        c = CMS()
+        c.add(np.array(["x", "y"], dtype=object), counts=[10, 5])
+        np.testing.assert_array_equal(
+            c.estimate(np.array(["x", "y"], dtype=object)), [10, 5]
+        )
+
+    def test_incompatible_merge_raises(self):
+        with pytest.raises(ValueError):
+            CMS(width=1024).merge(CMS(width=2048))
+
+    def test_wire_roundtrip(self):
+        c = CMS()
+        c.add(self._zipf_tools(1000))
+        back = CMS.from_bytes(c.to_bytes())
+        np.testing.assert_array_equal(back.table, c.table)
+        assert back.total == c.total
+
+
+class TestBloom:
+    def test_no_false_negatives_and_fpr(self):
+        bf = BloomFilter(m_bits=1 << 16, k=7)
+        members = np.array([f"conv-{i:08d}" for i in range(2000)], dtype=object)
+        bf.add(members)
+        assert bf.contains(members).all(), "zero false negatives required"
+        probes = np.array(
+            [f"other-{i:08d}" for i in range(20_000)], dtype=object
+        )
+        fpr = bf.contains(probes).mean()
+        assert fpr <= 1.5 * max(bf.design_fpr, 1e-4), (fpr, bf.design_fpr)
+
+    def test_merge_is_union(self):
+        a = BloomFilter(m_bits=1 << 14)
+        b = BloomFilter(m_bits=1 << 14)
+        xs = np.array(["a", "b", "c"], dtype=object)
+        ys = np.array(["d", "e"], dtype=object)
+        a.add(xs)
+        b.add(ys)
+        m = a.merge(b)
+        assert m.contains(np.concatenate((xs, ys))).all()
+        whole = BloomFilter(m_bits=1 << 14)
+        whole.add(np.concatenate((xs, ys)))
+        np.testing.assert_array_equal(m.words, whole.words)
+
+    def test_optimal_sizing(self):
+        bf = optimal_bloom(10_000, fpr=0.01)
+        bf.add(np.arange(10_000))
+        assert bf.design_fpr <= 0.02
+
+    def test_incompatible_merge_raises(self):
+        with pytest.raises(ValueError):
+            BloomFilter(m_bits=64).merge(BloomFilter(m_bits=128))
+
+    def test_wire_roundtrip(self):
+        bf = BloomFilter(m_bits=1 << 12)
+        bf.add(np.arange(100))
+        back = BloomFilter.from_bytes(bf.to_bytes())
+        np.testing.assert_array_equal(back.words, bf.words)
+        assert back.n_added == 100
+
+
+class TestKLL:
+    def test_exact_when_uncompacted(self):
+        rng = np.random.default_rng(5)
+        v = rng.uniform(size=100)
+        s = KLL(k=200)
+        s.add(v)
+        srt = np.sort(v)
+        for q in [0.0, 0.1, 0.25, 0.5, 0.9, 1.0]:
+            target = max(int(np.ceil(q * 100)), 1)
+            assert s.quantile(q)[0] == srt[target - 1], q
+
+    def test_rank_error_bound(self):
+        rng = np.random.default_rng(6)
+        v = rng.standard_normal(200_000)
+        s = KLL(k=200)
+        for chunk in np.array_split(v, 100):
+            s.add(chunk)
+        srt = np.sort(v)
+        qs = np.linspace(0.01, 0.99, 99)
+        got = s.quantile(qs)
+        # measure rank error of each answer
+        ranks = np.searchsorted(srt, got, side="right") / len(srt)
+        err = np.abs(ranks - qs)
+        assert err.max() <= s.rank_error, err.max()
+
+    def test_merge_rank_error_bound(self):
+        rng = np.random.default_rng(7)
+        v = rng.uniform(size=100_000)
+        shards = np.array_split(v, 16)
+        sketches = []
+        for sh in shards:
+            s = KLL(k=200)
+            s.add(sh)
+            sketches.append(s)
+        m = sketches[0]
+        for s in sketches[1:]:
+            m = m.merge(s)
+        assert m.n == len(v)
+        srt = np.sort(v)
+        qs = np.linspace(0.05, 0.95, 19)
+        ranks = np.searchsorted(srt, m.quantile(qs), side="right") / len(srt)
+        assert np.abs(ranks - qs).max() <= 2 * m.rank_error
+
+    def test_weights_preserved(self):
+        s = KLL(k=64)
+        s.add(np.arange(10_000))
+        it, w = s._weighted_items()
+        assert np.sum(w) == pytest.approx(10_000)
+
+    def test_incompatible_merge_raises(self):
+        with pytest.raises(ValueError):
+            KLL(k=100).merge(KLL(k=200))
+
+    def test_nonfinite_raises(self):
+        with pytest.raises(ValueError):
+            KLL().add([1.0, np.nan])
+
+    def test_wire_roundtrip(self):
+        s = KLL(k=128)
+        s.add(np.random.default_rng(8).uniform(size=5000))
+        back = KLL.from_bytes(s.to_bytes())
+        assert back.n == s.n
+        qs = np.linspace(0, 1, 21)
+        np.testing.assert_array_equal(back.quantile(qs), s.quantile(qs))
+
+    def test_deterministic_across_runs(self):
+        def build():
+            s = KLL(k=100)
+            for chunk in np.array_split(np.arange(50_000.0), 50):
+                s.add(chunk)
+            return s
+
+        a, b = build(), build()
+        np.testing.assert_array_equal(
+            a.quantile(np.linspace(0, 1, 11)), b.quantile(np.linspace(0, 1, 11))
+        )
