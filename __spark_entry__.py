@@ -1,38 +1,590 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2 (+ training-data extras); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for the exact-answer subset.
+
+Exactness strategy for the sketch queries: with ``max_size`` above the
+group's distinct-value count and ``policy='off'``, the t-digest is
+uncompressed (reference compressor.rs:185-205 fast path) and its
+quantile at non-integer q·N equals the order statistic
+``x[floor(q·N)]`` — i.e. SQL ``quantile_disc`` — while CDF equals the
+midpoint ECDF ``(#<x + 0.5·#=x)/N`` (tdigest_design.md:284-295). The q
+constants below are chosen so q·N is never an integer at test scales.
+Sketches whose estimates have no exact SQL form (HLL) are exposed as
+bound-checks (the Spark side emits whether |est−exact| is inside the
+published bound; the oracle emits the expected booleans).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+# q constants with no integer q·N at our group sizes (denominators are
+# coprime with any n below 100k)
+Q1 = 0.314159
+QA, QB, QC = 0.251379, 0.507211, 0.971317
+QW = 0.405170
+
+UNCOMPRESSED = dict(max_size=20000, policy="off")
+
+
+def _li(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --------------------------------------------------------------------- #
+# t-digest queries
+# --------------------------------------------------------------------- #
+
+def q_td_quantile_group(spark, sf_dir):
+    from gr_tdigest_spark.operators import tdigest_agg
+    import gr_tdigest_spark.functions as Fn
+
+    dg = tdigest_agg(
+        _li(spark, sf_dir), ["l_returnflag", "l_linestatus"],
+        "l_extendedprice", **UNCOMPRESSED,
+    )
+    return dg.select(
+        "l_returnflag", "l_linestatus",
+        Fn.tdigest_quantile("tdigest", Q1).alias("q_price"),
+    )
+
+
+def q_td_quantiles_multi(spark, sf_dir):
+    from gr_tdigest_spark.operators import tdigest_agg
+    import gr_tdigest_spark.functions as Fn
+
+    dg = tdigest_agg(
+        _li(spark, sf_dir), ["l_returnflag", "l_linestatus"],
+        "l_extendedprice", **UNCOMPRESSED,
+    )
+    qs = Fn.tdigest_quantiles("tdigest", [QA, QB, QC])
+    return dg.select(
+        "l_returnflag", "l_linestatus",
+        qs.getItem(0).alias("p25"),
+        qs.getItem(1).alias("p50"),
+        qs.getItem(2).alias("p97"),
+    )
+
+
+def q_td_cdf_probe(spark, sf_dir):
+    from gr_tdigest_spark.operators import tdigest_agg
+    import gr_tdigest_spark.functions as Fn
+
+    dg = tdigest_agg(
+        _li(spark, sf_dir), ["l_returnflag", "l_linestatus"],
+        "l_extendedprice", **UNCOMPRESSED,
+    )
+    return dg.select(
+        "l_returnflag", "l_linestatus",
+        Fn.tdigest_cdf("tdigest", 30000.0).alias("cdf_30k"),
+        Fn.tdigest_cdf("tdigest", 90000.0).alias("cdf_90k"),
+    )
+
+
+def q_td_stats(spark, sf_dir):
+    from gr_tdigest_spark.operators import tdigest_agg
+    import gr_tdigest_spark.functions as Fn
+
+    # max_size=1000 → compression active; stats stay exact
+    dg = tdigest_agg(
+        _li(spark, sf_dir), ["l_returnflag", "l_linestatus"],
+        "l_extendedprice", max_size=1000,
+    )
+    return dg.select(
+        "l_returnflag", "l_linestatus",
+        Fn.tdigest_count("tdigest").alias("n"),
+        Fn.tdigest_min("tdigest").alias("min_price"),
+        Fn.tdigest_max("tdigest").alias("max_price"),
+        F.round(Fn.tdigest_sum("tdigest"), 2).alias("sum_price"),
+        F.round(Fn.tdigest_mean("tdigest"), 4).alias("avg_price"),
+    )
+
+
+def q_td_median(spark, sf_dir):
+    from gr_tdigest_spark.operators import tdigest_agg
+    import gr_tdigest_spark.functions as Fn
+
+    dg = tdigest_agg(
+        _li(spark, sf_dir), ["l_returnflag", "l_linestatus"],
+        "l_extendedprice", **UNCOMPRESSED,
+    )
+    return dg.select(
+        "l_returnflag", "l_linestatus",
+        Fn.tdigest_median("tdigest").alias("median_price"),
+    )
+
+
+def q_td_trimmed_mean(spark, sf_dir):
+    from gr_tdigest_spark.operators import tdigest_agg
+    import gr_tdigest_spark.functions as Fn
+
+    dg = tdigest_agg(
+        _li(spark, sf_dir), ["l_returnflag", "l_linestatus"],
+        "l_extendedprice", **UNCOMPRESSED,
+    )
+    return dg.select(
+        "l_returnflag", "l_linestatus",
+        F.round(
+            Fn.tdigest_trimmed_mean("tdigest", 0.25, 0.75), 6
+        ).alias("tmean_price"),
+    )
+
+
+def q_td_merge_rollup(spark, sf_dir):
+    """Second-level rollup: (flag, status) digests → per-flag digests via
+    merge_tdigests — the re-aggregate path (SURVEY §2.1)."""
+    from gr_tdigest_spark.operators import tdigest_agg
+    import gr_tdigest_spark.functions as Fn
+
+    fine = tdigest_agg(
+        _li(spark, sf_dir), ["l_returnflag", "l_linestatus"],
+        "l_quantity", **UNCOMPRESSED,
+    )
+    coarse = fine.groupBy("l_returnflag").agg(
+        Fn.merge_tdigests("tdigest").alias("tdigest")
+    )
+    return coarse.select(
+        "l_returnflag",
+        Fn.tdigest_quantile("tdigest", Q1).alias("q_qty"),
+        Fn.tdigest_count("tdigest").alias("n"),
+    )
+
+
+def q_td_weighted(spark, sf_dir):
+    from gr_tdigest_spark.operators import tdigest_agg
+    import gr_tdigest_spark.functions as Fn
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    dg = tdigest_agg(
+        part, ["p_brand"], "p_retailprice", weight_col="p_size",
+        **UNCOMPRESSED,
+    )
+    return dg.select(
+        "p_brand",
+        Fn.tdigest_quantile("tdigest", QW).alias("q_wprice"),
+        Fn.tdigest_count("tdigest").alias("total_w"),
+    )
+
+
+def q_td_scale_values(spark, sf_dir):
+    from gr_tdigest_spark.operators import tdigest_agg
+    import gr_tdigest_spark.functions as Fn
+
+    dg = tdigest_agg(
+        _li(spark, sf_dir), ["l_returnflag"], "l_quantity", **UNCOMPRESSED
+    )
+    scaled = dg.select(
+        "l_returnflag",
+        Fn.tdigest_scale_values("tdigest", 4.0).alias("tdigest"),
+    )
+    return scaled.select(
+        "l_returnflag",
+        Fn.tdigest_quantile("tdigest", Q1).alias("q_qty4"),
+        Fn.tdigest_max("tdigest").alias("max_qty4"),
+    )
+
+
+def q_td_scale_weights(spark, sf_dir):
+    from gr_tdigest_spark.operators import tdigest_agg
+    import gr_tdigest_spark.functions as Fn
+
+    dg = tdigest_agg(
+        _li(spark, sf_dir), ["l_returnflag"], "l_quantity", **UNCOMPRESSED
+    )
+    scaled = dg.select(
+        "l_returnflag",
+        Fn.tdigest_scale_weights("tdigest", 2.0).alias("tdigest"),
+    )
+    return scaled.select(
+        "l_returnflag",
+        Fn.tdigest_quantile("tdigest", Q1).alias("q_qty"),
+        Fn.tdigest_count("tdigest").alias("n2"),
+    )
+
+
+def q_td_wire_v2(spark, sf_dir):
+    from gr_tdigest_spark.operators import tdigest_agg
+    import gr_tdigest_spark.functions as Fn
+
+    dg = tdigest_agg(
+        _li(spark, sf_dir), ["l_returnflag"], "l_quantity", **UNCOMPRESSED
+    )
+    v2 = dg.select(
+        "l_returnflag", Fn.tdigest_to_version("tdigest", 2).alias("tdigest")
+    )
+    return v2.select(
+        "l_returnflag",
+        Fn.tdigest_quantile("tdigest", Q1).alias("q_qty"),
+        Fn.tdigest_wire_precision("tdigest").alias("prec"),
+    )
+
+
+def q_td_f32(spark, sf_dir):
+    from gr_tdigest_spark.operators import tdigest_agg
+    import gr_tdigest_spark.functions as Fn
+
+    dg = tdigest_agg(
+        _li(spark, sf_dir), ["l_returnflag"], "l_quantity",
+        precision="f32", **UNCOMPRESSED,
+    )
+    return dg.select(
+        "l_returnflag",
+        Fn.tdigest_quantile("tdigest", Q1).alias("q_qty"),
+        Fn.tdigest_wire_precision("tdigest").alias("prec"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# companion sketches
+# --------------------------------------------------------------------- #
+
+def q_hll_bound(spark, sf_dir):
+    """HLL estimate must sit inside 5σ of 1.04/√m of the exact distinct
+    count — the bound check is computed Spark-side; the oracle pins the
+    expected booleans."""
+    from gr_tdigest_spark.operators.companions import hll_agg, hll_estimate
+
+    ev = _ev(spark, sf_dir)
+    h = hll_agg(ev, ["event_type"], "user_id", p=14)
+    est = h.select("event_type", hll_estimate("hll").alias("est"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    bound = 5 * (1.04 / (2 ** 14) ** 0.5)
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("est") - F.col("exact"))
+                <= F.greatest(F.lit(bound) * F.col("exact"), F.lit(3.0))
+            ).alias("within_bound"),
+        )
+    )
+
+
+def q_cms_topk(spark, sf_dir):
+    from gr_tdigest_spark.operators.companions import cms_agg, cms_estimate
+
+    ev = _ev(spark, sf_dir)
+    cand = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    c = cms_agg(ev, None, "event_type")
+    est = c.select(cms_estimate("cms", cand).alias("est")).collect()[0][0]
+    rows = sorted(zip(cand, est), key=lambda t: (-t[1], t[0]))[:5]
+    return spark.createDataFrame(rows, "event_type string, est_count long")
+
+
+def q_bloom_members(spark, sf_dir):
+    from gr_tdigest_spark.operators.companions import bloom_agg, bloom_contains
+
+    ev = _ev(spark, sf_dir)
+    bl = bloom_agg(
+        ev.filter(F.col("event_type") == "click"), None, "user_id",
+        m_bits=1 << 20,
+    )
+    users = ev.select("user_id").distinct()
+    probed = users.crossJoin(F.broadcast(bl)).select(
+        "user_id", bloom_contains("bloom", "user_id").alias("m")
+    )
+    return probed.filter("m").agg(F.count("*").alias("n_members"))
+
+
+def q_kll_quantile_docs(spark, sf_dir):
+    from gr_tdigest_spark.operators.companions import kll_agg, kll_quantile
+
+    d = _docs(spark, sf_dir).withColumn(
+        "len_chars", F.col("n_chars").cast("double")
+    )
+    k = kll_agg(d, ["source"], "len_chars", k=4096)
+    return k.select(
+        "source", kll_quantile("kll", 0.5).alias("med_chars")
+    )
+
+
+# --------------------------------------------------------------------- #
+# training-data extras
+# --------------------------------------------------------------------- #
+
+def q_dedup_exact(spark, sf_dir):
+    from gr_tdigest_spark.operators.text import with_fingerprint
+
+    d = with_fingerprint(_docs(spark, sf_dir), "text", "fp")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+    )
+
+
+def q_text_stats(spark, sf_dir):
+    from gr_tdigest_spark.operators.text import with_text_stats
+
+    d = with_text_stats(_docs(spark, sf_dir), "text")
+    return d.groupBy("lang").agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.sum("n_chars").alias("tot_chars"),
+        F.round(F.avg("punct_ratio"), 6).alias("avg_punct"),
+    )
+
+
+def q_embed_topk(spark, sf_dir):
+    from gr_tdigest_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = cosine_topk(
+        emb.filter(F.col("vec_id") != 0), qvec, k=5
+    )
+    return top.select("vec_id", F.round("cosine", 6).alias("cos_sim"))
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    """MinHash LSH near-dup pairs (no SQL oracle — rows-only check)."""
+    from gr_tdigest_spark.operators.dedup import near_dup_pairs_minhash
+
+    d = _docs(spark, sf_dir)
+    return near_dup_pairs_minhash(
+        d, "doc_id", "text", n_hashes=64, bands=16, threshold=0.5
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    """Simhash near-dup candidates (rows-only check)."""
+    from gr_tdigest_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs(spark, sf_dir), "doc_id", "text",
+                             max_hamming=8)
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword language-ID heuristic counts (rows-only check)."""
+    from gr_tdigest_spark.operators.text import with_language_id
+
+    d = with_language_id(_docs(spark, sf_dir), "text")
+    return d.groupBy("lang_id").agg(F.count("*").alias("n"))
+
+
+def q_transcript_latency(spark, sf_dir):
+    """North-star query on the synthesized transcript table: per-role
+    p50/p95 of inter-turn latency (rows-only — the transcripts table is
+    generated, not a driver view)."""
+    from pyspark.sql.window import Window
+    from gr_tdigest_spark.operators import tdigest_agg
+    from gr_tdigest_spark.sources.transcripts import transcripts_df
+    import gr_tdigest_spark.functions as Fn
+
+    t = transcripts_df(spark, n_convs=200, seed=42)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lat = t.withColumn(
+        "latency_s",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 1e6,
+    ).where(F.col("latency_s").isNotNull())
+    dg = tdigest_agg(lat, ["role"], "latency_s", max_size=1000)
+    return dg.select(
+        "role",
+        Fn.tdigest_quantile("tdigest", 0.5).alias("p50_latency"),
+        Fn.tdigest_quantile("tdigest", 0.95).alias("p95_latency"),
+        Fn.tdigest_count("tdigest").alias("n_turns"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# contract
+# --------------------------------------------------------------------- #
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: p50/p95/p99 text... of l_extendedprice per returnflag
+    on sf0.001 via the two-phase t-digest aggregate."""
+    from gr_tdigest_spark.operators import tdigest_agg
+    import gr_tdigest_spark.functions as Fn
+
+    li = _li(spark, "/root/testdata/sf0.001")
+    dg = tdigest_agg(li, ["l_returnflag"], "l_extendedprice", max_size=1000)
+    return dg.select(
+        "l_returnflag",
+        Fn.tdigest_quantile("tdigest", 0.5).alias("p50"),
+        Fn.tdigest_quantile("tdigest", 0.95).alias("p95"),
+        Fn.tdigest_quantile("tdigest", 0.99).alias("p99"),
+        Fn.tdigest_count("tdigest").alias("n"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "td_quantile_group": q_td_quantile_group,
+        "td_quantiles_multi": q_td_quantiles_multi,
+        "td_cdf_probe": q_td_cdf_probe,
+        "td_stats": q_td_stats,
+        "td_median": q_td_median,
+        "td_trimmed_mean": q_td_trimmed_mean,
+        "td_merge_rollup": q_td_merge_rollup,
+        "td_weighted": q_td_weighted,
+        "td_scale_values": q_td_scale_values,
+        "td_scale_weights": q_td_scale_weights,
+        "td_wire_v2": q_td_wire_v2,
+        "td_f32": q_td_f32,
+        "hll_bound": q_hll_bound,
+        "cms_topk": q_cms_topk,
+        "bloom_members": q_bloom_members,
+        "kll_quantile_docs": q_kll_quantile_docs,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "embed_topk": q_embed_topk,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "lang_id": q_lang_id,
+        "transcript_latency": q_transcript_latency,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_GROUPED = "FROM lineitem GROUP BY l_returnflag, l_linestatus"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "td_quantile_group": (
+            f"SELECT l_returnflag, l_linestatus, "
+            f"quantile_disc(l_extendedprice, {Q1}) AS q_price {_GROUPED}"
+        ),
+        "td_quantiles_multi": (
+            f"SELECT l_returnflag, l_linestatus, "
+            f"quantile_disc(l_extendedprice, {QA}) AS p25, "
+            f"quantile_disc(l_extendedprice, {QB}) AS p50, "
+            f"quantile_disc(l_extendedprice, {QC}) AS p97 {_GROUPED}"
+        ),
+        "td_cdf_probe": (
+            "SELECT l_returnflag, l_linestatus, "
+            "(count(*) FILTER (l_extendedprice < 30000) + "
+            " 0.5 * count(*) FILTER (l_extendedprice = 30000)) / count(*) "
+            "AS cdf_30k, "
+            "(count(*) FILTER (l_extendedprice < 90000) + "
+            " 0.5 * count(*) FILTER (l_extendedprice = 90000)) / count(*) "
+            f"AS cdf_90k {_GROUPED}"
+        ),
+        "td_stats": (
+            "SELECT l_returnflag, l_linestatus, "
+            "count(*)::DOUBLE AS n, min(l_extendedprice) AS min_price, "
+            "max(l_extendedprice) AS max_price, "
+            "round(sum(l_extendedprice), 2) AS sum_price, "
+            f"round(avg(l_extendedprice), 4) AS avg_price {_GROUPED}"
+        ),
+        "td_median": (
+            "SELECT l_returnflag, l_linestatus, "
+            f"median(l_extendedprice) AS median_price {_GROUPED}"
+        ),
+        "td_trimmed_mean": (
+            """
+            WITH piles AS (
+              SELECT l_returnflag, l_linestatus, l_extendedprice AS x,
+                     count(*)::DOUBLE AS w
+              FROM lineitem GROUP BY 1, 2, 3
+            ), c AS (
+              SELECT *, sum(w) OVER (PARTITION BY l_returnflag, l_linestatus
+                                     ORDER BY x) AS cum_hi,
+                        sum(w) OVER (PARTITION BY l_returnflag, l_linestatus)
+                                     AS n
+              FROM piles
+            )
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(x * take) / sum(take), 6) AS tmean_price
+            FROM (
+              SELECT l_returnflag, l_linestatus, x,
+                     greatest(least(cum_hi, 0.75 * n) -
+                              greatest(cum_hi - w, 0.25 * n), 0) AS take
+              FROM c
+            ) WHERE take > 0
+            GROUP BY l_returnflag, l_linestatus
+            """
+        ),
+        "td_merge_rollup": (
+            f"SELECT l_returnflag, quantile_disc(l_quantity, {Q1}) AS q_qty, "
+            "count(*)::DOUBLE AS n FROM lineitem GROUP BY l_returnflag"
+        ),
+        "td_weighted": (
+            f"""
+            SELECT p_brand, quantile_disc(p_retailprice, {QW}) AS q_wprice,
+                   count(*)::DOUBLE AS total_w
+            FROM (
+              SELECT p_brand, p_retailprice, p_size,
+                     unnest(range(p_size)) AS _i
+              FROM part
+            ) GROUP BY p_brand
+            """
+        ),
+        "td_scale_values": (
+            f"SELECT l_returnflag, "
+            f"quantile_disc(l_quantity * 4.0, {Q1}) AS q_qty4, "
+            "max(l_quantity * 4.0) AS max_qty4 "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "td_scale_weights": (
+            f"SELECT l_returnflag, quantile_disc(l_quantity, {Q1}) AS q_qty, "
+            "2.0 * count(*) AS n2 FROM lineitem GROUP BY l_returnflag"
+        ),
+        "td_wire_v2": (
+            f"SELECT l_returnflag, quantile_disc(l_quantity, {Q1}) AS q_qty, "
+            "'f64' AS prec FROM lineitem GROUP BY l_returnflag"
+        ),
+        "td_f32": (
+            f"SELECT l_returnflag, quantile_disc(l_quantity, {Q1}) AS q_qty, "
+            "'f32' AS prec FROM lineitem GROUP BY l_returnflag"
+        ),
+        "hll_bound": (
+            "SELECT event_type, TRUE AS within_bound "
+            "FROM events GROUP BY event_type"
+        ),
+        "cms_topk": (
+            "SELECT event_type, count(*) AS est_count FROM events "
+            "GROUP BY event_type ORDER BY est_count DESC, event_type LIMIT 5"
+        ),
+        "bloom_members": (
+            "SELECT count(DISTINCT user_id) AS n_members FROM events "
+            "WHERE event_type = 'click'"
+        ),
+        "kll_quantile_docs": (
+            "SELECT source, quantile_disc(n_chars::DOUBLE, 0.5) AS med_chars "
+            "FROM documents GROUP BY source"
+        ),
+        "dedup_exact": (
+            "SELECT count(*) AS n_docs, count(DISTINCT md5(lower(trim("
+            "regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_unique "
+            "FROM documents"
+        ),
+        "text_stats": (
+            """
+            SELECT lang,
+                   sum(CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(lower(text)),
+                                                       '\\s+')) END)
+                     AS tot_tokens,
+                   sum(len(text)) AS tot_chars,
+                   round(avg(len(regexp_replace(text,
+                       '[^.,;:!?''"()\\[\\]-]', '', 'g'))::DOUBLE /
+                       greatest(len(text), 1)), 6) AS avg_punct
+            FROM documents GROUP BY lang
+            """
+        ),
+        "embed_topk": (
+            """
+            WITH q AS (
+              SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+            )
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                                                qv::DOUBLE[]), 6) AS cos_sim
+            FROM embeddings, q WHERE vec_id != 0
+            ORDER BY cos_sim DESC, vec_id LIMIT 5
+            """
+        ),
+    }

@@ -1,0 +1,124 @@
+"""Benchmark harness: headline sketch queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "rows_per_sec": ...,
+   "turns_per_sec": ...}
+
+The headline metric mirrors BASELINE.json: sketch-build throughput
+(rows/sec through the two-phase t-digest aggregate) plus per-query
+wall times. Scaling-efficiency evidence (local[8] vs local[32]) is
+produced by tools/scaling_bench.py and recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import functions as F
+
+    import gr_tdigest_spark.functions as Fn
+    from gr_tdigest_spark.operators import tdigest_agg
+    from gr_tdigest_spark.operators.companions import (
+        cms_agg, cms_estimate, hll_agg, hll_estimate, kll_agg, kll_quantile,
+    )
+    from gr_tdigest_spark.plans import get_spark
+
+    spark = get_spark(app="gr-tdigest-bench", cores=cpus,
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    li_rows = li.count()
+    ev_rows = ev.count()
+    # warm the JVM + python workers once
+    li.limit(1000).agg(F.count("*")).collect()
+
+    timings: dict[str, float] = {}
+
+    def bench(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    bench(
+        "q1_tdigest_group",
+        lambda: tdigest_agg(li, ["l_returnflag", "l_linestatus"],
+                            "l_extendedprice", max_size=1000)
+        .select("l_returnflag", "l_linestatus",
+                Fn.tdigest_quantiles("tdigest", [0.5, 0.95, 0.99]))
+        .collect(),
+    )
+    bench(
+        "q2_tdigest_global",
+        lambda: tdigest_agg(li, None, "l_extendedprice", max_size=1000)
+        .select(Fn.tdigest_quantile("tdigest", 0.5)).collect(),
+    )
+    bench(
+        "q3_tdigest_highkey",
+        lambda: tdigest_agg(li, ["l_orderkey"], "l_extendedprice",
+                            max_size=100)
+        .agg(F.count("*")).collect(),
+    )
+    bench(
+        "q4_hll_distinct",
+        lambda: hll_agg(ev, ["event_type"], "user_id", p=14)
+        .select(hll_estimate("hll")).collect(),
+    )
+    bench(
+        "q5_cms_heavyhitters",
+        lambda: cms_agg(ev, None, "event_type")
+        .select(cms_estimate("cms", ["click", "view", "error"])).collect(),
+    )
+    bench(
+        "q6_kll_quantiles",
+        lambda: kll_agg(ev, ["event_type"], "value", k=200)
+        .select(kll_quantile("kll", 0.5)).collect(),
+    )
+
+    # transcript sketch-build throughput (turns/sec), the BASELINE metric
+    from gr_tdigest_spark.sources.transcripts import transcripts_df
+
+    n_convs = int(os.environ.get("SPARK_GRAFT_CONVS", "2000"))
+    t = transcripts_df(spark, n_convs=n_convs, seed=42)
+    t = t.withColumn("len", F.length("text")).persist()
+    n_turns = t.count()  # materialize generation outside the timed window
+    t0 = time.perf_counter()
+    tdigest_agg(t, ["role"], "len", max_size=1000).select(
+        "role", Fn.tdigest_quantile("tdigest", 0.5)
+    ).collect()
+    dt = time.perf_counter() - t0
+    timings["q7_transcript_tdigest"] = round(dt, 3)
+    turns_per_sec = n_turns / dt if dt > 0 else 0.0
+    t.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "sketch_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "rows": {"lineitem": li_rows, "events": ev_rows, "turns": n_turns},
+        "rows_per_sec": round(li_rows / timings["q1_tdigest_group"], 1),
+        "turns_per_sec": round(turns_per_sec, 1),
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

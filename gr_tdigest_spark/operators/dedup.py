@@ -1,0 +1,244 @@
+"""Deduplication operators: exact, MinHash+LSH, simhash, n-gram Jaccard.
+
+Designed for the 100 TB shape:
+- exact dedup is a hash-groupBy (one shuffle on the fingerprint, min-id
+  winner — no sort, no window over the full table);
+- MinHash LSH generates (band, bucket) keys and self-joins only within
+  buckets, never the full cross product;
+- candidate verification (exact Jaccard) runs only on LSH candidates.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType
+
+from gr_tdigest_spark.operators.text import with_fingerprint
+
+__all__ = [
+    "dedup_exact",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "near_dup_pairs_minhash",
+    "ngram_jaccard_pairs",
+    "simhash_near_dups",
+]
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Keep the smallest id per exact (normalized) text fingerprint.
+
+    One shuffle on the fingerprint; survivors join back to rows. At
+    scale this beats a window-over-everything: the aggregate combines
+    map-side."""
+    fp = with_fingerprint(df, text_col, "__fp")
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return (
+        fp.join(keep, [id_col, "__fp"], "leftsemi").drop("__fp")
+    )
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    from gr_tdigest_spark.sketches.hashing import hash64
+
+    s = " ".join(text.lower().split())
+    if len(s) < k:
+        return hash64(np.asarray([s], dtype=object)) if s else np.empty(0, np.uint64)
+    sh = [s[i:i + k] for i in range(len(s) - k + 1)]
+    return np.unique(hash64(np.asarray(sh, dtype=object)))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_hashes: int = 64,
+    shingle_k: int = 5,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """Character-shingle MinHash signatures (array<long>, n_hashes slots).
+
+    signature[i] = min over shingles of splitmix64(shingle_hash, seed=i) —
+    one vectorized (shingles × hashes) min per doc."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        from gr_tdigest_spark.sketches.hashing import splitmix64
+
+        seeds = np.arange(1, n_hashes + 1, dtype=np.uint64)
+        out = []
+        for txt in texts:
+            if txt is None:
+                out.append(None)
+                continue
+            h = _shingle_hashes(txt, shingle_k)
+            if h.size == 0:
+                out.append(None)
+                continue
+            # (n_shingles, n_hashes) permutation hashes → column minima
+            with np.errstate(over="ignore"):
+                perm = splitmix64(
+                    h[:, None] ^ (seeds[None, :] * np.uint64(0x9E3779B97F4A7C15))
+                )
+            out.append(perm.min(axis=0).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return df.select(id_col, text_col).withColumn(
+        out_col, _sig(F.col(text_col))
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash",
+    bands: int = 16,
+) -> DataFrame:
+    """Band the signatures and self-join within (band, bucket) — the
+    standard LSH candidate generation. Output: (a, b) id pairs, a < b,
+    deduplicated."""
+    n_hashes_col = F.size(F.col(sig_col))
+    rows_per_band = F.floor(n_hashes_col / bands)
+    banded = sigs.where(F.col(sig_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(
+                    F.slice(
+                        F.col(sig_col),
+                        (b * rows_per_band + 1).cast("int"),
+                        rows_per_band.cast("int"),
+                    )
+                ),
+            )
+        ).alias("__band", "__bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.__band") == F.col("r.__band"))
+            & (F.col("l.__bucket") == F.col("r.__bucket"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("a"), F.col("r.__id").alias("b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate pairs with exact character-shingle Jaccard.
+    Joins each side's text in (broadcast when small), computes the exact
+    similarity in a vectorized UDF, filters by threshold."""
+    d = docs.select(
+        F.col(id_col).alias("__jid"), F.col(text_col).alias("__jtxt")
+    )
+    joined = (
+        pairs.join(d.withColumnRenamed("__jid", "a").withColumnRenamed("__jtxt", "ta"), "a")
+        .join(d.withColumnRenamed("__jid", "b").withColumnRenamed("__jtxt", "tb"), "b")
+    )
+
+    @F.pandas_udf(DoubleType())
+    def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = np.zeros(len(ta))
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            if x is None or y is None:
+                out[i] = 0.0
+                continue
+            ha = _shingle_hashes(x, shingle_k)
+            hb = _shingle_hashes(y, shingle_k)
+            if ha.size == 0 and hb.size == 0:
+                out[i] = 1.0
+                continue
+            inter = np.intersect1d(ha, hb, assume_unique=True).size
+            union = ha.size + hb.size - inter
+            out[i] = inter / union if union else 0.0
+        return pd.Series(out)
+
+    return (
+        joined.withColumn("jaccard", _jac("ta", "tb"))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def near_dup_pairs_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_hashes: int = 64,
+    shingle_k: int = 5,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash→LSH→verify near-duplicate pipeline."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, id_col, bands=bands)
+    return ngram_jaccard_pairs(
+        cands, df, id_col, text_col, shingle_k, threshold
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Simhash near-dup candidates: split the 64-bit simhash into
+    (max_hamming+1) blocks — any pair within the distance budget shares
+    at least one exact block (pigeonhole), so the join is block-bucketed,
+    never all-pairs. Verified with exact hamming distance (JVM-side
+    bit_count)."""
+    from gr_tdigest_spark.operators.text import with_simhash
+
+    blocks = max_hamming + 1
+    sh = with_simhash(df.select(id_col, text_col), text_col, "__sh")
+    width = 64 // blocks
+    banded = sh.select(
+        F.col(id_col).alias("__id"),
+        F.col("__sh"),
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("__sh"), i * width).bitwiseAND(
+                    F.lit((1 << width) - 1)
+                )
+                for i in range(blocks)
+            ])
+        ).alias("__blk", "__val"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.__blk") == F.col("r.__blk"))
+            & (F.col("l.__val") == F.col("r.__val"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("a"),
+            F.col("r.__id").alias("b"),
+            F.bit_count(
+                F.col("l.__sh").bitwiseXOR(F.col("r.__sh"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cands.where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,161 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path metrics are built-in Spark SQL expressions (JVM-side,
+whole-stage codegen) — no Python in the row path. Only simhash needs a
+(vectorized) pandas UDF.
+
+Operators: token counting, quality scoring, language ID (stopword
+n-gram heuristic), document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+__all__ = [
+    "with_text_stats",
+    "with_quality_score",
+    "with_language_id",
+    "with_fingerprint",
+    "with_simhash",
+    "STOPWORDS",
+]
+
+# Minimal per-language stopword marker sets for the n-gram/stopword
+# language heuristic (deterministic, no external models).
+STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "que", "pour", "une"],
+    "es": ["el", "la", "los", "que", "es", "en", "por", "una", "con"],
+}
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def with_text_stats(
+    df: DataFrame, text_col: str = "text", prefix: str = ""
+) -> DataFrame:
+    """Add length / token / character-class statistics — all JVM-side."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_chars = F.length(t)
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    return (
+        df.withColumn(f"{prefix}n_chars", n_chars.cast("long"))
+        .withColumn(
+            f"{prefix}n_tokens",
+            F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(toks)).cast("long"),
+        )
+        .withColumn(
+            f"{prefix}punct_ratio",
+            F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]-]", "")) / safe_chars,
+        )
+        .withColumn(
+            f"{prefix}digit_ratio",
+            F.length(F.regexp_replace(t, r"[^0-9]", "")) / safe_chars,
+        )
+        .withColumn(
+            f"{prefix}upper_ratio",
+            F.length(F.regexp_replace(t, r"[^A-Z]", "")) / safe_chars,
+        )
+        .withColumn(
+            f"{prefix}space_ratio",
+            F.length(F.regexp_replace(t, r"[^ \t\n]", "")) / safe_chars,
+        )
+    )
+
+
+def with_quality_score(
+    df: DataFrame, text_col: str = "text", out_col: str = "quality_score"
+) -> DataFrame:
+    """Heuristic [0,1] document quality from length/punct/stopword ratios
+    (the usual pretraining-filter shape: mean word length sane, some
+    stopwords present, not digit/punct-dominated)."""
+    d = with_text_stats(df, text_col, prefix="__q_")
+    toks = _tokens(F.col(text_col))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(toks, en_stop))
+    n_tok = F.greatest(F.col("__q_n_tokens"), F.lit(1)).cast("double")
+    avg_word = F.col("__q_n_chars") / n_tok
+    score = (
+        F.lit(1.0)
+        - F.least(F.col("__q_punct_ratio") * 3.0, F.lit(0.4))
+        - F.least(F.col("__q_digit_ratio") * 2.0, F.lit(0.3))
+        # word lengths far from ~5 chars get docked
+        - F.least(F.abs(avg_word - 5.0) / 20.0, F.lit(0.2))
+        + F.least(stop_hits.cast("double") / 10.0, F.lit(0.1))
+    )
+    out = d.withColumn(out_col, F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)))
+    return out.drop(*[c for c in out.columns if c.startswith("__q_")])
+
+
+def with_language_id(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_id"
+) -> DataFrame:
+    """Stopword-marker language heuristic, JVM-side: count stopword hits
+    per language, argmax via greatest-of-structs; 'und' (undetermined)
+    when nothing matches."""
+    toks = _tokens(F.col(text_col))
+    scored = []
+    for lang, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.array_intersect(toks, arr))
+        scored.append(F.struct(hits.alias("score"), F.lit(lang).alias("lang")))
+    best = F.greatest(*scored)
+    return df.withColumn(
+        out_col,
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", out_col: str = "fingerprint"
+) -> DataFrame:
+    """Deterministic content fingerprint of whitespace-normalized,
+    lower-cased text (md5 → portable across engines for dedup oracles)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.withColumn(out_col, F.md5(norm))
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
+) -> DataFrame:
+    """64-bit simhash over token hashes (vectorized pandas UDF): sign of
+    the per-bit sum of token hash bits. Near-duplicate docs differ in few
+    bits (compare with hamming distance via bit_count(a ^ b))."""
+
+    @F.pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        from gr_tdigest_spark.sketches.hashing import hash64
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for i, txt in enumerate(texts):
+            if txt is None:
+                continue
+            toks = np.asarray(txt.lower().split(), dtype=object)
+            if toks.size == 0:
+                continue
+            h = hash64(toks)
+            bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            vote = bits.sum(axis=0) * 2 - toks.size  # +1/-1 votes
+            sh = np.uint64(0)
+            for b in range(64):
+                if vote[b] > 0:
+                    sh |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sh.astype(np.int64))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _simhash(F.col(text_col)))
