@@ -6,28 +6,34 @@ Spark's pandas GROUPED_AGG UDFs have no partial-merge step, so the
 classic ``partial → shuffle → final merge`` plan is built explicitly:
 
     df.select(keys + [col])
-      .mapInPandas(build_partials)          # map-side combine, one blob
-                                            #   per (task-partition, key)
-      .groupBy(keys)                        # shuffles ~17 KB blobs, not rows
-      .applyInPandas(merge_partials)        # k-way merge + recompress
+      .mapInPandas(build_partials)       # map-side combine: one sketch
+                                         #   per (task-partition, key)
+      .repartition(*keys)                # shuffles ~KB sketches, not rows
+      .mapInPandas(merge_partials)       # hash-merge per partition —
+                                         #   ONE python call per batch,
+                                         #   not one per group
 
-For skewed keys an optional intermediate ``salt`` level merges in two
-hops (``groupBy(keys, salt)`` then ``groupBy(keys)``) — treeAggregate
-style. This keeps any single reduce task's input at
-``salt_buckets``-way fan-in instead of ``num_partitions``-way.
+Design points for the 100 TB / 1000-executor shape:
 
-Scale notes (designed for ~100 TB / 1000 executors):
-- The shuffle payload is O(#partitions × #keys × sketch_size), i.e.
-  independent of row count — partials are the only thing on the wire.
-- Filters/column pruning stay in Catalyst: we select only keys+value
+- Shuffle payload is O(#partitions × #keys × sketch_size) — independent
+  of row count. Only partial sketches cross the wire.
+- High-cardinality groups (the per-conversation case) are built
+  **vectorized**: one lexsort + reduceat pass per flush handles every
+  group in the batch; groups small enough to stay uncompressed skip the
+  compression pipeline entirely (provably identical output — see
+  ``_NO_MERGE_FACTOR``).
+- The final merge is partition-wise (mapInPandas over hash-partitioned
+  partials), so per-group scheduling overhead is gone; an optional
+  ``salt_buckets`` level adds a treeAggregate-style intermediate merge
+  for extreme skew (north_rule: skew handled explicitly).
+- Filters/column pruning stay in Catalyst: only keys+value are selected
   before the first Python stage, so parquet scans read just those
   columns.
-- All Python work is Arrow-batched numpy; no per-row Python.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Iterator, List, Optional, Sequence
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -35,52 +41,93 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import BinaryType, StructField, StructType
 
-from gr_tdigest_spark.sketches.tdigest import TDigest
-from gr_tdigest_spark.sketches import wire as td_wire
 from gr_tdigest_spark import validation
+from gr_tdigest_spark.sketches import wire as td_wire
+from gr_tdigest_spark.sketches.tdigest import TDigest
 
 __all__ = ["tdigest_agg", "sketch_agg", "SketchSpec", "TDigestSpec"]
 
-# Fold buffered values into the running digest once this many are queued;
-# amortizes compression across Arrow batches while bounding memory.
-_FOLD_THRESHOLD = 65536
+# Rows buffered per partition before a vectorized flush.
+_FLUSH_ROWS = 1 << 20
+
+# A group whose total weight N satisfies N < factor·max_size provably
+# produces ZERO k-limit merges (stage 3), because the minimum adjacent
+# Δk = min_q k'(q)·(w/N) exceeds 1: k2/k3 have min k'(q) = d/ln2·… →
+# N < 1.44·d; quad → N < 0.5·d; k1 → N < 0.318·d. For such groups the
+# pipeline output is exactly the stage-1 normalize result (piles), so we
+# construct it directly. 0.99 margin guards the Δk ≤ 1+1e-12 boundary.
+_NO_MERGE_FACTOR = {"k2": 1.44, "k3": 1.44, "quad": 0.5, "k1": 0.31}
 
 
 class SketchSpec:
-    """Pluggable monoid: how to build, merge, and serialize one sketch kind.
+    """Pluggable monoid: build, merge, and serialize one sketch kind.
 
-    Subclasses implement the reference lifecycle (build = partial,
-    merge = combine) for each sketch family; ``sketch_agg`` provides the
-    identical two-phase Spark plan for all of them.
+    Subclasses provide kernel states with ``merge``-like semantics; the
+    shared two-phase Spark plan in ``sketch_agg`` is identical for all.
     """
 
     name = "sketch"
 
-    def new_accumulator(self):
+    # --- kernel state protocol ---
+    def build_state(self, values: np.ndarray, weights: Optional[np.ndarray]):
+        """Build one sketch state from one group's values."""
         raise NotImplementedError
 
-    def ingest(self, acc, values: np.ndarray, weights: Optional[np.ndarray]):
+    def merge_states(self, a, b):
         raise NotImplementedError
 
-    def finalize(self, acc) -> bytes:
+    def merge_many(self, states: Sequence):
+        out = states[0]
+        for s in states[1:]:
+            out = self.merge_states(out, s)
+        return out
+
+    def state_to_blob(self, state) -> bytes:
+        return state.to_bytes()
+
+    def blob_to_state(self, blob: bytes):
         raise NotImplementedError
 
-    def merge_blobs(self, blobs: Sequence[bytes]) -> bytes:
-        raise NotImplementedError
+    def clean_values(
+        self, values: np.ndarray, weights: Optional[np.ndarray]
+    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """Validate/filter one batch of raw values before building."""
+        return values, weights
 
+    def build_groups(
+        self,
+        pdf: pd.DataFrame,
+        key_cols: List[str],
+        value_col: str,
+        weight_col: Optional[str],
+    ) -> Dict[tuple, object]:
+        """Build {key_tuple: state} for every group in the frame.
 
-class _TDigestAccumulator:
-    __slots__ = ("digest", "buf_v", "buf_w", "buffered")
-
-    def __init__(self, digest: TDigest):
-        self.digest = digest
-        self.buf_v: List[np.ndarray] = []
-        self.buf_w: List[np.ndarray] = []
-        self.buffered = 0
+        Default: pandas groupby + per-group build. Specs can override
+        with a fully vectorized multi-group path (see TDigestSpec).
+        """
+        out: Dict[tuple, object] = {}
+        vals = pdf[value_col].to_numpy()
+        ws = pdf[weight_col].to_numpy() if weight_col else None
+        if not key_cols:
+            v, w = self.clean_values(vals, ws)
+            if v.size:
+                out[()] = self.build_state(v, w)
+            return out
+        gb = pdf.groupby(key_cols, dropna=False, sort=False)
+        for key, sel in gb.indices.items():
+            key = key if isinstance(key, tuple) else (key,)
+            v, w = self.clean_values(
+                vals[sel], None if ws is None else ws[sel]
+            )
+            if v.size:
+                out[key] = self.build_state(v, w)
+        return out
 
 
 class TDigestSpec(SketchSpec):
-    """T-digest monoid (build: tdigest.rs:427-547; merge: 551-601)."""
+    """T-digest monoid (build: tdigest.rs:427-547; merge: 551-601) with a
+    vectorized multi-group builder."""
 
     name = "tdigest"
 
@@ -110,18 +157,14 @@ class TDigestSpec(SketchSpec):
             None, self.precision,
         )
 
-    def new_accumulator(self) -> _TDigestAccumulator:
-        return _TDigestAccumulator(self._empty())
-
-    def _clean(self, values, weights):
+    def clean_values(self, values, weights):
         v = np.asarray(values, dtype=np.float64)
         finite = np.isfinite(v)
         if weights is not None:
             w = np.asarray(weights, dtype=np.float64)
             w_ok = np.isfinite(w) & (w > 0.0)
         else:
-            w = None
-            w_ok = None
+            w, w_ok = None, None
         if self.on_invalid == "error":
             if not finite.all():
                 raise ValueError(
@@ -134,43 +177,141 @@ class TDigestSpec(SketchSpec):
         keep = finite if w_ok is None else (finite & w_ok)
         return v[keep], (None if w is None else w[keep])
 
-    def ingest(self, acc, values, weights=None):
-        v, w = self._clean(values, weights)
-        if v.size == 0:
-            return
-        acc.buf_v.append(v)
-        if w is not None:
-            acc.buf_w.append(w)
-        acc.buffered += v.size
-        if acc.buffered >= _FOLD_THRESHOLD:
-            self._fold(acc)
+    def build_state(self, values, weights):
+        base = self._empty()
+        if weights is None:
+            return base.merge_unsorted(values)
+        return base.merge_weighted(values, weights)
 
-    def _fold(self, acc):
-        if acc.buffered == 0:
-            return
-        v = np.concatenate(acc.buf_v)
-        if acc.buf_w:
-            w = np.concatenate(acc.buf_w)
-            acc.digest = acc.digest.merge_weighted(v, w)
-        else:
-            acc.digest = acc.digest.merge_unsorted(v)
-        acc.buf_v.clear()
-        acc.buf_w.clear()
-        acc.buffered = 0
+    def merge_states(self, a: TDigest, b: TDigest) -> TDigest:
+        return TDigest.merge_digests([a, b])
 
-    def finalize(self, acc) -> bytes:
-        self._fold(acc)
-        return td_wire.encode(acc.digest)
-
-    def merge_blobs(self, blobs: Sequence[bytes]) -> bytes:
-        digests = [td_wire.decode(b) for b in blobs if b is not None]
-        validation.check_merge_compatible(digests)
-        nonempty = [d for d in digests if not d.is_effectively_empty]
+    def merge_many(self, states: Sequence[TDigest]) -> TDigest:
+        validation.check_merge_compatible(states)
+        nonempty = [d for d in states if not d.is_effectively_empty]
         if not nonempty:
-            base = digests[0] if digests else self._empty()
-            return td_wire.encode(base)
-        merged = TDigest.merge_digests(nonempty)
-        return td_wire.encode(merged)
+            return states[0] if states else self._empty()
+        return TDigest.merge_digests(nonempty)
+
+    def state_to_blob(self, state: TDigest) -> bytes:
+        return td_wire.encode(state)
+
+    def blob_to_state(self, blob: bytes) -> TDigest:
+        return td_wire.decode(blob)
+
+    def _pile_digest(
+        self, means: np.ndarray, weights: np.ndarray,
+        total_w: float, total_mw: float,
+    ) -> TDigest:
+        """Construct the (provably) uncompressed digest directly from the
+        group's coalesced piles — skips pipeline stages 2-6."""
+        td = self._empty()
+        td.means = means
+        td.weights = np.where(weights <= 1.0, 1.0, weights)
+        td.kinds = np.zeros(means.size, dtype=np.uint8)
+        td.count = total_w
+        td.sum = total_mw
+        td.min = float(means[0])
+        td.max = float(means[-1])
+        td._store()
+        return td
+
+    def build_groups(self, pdf, key_cols, value_col, weight_col):
+        """Vectorized multi-group build: one lexsort over (key, value),
+        one reduceat pass for pile coalescing, direct digest construction
+        for no-merge groups, kernel compress for the rest."""
+        vals = np.asarray(pdf[value_col].to_numpy(), dtype=np.float64)
+        ws = (
+            np.asarray(pdf[weight_col].to_numpy(), dtype=np.float64)
+            if weight_col else None
+        )
+        if self.on_invalid == "drop" and key_cols:
+            # row-filtering changes key alignment; use the generic
+            # per-group path for this rare mode
+            return super().build_groups(pdf, key_cols, value_col, weight_col)
+        vals, ws = self.clean_values(vals, ws)
+        out: Dict[tuple, TDigest] = {}
+        if vals.size == 0:
+            return out
+        if self.precision == "f32":
+            vals = np.asarray(vals.astype(np.float32), dtype=np.float64)
+
+        if key_cols:
+            keys_frame = pdf[key_cols]
+            if len(key_cols) == 1:
+                codes, uniques = pd.factorize(
+                    keys_frame[key_cols[0]], use_na_sentinel=False
+                )
+                key_tuples = [(u,) for u in uniques]
+            else:
+                codes, uniques = pd.factorize(
+                    pd.MultiIndex.from_frame(keys_frame), use_na_sentinel=False
+                )
+                key_tuples = list(uniques)
+        else:
+            codes = np.zeros(vals.size, dtype=np.int64)
+            key_tuples = [()]
+
+        order = np.lexsort((vals, codes))
+        sc = codes[order]
+        sv = vals[order]
+        sw = ws[order] if ws is not None else None
+
+        group_bounds = np.searchsorted(sc, np.arange(len(key_tuples) + 1))
+
+        w_all = sw if sw is not None else np.ones(sv.size)
+        # coalesce equal (group, value) runs globally
+        new_run = np.empty(sv.size, dtype=bool)
+        new_run[0] = True
+        np.not_equal(sv[1:], sv[:-1], out=new_run[1:])
+        new_run[1:] |= sc[1:] != sc[:-1]
+        run_starts = np.flatnonzero(new_run)
+        run_means = sv[run_starts]
+        run_weights = np.add.reduceat(w_all, run_starts)
+        # per-group run ranges
+        run_group = sc[run_starts]
+        grp_run_bounds = np.searchsorted(
+            run_group, np.arange(len(key_tuples) + 1)
+        )
+        no_merge_factor = _NO_MERGE_FACTOR.get(self.scale, 0.0) * 0.99
+
+        for gi, key in enumerate(key_tuples):
+            r0, r1 = grp_run_bounds[gi], grp_run_bounds[gi + 1]
+            if r1 <= r0:
+                continue
+            n_distinct = r1 - r0
+            g0, g1 = group_bounds[gi], group_bounds[gi + 1]
+            total_w = (
+                float(np.sum(w_all[g0:g1])) if sw is not None
+                else float(g1 - g0)
+            )
+            if (
+                total_w < no_merge_factor * self.max_size
+                and n_distinct <= self.max_size
+                and (sw is None or bool(np.all(run_weights[r0:r1] >= 1.0)))
+            ):
+                # same ∑w·mean association as kernel _normalize (np.dot)
+                td = self._pile_digest(
+                    run_means[r0:r1].copy(),
+                    run_weights[r0:r1].copy(),
+                    total_w,
+                    float(np.dot(run_means[r0:r1], run_weights[r0:r1])),
+                )
+            else:
+                td = self._empty()
+                # piles are already sorted+coalesced: run the pipeline on
+                # them instead of the raw rows (≤ distinct-count items)
+                td._compress(run_means[r0:r1], run_weights[r0:r1])
+            out[key] = td
+        return out
+
+
+# --------------------------------------------------------------------- #
+# generic two-phase plan
+# --------------------------------------------------------------------- #
+
+def _key_of_row(row, key_cols):
+    return tuple(row)
 
 
 def _partial_builder(
@@ -179,47 +320,71 @@ def _partial_builder(
     value_col: str,
     weight_col: Optional[str],
     out_col: str,
+    flush_rows: int = _FLUSH_ROWS,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        accs = {}
+        states: Dict[tuple, object] = {}
+        buffer: List[pd.DataFrame] = []
+        buffered = 0
+
+        def flush():
+            nonlocal buffer, buffered
+            if not buffer:
+                return
+            pdf = buffer[0] if len(buffer) == 1 else pd.concat(
+                buffer, ignore_index=True
+            )
+            built = spec.build_groups(pdf, key_cols, value_col, weight_col)
+            for key, st in built.items():
+                prev = states.get(key)
+                states[key] = st if prev is None else spec.merge_states(
+                    prev, st
+                )
+            buffer = []
+            buffered = 0
+
         for pdf in batches:
-            vals = pdf[value_col].to_numpy()
-            ws = pdf[weight_col].to_numpy() if weight_col else None
-            if key_cols:
-                # one numpy pass per distinct key in the batch
-                gb = pdf.groupby(key_cols, dropna=False, sort=False)
-                for key, sel in gb.indices.items():
-                    key = key if isinstance(key, tuple) else (key,)
-                    acc = accs.get(key)
-                    if acc is None:
-                        acc = accs[key] = spec.new_accumulator()
-                    spec.ingest(
-                        acc, vals[sel], None if ws is None else ws[sel]
-                    )
-            else:
-                acc = accs.get(())
-                if acc is None:
-                    acc = accs[()] = spec.new_accumulator()
-                spec.ingest(acc, vals, ws)
-        if not accs:
+            buffer.append(pdf)
+            buffered += len(pdf)
+            if buffered >= flush_rows:
+                flush()
+        flush()
+        if not states:
             return
         rows = [
-            dict(zip(key_cols, key)) | {out_col: spec.finalize(acc)}
-            for key, acc in accs.items()
+            dict(zip(key_cols, key)) | {out_col: spec.state_to_blob(st)}
+            for key, st in states.items()
         ]
         yield pd.DataFrame(rows, columns=key_cols + [out_col])
 
     return build
 
 
-def _merger(
+def _partition_merger(
     spec: SketchSpec, key_cols: List[str], out_col: str
-) -> Callable[[pd.DataFrame], pd.DataFrame]:
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        blob = spec.merge_blobs(list(pdf[out_col]))
-        head = pdf.iloc[[0]][key_cols].reset_index(drop=True)
-        head[out_col] = [blob]
-        return head
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Partition-wise hash merge: one python call per Arrow batch.
+    Requires partials hash-partitioned by the keys."""
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states: Dict[tuple, object] = {}
+        for pdf in batches:
+            keys_np = [pdf[k].to_numpy() for k in key_cols]
+            blobs = pdf[out_col]
+            for i in range(len(pdf)):
+                key = tuple(k[i] for k in keys_np)
+                st = spec.blob_to_state(bytes(blobs.iloc[i]))
+                prev = states.get(key)
+                states[key] = st if prev is None else spec.merge_states(
+                    prev, st
+                )
+        if not states:
+            return
+        rows = [
+            dict(zip(key_cols, key)) | {out_col: spec.state_to_blob(st)}
+            for key, st in states.items()
+        ]
+        yield pd.DataFrame(rows, columns=key_cols + [out_col])
 
     return merge
 
@@ -236,8 +401,8 @@ def sketch_agg(
     """Generic two-phase sketch aggregate.
 
     Returns one row per key group with a binary sketch column ``out_col``
-    (default ``<spec.name>``). ``salt_buckets`` adds a treeAggregate-style
-    intermediate merge for skewed/huge key spaces.
+    (default ``spec.name``). ``salt_buckets`` adds a treeAggregate-style
+    intermediate merge hop for extreme-skew key spaces.
     """
     key_cols = list(keys) if keys else []
     out_col = out_col or spec.name
@@ -255,36 +420,32 @@ def sketch_agg(
     )
 
     if not key_cols:
-        # global aggregate: single-group merge
-        merged = partials.withColumn("__g", F.lit(0))
-        merged = merged.groupBy("__g").applyInPandas(
-            _merger(spec, ["__g"], out_col),
-            schema=StructType(
-                [StructField("__g", merged.schema["__g"].dataType, False)]
-                + [StructField(out_col, BinaryType(), True)]
-            ),
+        merged = partials.repartition(1).mapInPandas(
+            _partition_merger(spec, [], out_col), schema=out_schema
         )
-        return merged.drop("__g")
+        return merged
 
     if salt_buckets and salt_buckets > 1:
         salted = partials.withColumn(
             "__salt", F.pmod(F.crc32(F.col(out_col)), F.lit(salt_buckets))
         )
         mid_schema = StructType(
-            [src.schema[k] for k in key_cols]
+            list(out_schema.fields[:-1])
             + [StructField("__salt", salted.schema["__salt"].dataType, True)]
-            + [StructField(out_col, BinaryType(), True)]
+            + [out_schema.fields[-1]]
         )
+        salted = salted.select(*key_cols, "__salt", out_col)
         partials = (
-            salted.groupBy(*key_cols, "__salt")
-            .applyInPandas(
-                _merger(spec, key_cols + ["__salt"], out_col), schema=mid_schema
+            salted.repartition(*key_cols, "__salt")
+            .mapInPandas(
+                _partition_merger(spec, key_cols + ["__salt"], out_col),
+                schema=mid_schema,
             )
             .drop("__salt")
         )
 
-    return partials.groupBy(*key_cols).applyInPandas(
-        _merger(spec, key_cols, out_col), schema=out_schema
+    return partials.repartition(*key_cols).mapInPandas(
+        _partition_merger(spec, key_cols, out_col), schema=out_schema
     )
 
 

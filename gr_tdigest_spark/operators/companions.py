@@ -44,112 +44,77 @@ def _to_numpy(values: np.ndarray) -> np.ndarray:
     return arr
 
 
-class _KernelAcc:
-    __slots__ = ("sk",)
+class _KernelSpec(SketchSpec):
+    """Shared shape for the companion kernels: state IS the kernel object
+    (all four expose ``merge``/``to_bytes``/``from_bytes``)."""
 
-    def __init__(self, sk):
-        self.sk = sk
+    kernel = None  # class with .from_bytes
+
+    def _new(self):
+        raise NotImplementedError
+
+    def clean_values(self, values, weights=None):
+        return _to_numpy(values), None
+
+    def build_state(self, values, weights=None):
+        sk = self._new()
+        if values.size:
+            sk.add(values)
+        return sk
+
+    def merge_states(self, a, b):
+        return a.merge(b)
+
+    def blob_to_state(self, blob: bytes):
+        return self.kernel.from_bytes(blob)
 
 
-class HLLSpec(SketchSpec):
+class HLLSpec(_KernelSpec):
     name = "hll"
+    kernel = HLL
 
     def __init__(self, p: int = 14):
         self.p = p
 
-    def new_accumulator(self):
-        return _KernelAcc(HLL(p=self.p))
-
-    def ingest(self, acc, values, weights=None):
-        v = _to_numpy(values)
-        if v.size:
-            acc.sk.add(v)
-
-    def finalize(self, acc) -> bytes:
-        return acc.sk.to_bytes()
-
-    def merge_blobs(self, blobs: Sequence[bytes]) -> bytes:
-        sks = [HLL.from_bytes(b) for b in blobs if b is not None]
-        out = sks[0]
-        for s in sks[1:]:
-            out = out.merge(s)
-        return out.to_bytes()
+    def _new(self):
+        return HLL(p=self.p)
 
 
-class CMSSpec(SketchSpec):
+class CMSSpec(_KernelSpec):
     name = "cms"
+    kernel = CMS
 
     def __init__(self, depth: int = 5, width: int = 8192, seed: int = 7):
         self.depth, self.width, self.seed = depth, width, seed
 
-    def new_accumulator(self):
-        return _KernelAcc(CMS(self.depth, self.width, self.seed))
-
-    def ingest(self, acc, values, weights=None):
-        v = _to_numpy(values)
-        if v.size:
-            acc.sk.add(v)
-
-    def finalize(self, acc) -> bytes:
-        return acc.sk.to_bytes()
-
-    def merge_blobs(self, blobs: Sequence[bytes]) -> bytes:
-        sks = [CMS.from_bytes(b) for b in blobs if b is not None]
-        out = sks[0]
-        for s in sks[1:]:
-            out = out.merge(s)
-        return out.to_bytes()
+    def _new(self):
+        return CMS(self.depth, self.width, self.seed)
 
 
-class BloomSpec(SketchSpec):
+class BloomSpec(_KernelSpec):
     name = "bloom"
+    kernel = BloomFilter
 
     def __init__(self, m_bits: int = 1 << 20, k: int = 7, seed: int = 11):
         self.m_bits, self.k, self.seed = m_bits, k, seed
 
-    def new_accumulator(self):
-        return _KernelAcc(BloomFilter(self.m_bits, self.k, self.seed))
-
-    def ingest(self, acc, values, weights=None):
-        v = _to_numpy(values)
-        if v.size:
-            acc.sk.add(v)
-
-    def finalize(self, acc) -> bytes:
-        return acc.sk.to_bytes()
-
-    def merge_blobs(self, blobs: Sequence[bytes]) -> bytes:
-        sks = [BloomFilter.from_bytes(b) for b in blobs if b is not None]
-        out = sks[0]
-        for s in sks[1:]:
-            out = out.merge(s)
-        return out.to_bytes()
+    def _new(self):
+        return BloomFilter(self.m_bits, self.k, self.seed)
 
 
-class KLLSpec(SketchSpec):
+class KLLSpec(_KernelSpec):
     name = "kll"
+    kernel = KLL
 
     def __init__(self, k: int = 200, seed: int = 17):
         self.k, self.seed = k, seed
 
-    def new_accumulator(self):
-        return _KernelAcc(KLL(k=self.k, seed=self.seed))
+    def _new(self):
+        return KLL(k=self.k, seed=self.seed)
 
-    def ingest(self, acc, values, weights=None):
+    def clean_values(self, values, weights=None):
         v = np.asarray(values, dtype=np.float64)
-        v = v[np.isfinite(v)]
-        if v.size:
-            acc.sk.add(v)
-
-    def finalize(self, acc) -> bytes:
-        return acc.sk.to_bytes()
-
-    def merge_blobs(self, blobs: Sequence[bytes]) -> bytes:
-        sks = [KLL.from_bytes(b) for b in blobs if b is not None]
-        out = sks[0]
-        for s in sks[1:]:
-            out = out.merge(s)
-        return out.to_bytes()
+        return v[np.isfinite(v)], None
 
 
 # ------------------------------------------------------------------ #

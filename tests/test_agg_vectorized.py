@@ -1,0 +1,120 @@
+"""The vectorized multi-group builder must match the kernel exactly."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gr_tdigest_spark.operators.agg import TDigestSpec
+from gr_tdigest_spark.sketches.tdigest import TDigest
+
+
+def _pdf(keys, values, weights=None):
+    d = {"g": keys, "x": values}
+    if weights is not None:
+        d["w"] = weights
+    return pd.DataFrame(d)
+
+
+@pytest.mark.parametrize("max_size", [100, 1000])
+@pytest.mark.parametrize("policy", ["use", "off"])
+def test_vectorized_matches_kernel_small_groups(max_size, policy):
+    rng = np.random.default_rng(1)
+    n = 20000
+    keys = rng.integers(0, 500, n)  # ~40 rows/group → fast path
+    vals = np.round(rng.lognormal(3, 1, n), 2)
+    spec = TDigestSpec(max_size=max_size, policy=policy)
+    built = spec.build_groups(_pdf(keys, vals), ["g"], "x", None)
+    for g in [0, 17, 499]:
+        sel = vals[keys == g]
+        ref = TDigest.from_values(sel, max_size=max_size, policy=policy)
+        got = built[(g,)]
+        np.testing.assert_array_equal(got.means64, ref.means64)
+        np.testing.assert_array_equal(got.weights64, ref.weights64)
+        np.testing.assert_array_equal(got.kinds, ref.kinds)
+        assert got.count == ref.count
+        assert got.sum == ref.sum
+        assert got.min == ref.min and got.max == ref.max
+        qs = np.linspace(0, 1, 41)
+        np.testing.assert_array_equal(got.quantile(qs), ref.quantile(qs))
+
+
+def test_vectorized_matches_kernel_large_groups():
+    """Groups big enough to compress: pipeline path over piles must match
+    kernel build from raw values."""
+    rng = np.random.default_rng(2)
+    n = 60000
+    keys = rng.integers(0, 3, n)  # 20k rows/group, max_size=100 → compress
+    vals = rng.standard_normal(n)
+    spec = TDigestSpec(max_size=100)
+    built = spec.build_groups(_pdf(keys, vals), ["g"], "x", None)
+    for g in range(3):
+        sel = vals[keys == g]
+        ref = TDigest.from_values(sel, max_size=100)
+        got = built[(g,)]
+        np.testing.assert_array_equal(got.means64, ref.means64)
+        np.testing.assert_array_equal(got.weights64, ref.weights64)
+        assert got.count == ref.count
+
+
+def test_vectorized_weighted_matches_kernel():
+    rng = np.random.default_rng(3)
+    n = 5000
+    keys = rng.integers(0, 50, n)
+    vals = np.round(rng.uniform(0, 100, n), 1)
+    ws = rng.integers(1, 10, n).astype(float)
+    spec = TDigestSpec(max_size=500)
+    built = spec.build_groups(_pdf(keys, vals, ws), ["g"], "x", "w")
+    for g in [0, 25, 49]:
+        sel = keys == g
+        ref = TDigest.from_weighted(vals[sel], ws[sel], max_size=500)
+        got = built[(g,)]
+        np.testing.assert_array_equal(got.means64, ref.means64)
+        np.testing.assert_allclose(got.weights64, ref.weights64, rtol=1e-12)
+        assert got.count == pytest.approx(ref.count)
+        qs = np.linspace(0, 1, 21)
+        np.testing.assert_allclose(
+            got.quantile(qs), ref.quantile(qs), rtol=1e-12
+        )
+
+
+def test_vectorized_multi_key_columns():
+    rng = np.random.default_rng(4)
+    n = 3000
+    k1 = rng.integers(0, 4, n)
+    k2 = np.array(["a", "b", "c"], dtype=object)[rng.integers(0, 3, n)]
+    vals = rng.uniform(size=n)
+    pdf = pd.DataFrame({"g1": k1, "g2": k2, "x": vals})
+    spec = TDigestSpec(max_size=200)
+    built = spec.build_groups(pdf, ["g1", "g2"], "x", None)
+    sel = vals[(k1 == 2) & (k2 == "b")]
+    ref = TDigest.from_values(sel, max_size=200)
+    got = built[(2, "b")]
+    np.testing.assert_array_equal(got.means64, ref.means64)
+
+
+def test_nan_raises_in_strict_mode():
+    pdf = _pdf([1, 1, 2], [1.0, np.nan, 3.0])
+    spec = TDigestSpec(max_size=100)
+    with pytest.raises(ValueError, match="NaN"):
+        spec.build_groups(pdf, ["g"], "x", None)
+
+
+def test_drop_mode_filters():
+    pdf = _pdf([1, 1, 2], [1.0, np.nan, 3.0])
+    spec = TDigestSpec(max_size=100, on_invalid="drop")
+    built = spec.build_groups(pdf, ["g"], "x", None)
+    assert built[(1,)].count == 1.0
+    assert built[(2,)].count == 1.0
+
+
+def test_f32_precision_vectorized():
+    rng = np.random.default_rng(5)
+    vals = rng.uniform(size=2000)
+    pdf = _pdf(np.zeros(2000, dtype=int), vals)
+    spec = TDigestSpec(max_size=20000, policy="off", precision="f32")
+    built = spec.build_groups(pdf, ["g"], "x", None)
+    ref = TDigest.from_values(vals, max_size=20000, policy="off",
+                              precision="f32")
+    got = built[(0,)]
+    assert got.precision == "f32"
+    np.testing.assert_array_equal(got.means, ref.means)
