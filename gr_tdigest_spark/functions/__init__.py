@@ -38,6 +38,7 @@ from gr_tdigest_spark.sketches import wire as td_wire
 from gr_tdigest_spark.sketches.tdigest import TDigest
 
 __all__ = [
+    "empty_tdigest",
     "tdigest_quantile",
     "tdigest_quantiles",
     "tdigest_cdf",
@@ -69,6 +70,29 @@ def _decode(blob) -> Optional[TDigest]:
 def _map_blobs(series: pd.Series, fn, dtype=object) -> pd.Series:
     out = [fn(_decode(b)) for b in series]
     return pd.Series(out, dtype=dtype)
+
+
+def empty_tdigest(
+    max_size: int = 1000,
+    scale: str = "k2",
+    policy: str = "use",
+    pin_per_side: int = 0,
+    precision: str = "f64",
+) -> Column:
+    """Literal empty-digest blob — use with ``F.coalesce`` after outer
+    joins so empty groups behave like the reference's empty digests
+    (quantile → null, cdf → NaN) instead of erroring on null blobs."""
+    td = TDigest.empty(
+        validation.validate_max_size(max_size),
+        validation.coerce_scale(scale),
+        validation.coerce_policy(policy),
+        validation.validate_pin_per_side(
+            pin_per_side, max_size, validation.coerce_policy(policy)
+        ),
+        None,
+        validation.coerce_precision(precision),
+    )
+    return F.lit(td_wire.encode(td))
 
 
 def tdigest_quantile(col, q: float) -> Column:

@@ -1,0 +1,92 @@
+"""Checkpoint/resume: interrupted builds resume without reprocessing
+completed shards; results match the direct aggregate."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+import gr_tdigest_spark.functions as Fn
+from gr_tdigest_spark.operators import tdigest_agg
+from gr_tdigest_spark.operators.agg import TDigestSpec
+from gr_tdigest_spark.sources.checkpoint import (
+    build_partials_checkpointed,
+    checkpoint_lineage,
+    checkpointed_sketch_agg,
+    merge_from_checkpoint,
+)
+
+
+@pytest.fixture
+def ckpt(tmp_path):
+    d = str(tmp_path / "ckpt")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_checkpointed_matches_direct(spark, sf_dir, ckpt):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    spec = TDigestSpec(max_size=20000, policy="off")
+    out = checkpointed_sketch_agg(
+        li, ["l_returnflag"], "l_quantity", spec, ckpt, n_shards=8
+    )
+    got = {
+        r[0]: r[1]
+        for r in out.select(
+            "l_returnflag", Fn.tdigest_quantile("tdigest", 0.314159)
+        ).collect()
+    }
+    direct = tdigest_agg(
+        li, ["l_returnflag"], "l_quantity", max_size=20000, policy="off"
+    )
+    exp = {
+        r[0]: r[1]
+        for r in direct.select(
+            "l_returnflag", Fn.tdigest_quantile("tdigest", 0.314159)
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_resume_skips_completed_shards(spark, sf_dir, ckpt):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    spec = TDigestSpec(max_size=1000)
+
+    done = build_partials_checkpointed(
+        li, ["l_returnflag"], "l_quantity", spec, ckpt, n_shards=8
+    )
+    # 3 distinct keys → at most 3 data-bearing shards
+    assert 1 <= len(done) <= 3
+
+    # second run resumes: nothing left to do
+    done2 = build_partials_checkpointed(
+        li, ["l_returnflag"], "l_quantity", spec, ckpt, n_shards=8
+    )
+    assert done2 == []
+
+    # merged result equals direct
+    out = merge_from_checkpoint(spark, ckpt, spec, ["l_returnflag"])
+    n = {
+        r[0]: r[1]
+        for r in out.select(
+            "l_returnflag", Fn.tdigest_count("tdigest")
+        ).collect()
+    }
+    exact = {
+        r[0]: float(r[1])
+        for r in li.groupBy("l_returnflag").count().collect()
+    }
+    assert n == exact
+
+
+def test_lineage_records_metrics(spark, sf_dir, ckpt):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    spec = TDigestSpec(max_size=1000)
+    build_partials_checkpointed(
+        li, ["l_returnflag"], "l_quantity", spec, ckpt, n_shards=4
+    )
+    lin = checkpoint_lineage(spark, ckpt).collect()
+    assert {r["shard_id"] for r in lin} <= set(range(4))
+    assert all(r["rows_ingested"] > 0 for r in lin)
+    assert all(r["wall_ms"] >= 0 for r in lin)
+    assert sum(r["rows_ingested"] for r in lin) == li.count()

@@ -1,0 +1,79 @@
+"""Scaling-efficiency evidence for BENCH.md (BASELINE.json: ≥0.8 from
+N to 4N parallelism; cores stand in for executors in this sandbox).
+
+Runs the SAME sketch-build job at local[8] and local[32] on identical
+input in separate processes (fresh JVM each), reports throughput at
+both plus efficiency = throughput_32 / (4 · throughput_8).
+
+Usage: python tools/scaling_bench.py [n_convs] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+import gr_tdigest_spark.functions as Fn
+from gr_tdigest_spark.operators import tdigest_agg
+from gr_tdigest_spark.operators.companions import hll_agg, hll_estimate
+from gr_tdigest_spark.plans import get_spark
+from gr_tdigest_spark.sources.transcripts import transcripts_df
+
+cores = int(sys.argv[1]); n_convs = int(sys.argv[2]); sf_dir = sys.argv[3]
+spark = get_spark(app=f"scale-{cores}", cores=cores, shuffle_partitions=cores)
+spark.sparkContext.setLogLevel("ERROR")
+t = transcripts_df(spark, n_convs=n_convs, seed=42, slices=cores * 4)
+t = t.withColumn("len", F.length("text").cast("double")).persist()
+n_turns = t.count()   # materialize generation outside the timed window
+# timed: the BASELINE metric job — per-role t-digest of text length +
+# per-role HLL of conv_id, end to end
+t0 = time.perf_counter()
+tdigest_agg(t, ["role"], "len", max_size=1000).select(
+    "role", Fn.tdigest_quantile("tdigest", 0.5),
+    Fn.tdigest_quantile("tdigest", 0.99)).collect()
+hll_agg(t, ["role"], "conv_id", p=14).select(
+    hll_estimate("hll")).collect()
+dt = time.perf_counter() - t0
+print(json.dumps({"cores": cores, "turns": n_turns, "sec": dt,
+                  "turns_per_sec": n_turns / dt}))
+spark.stop()
+"""
+
+
+def run(cores: int, n_convs: int, sf_dir: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER, str(cores), str(n_convs), sf_dir],
+        capture_output=True, text=True, timeout=1800,
+    )
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"worker {cores} failed:\n{out.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
+def main():
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 6000
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    results = {}
+    for cores in (8, 32):
+        results[cores] = run(cores, n_convs, sf_dir)
+        print(json.dumps(results[cores]))
+    eff = results[32]["turns_per_sec"] / (4 * results[8]["turns_per_sec"])
+    print(json.dumps({
+        "n_parallelism": 8,
+        "n4_parallelism": 32,
+        "throughput_n": round(results[8]["turns_per_sec"], 1),
+        "throughput_4n": round(results[32]["turns_per_sec"], 1),
+        "scaling_efficiency": round(eff, 3),
+        "turns": results[8]["turns"],
+    }))
+
+
+if __name__ == "__main__":
+    main()
