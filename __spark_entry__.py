@@ -246,6 +246,108 @@ def q_td_f32(spark, sf_dir):
     )
 
 
+def q_td_add_values(spark, sf_dir):
+    """Incremental add (tdigest.rs:626-639 table-level): digests built
+    on early shipdates + added late rows == digests over everything."""
+    from gr_tdigest_spark.operators import tdigest_agg
+    from gr_tdigest_spark.operators.rollup import add_values
+    import gr_tdigest_spark.functions as Fn
+
+    li = _li(spark, sf_dir)
+    early = li.filter(F.col("l_shipdate") < "1997-01-01")
+    late = li.filter(F.col("l_shipdate") >= "1997-01-01")
+    base = tdigest_agg(early, ["l_returnflag"], "l_quantity", **UNCOMPRESSED)
+    full = add_values(
+        base, late, ["l_returnflag"], "l_quantity", **UNCOMPRESSED
+    )
+    return full.select(
+        "l_returnflag",
+        Fn.tdigest_quantile("tdigest", Q1).alias("q_qty"),
+        Fn.tdigest_count("tdigest").alias("n"),
+    )
+
+
+def q_td_struct_roundtrip(spark, sf_dir):
+    """Blob → struct → blob round-trip preserves queries (the struct form
+    carries kind + config — SURVEY §1.3)."""
+    from gr_tdigest_spark.operators import tdigest_agg
+    import gr_tdigest_spark.functions as Fn
+
+    dg = tdigest_agg(
+        _li(spark, sf_dir), ["l_returnflag"], "l_quantity", **UNCOMPRESSED
+    )
+    rt = dg.select(
+        "l_returnflag",
+        Fn.tdigest_from_struct(
+            Fn.tdigest_to_struct("tdigest")
+        ).alias("tdigest"),
+    )
+    return rt.select(
+        "l_returnflag",
+        Fn.tdigest_quantile("tdigest", Q1).alias("q_qty"),
+    )
+
+
+def q_td_cdf_col(spark, sf_dir):
+    """Per-row probe column: digest table ⋈ probe values (the reference's
+    probe-broadcast pattern, polars_expr.rs:920-983)."""
+    from gr_tdigest_spark.operators import tdigest_agg
+    from gr_tdigest_spark.functions import tdigest_cdf_col
+
+    li = _li(spark, sf_dir)
+    dg = tdigest_agg(li, ["l_returnflag"], "l_quantity", **UNCOMPRESSED)
+    probes = spark.range(5, 50, 10).select(
+        F.col("id").cast("double").alias("x")
+    )
+    joined = dg.crossJoin(F.broadcast(probes))
+    return joined.select(
+        "l_returnflag", "x",
+        tdigest_cdf_col(F.col("tdigest"), F.col("x")).alias("cdf_x"),
+    )
+
+
+def q_sketch_rollup_consistency(spark, sf_dir):
+    """Merge associativity of the companion sketches on Spark: per-group
+    sketches merged == sketch built directly on everything (exact state
+    equality for HLL/CMS/Bloom by construction)."""
+    from gr_tdigest_spark.operators.companions import (
+        bloom_agg, cms_agg, hll_agg,
+    )
+    from gr_tdigest_spark.sketches.bloom import BloomFilter
+    from gr_tdigest_spark.sketches.cms import CMS
+    from gr_tdigest_spark.sketches.hll import HLL
+    import numpy as _np
+
+    ev = _ev(spark, sf_dir)
+
+    def merged_vs_direct(agg_fn, decode, col):
+        per_group = agg_fn(ev, ["event_type"], col)
+        blobs = [bytes(r[1]) for r in per_group.collect()]
+        states = [decode(b) for b in blobs]
+        m = states[0]
+        for s in states[1:]:
+            m = m.merge(s)
+        direct = decode(bytes(agg_fn(ev, None, col).collect()[0][0]))
+        return m, direct
+
+    h_m, h_d = merged_vs_direct(
+        lambda df, k, c: hll_agg(df, k, c, p=12), HLL.from_bytes, "user_id"
+    )
+    c_m, c_d = merged_vs_direct(
+        lambda df, k, c: cms_agg(df, k, c), CMS.from_bytes, "event_type"
+    )
+    b_m, b_d = merged_vs_direct(
+        lambda df, k, c: bloom_agg(df, k, c, m_bits=1 << 16),
+        BloomFilter.from_bytes, "user_id",
+    )
+    rows = [
+        ("hll", bool(_np.array_equal(h_m.registers, h_d.registers))),
+        ("cms", bool(_np.array_equal(c_m.table, c_d.table))),
+        ("bloom", bool(_np.array_equal(b_m.words, b_d.words))),
+    ]
+    return spark.createDataFrame(rows, "sketch string, merged_equals_direct boolean")
+
+
 # --------------------------------------------------------------------- #
 # companion sketches
 # --------------------------------------------------------------------- #
@@ -434,6 +536,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_scale_weights": q_td_scale_weights,
         "td_wire_v2": q_td_wire_v2,
         "td_f32": q_td_f32,
+        "td_add_values": q_td_add_values,
+        "td_struct_roundtrip": q_td_struct_roundtrip,
+        "td_cdf_col": q_td_cdf_col,
+        "sketch_rollup_consistency": q_sketch_rollup_consistency,
         "hll_bound": q_hll_bound,
         "cms_topk": q_cms_topk,
         "bloom_members": q_bloom_members,
@@ -539,6 +645,30 @@ def oracle_sql() -> dict[str, str]:
         "td_f32": (
             f"SELECT l_returnflag, quantile_disc(l_quantity, {Q1}) AS q_qty, "
             "'f32' AS prec FROM lineitem GROUP BY l_returnflag"
+        ),
+        "td_add_values": (
+            f"SELECT l_returnflag, quantile_disc(l_quantity, {Q1}) AS q_qty, "
+            "count(*)::DOUBLE AS n FROM lineitem GROUP BY l_returnflag"
+        ),
+        "td_struct_roundtrip": (
+            f"SELECT l_returnflag, quantile_disc(l_quantity, {Q1}) AS q_qty "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "td_cdf_col": (
+            """
+            WITH probes AS (
+              SELECT x::DOUBLE AS x FROM (SELECT unnest(range(5, 50, 10)) x)
+            )
+            SELECT l_returnflag, x,
+                   (count(*) FILTER (l_quantity < x)
+                    + 0.5 * count(*) FILTER (l_quantity = x)) / count(*)
+                     AS cdf_x
+            FROM lineitem, probes GROUP BY l_returnflag, x
+            """
+        ),
+        "sketch_rollup_consistency": (
+            "SELECT unnest(['hll','cms','bloom']) AS sketch, "
+            "TRUE AS merged_equals_direct"
         ),
         "hll_bound": (
             "SELECT event_type, TRUE AS within_bound "

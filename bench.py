@@ -43,8 +43,10 @@ def main() -> None:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     li_rows = li.count()
     ev_rows = ev.count()
-    # warm the JVM + python workers once
-    li.limit(1000).agg(F.count("*")).collect()
+    # warm the JVM AND the python workers (a pandas-UDF pass spawns and
+    # imports in every worker, so timings below reflect steady state)
+    tdigest_agg(li.limit(5000), None, "l_extendedprice", max_size=100)\
+        .select(Fn.tdigest_count("tdigest")).collect()
 
     timings: dict[str, float] = {}
 

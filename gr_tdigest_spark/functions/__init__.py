@@ -57,7 +57,11 @@ __all__ = [
     "tdigest_scale_values",
     "tdigest_cast_precision",
     "tdigest_to_version",
+    "tdigest_to_struct",
+    "tdigest_from_struct",
+    "infer_column_precision",
     "merge_tdigests",
+    "TDIGEST_STRUCT",
 ]
 
 
@@ -345,6 +349,98 @@ def tdigest_to_version(col, version: int) -> Column:
         return _map_blobs(blobs, lambda td: td_wire.encode(td, v))
 
     return _enc(col)
+
+
+# digest struct schema — unlike the reference's Polars codec
+# (codecs.rs:214-230) this carries the centroid `kind` flag and the
+# full config, fixing the documented kind-loss defect (SURVEY §1.3)
+TDIGEST_STRUCT = (
+    "struct<centroids: array<struct<mean: double, weight: double, "
+    "kind: tinyint>>, sum: double, count: double, min: double, "
+    "max: double, max_size: bigint, scale: string, policy: string, "
+    "pin_per_side: int, precision: string>"
+)
+
+
+def tdigest_to_struct(col) -> Column:
+    """Expand a TDIG blob into an inspectable struct column (keeps kind
+    + config, unlike the reference's Polars struct — codecs.rs:446-456)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string(TDIGEST_STRUCT)
+
+    @F.pandas_udf(schema)
+    def _s(blobs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in blobs:
+            td = _decode(b)
+            rows.append({
+                "centroids": [
+                    {"mean": float(m), "weight": float(w), "kind": int(k)}
+                    for m, w, k in zip(td.means64, td.weights64, td.kinds)
+                ],
+                "sum": td.sum, "count": td.count,
+                "min": td.min, "max": td.max,
+                "max_size": td.max_size, "scale": td.scale,
+                "policy": td.policy, "pin_per_side": td.pin_per_side,
+                "precision": td.precision,
+            })
+        return pd.DataFrame(rows)
+
+    return _s(col)
+
+
+def tdigest_from_struct(col) -> Column:
+    """Rebuild a TDIG blob from the struct form (round-trips exactly)."""
+
+    @F.pandas_udf(BinaryType())
+    def _b(structs: pd.DataFrame) -> pd.Series:
+        # struct-typed input arrives as a DataFrame of its fields
+        out = []
+        for _, s in structs.iterrows():
+            td = TDigest.__new__(TDigest)
+            cents = s["centroids"]
+            cents = [] if cents is None else list(cents)
+            td.means = np.array([c["mean"] for c in cents])
+            td.weights = np.array([c["weight"] for c in cents])
+            td.kinds = np.array([c["kind"] for c in cents], dtype=np.uint8)
+            td.sum = float(s["sum"])
+            td.count = float(s["count"])
+            td.min = float(s["min"])
+            td.max = float(s["max"])
+            td.max_size = int(s["max_size"])
+            td.scale = s["scale"]
+            td.policy = s["policy"]
+            td.pin_per_side = int(s["pin_per_side"])
+            td.delta = None
+            td.precision = s["precision"]
+            td._store()
+            out.append(td_wire.encode(td))
+        return pd.Series(out)
+
+    return _b(col)
+
+
+def infer_column_precision(
+    df, col: str, sample: int = 64, strict: bool = True
+) -> str:
+    """Sample ≤``sample`` non-null blobs and sniff their wire precision
+    (reference __init__.py:207-257): uniform → that precision; mixed →
+    raise (strict) or 'f64'; all-null → 'f64'."""
+    rows = (
+        df.select(col).where(F.col(col).isNotNull()).limit(sample).collect()
+    )
+    kinds = {td_wire.wire_precision(bytes(r[0])) for r in rows if r[0]}
+    if not kinds:
+        return "f64"
+    if len(kinds) > 1:
+        if strict:
+            raise ValueError(
+                f"Mixed TDIG wire precisions in column {col!r}: "
+                f"{sorted(kinds)}"
+            )
+        return "f64"
+    return kinds.pop()
 
 
 def merge_tdigests(col) -> Column:

@@ -406,7 +406,10 @@ def sketch_agg(
     """
     key_cols = list(keys) if keys else []
     out_col = out_col or spec.name
-    proj = key_cols + [value_col] + ([weight_col] if weight_col else [])
+    # dedupe: a key column may double as the value column
+    proj = list(dict.fromkeys(
+        key_cols + [value_col] + ([weight_col] if weight_col else [])
+    ))
     src = df.select(*proj)  # column pruning reaches the scan
 
     out_fields = [src.schema[k] for k in key_cols] + [

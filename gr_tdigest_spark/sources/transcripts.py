@@ -148,10 +148,16 @@ def transcripts_df(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # yield in small conversation chunks: one huge frame would push a
+        # single Arrow string array past the 2 GB limit (→ ChunkedArray,
+        # which Spark's Arrow serializer rejects)
+        chunk = 50
         for pdf in batches:
             for lo, hi in zip(pdf["lo"], pdf["hi"]):
-                yield transcripts_pandas(
-                    n_convs=int(hi - lo), seed=seed, conv_offset=int(lo)
-                )
+                for c0 in range(int(lo), int(hi), chunk):
+                    c1 = min(c0 + chunk, int(hi))
+                    yield transcripts_pandas(
+                        n_convs=c1 - c0, seed=seed, conv_offset=c0
+                    )
 
     return sdf.mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)

@@ -1,0 +1,65 @@
+"""Streaming t-digest: incremental micro-batch ingest must converge to
+the same digest as an incremental batch build, including state recovery
+from the checkpoint across query restarts."""
+
+import os
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from gr_tdigest_spark.sketches.tdigest import TDigest
+from gr_tdigest_spark.sketches import wire as td_wire
+from gr_tdigest_spark.streaming import tdigest_stream_agg
+
+
+def test_streaming_matches_incremental_batch(spark, tmp_path):
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    rng = np.random.default_rng(7)
+    batches = []
+    for b in range(3):
+        ks = rng.integers(0, 3, 500)
+        vs = np.round(rng.uniform(0, 100, 500), 1)
+        batches.append(list(zip([f"g{k}" for k in ks], vs.tolist())))
+
+    schema = "g string, x double"
+    collected = []
+
+    def sink(df, epoch_id):
+        collected.extend(df.collect())
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            tdigest_stream_agg(stream, ["g"], "x", max_size=200)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # run 1: two micro-batch files
+    spark.createDataFrame(batches[0], schema).write.mode("append").parquet(src)
+    spark.createDataFrame(batches[1], schema).write.mode("append").parquet(src)
+    run_once()
+
+    # run 2: restart from checkpoint with one more file — state recovers
+    spark.createDataFrame(batches[2], schema).write.mode("append").parquet(src)
+    run_once()
+
+    latest = {}
+    for r in collected:
+        latest[r["g"]] = r  # later epochs overwrite
+
+    all_rows = [row for b in batches for row in b]
+    for g in ["g0", "g1", "g2"]:
+        vals = np.array([x for (k, x) in all_rows if k == g])
+        got = td_wire.decode(bytes(latest[g]["tdigest"]))
+        assert got.count == vals.size, g
+        assert latest[g]["n"] == float(vals.size)
+        assert abs(got.quantile(0.5) - np.quantile(vals, 0.5)) < 5.0
+        assert got.min == vals.min() and got.max == vals.max()
