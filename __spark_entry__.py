@@ -306,6 +306,27 @@ def q_td_cdf_col(spark, sf_dir):
     )
 
 
+def q_td_cube(spark, sf_dir):
+    """Grouping sets over mergeable digests (SURVEY §2.7): Spark `cube`
+    with merge_tdigests re-aggregates fine digests into every grouping
+    set without rescanning raw data."""
+    from gr_tdigest_spark.operators import tdigest_agg
+    import gr_tdigest_spark.functions as Fn
+
+    fine = tdigest_agg(
+        _li(spark, sf_dir), ["l_returnflag", "l_linestatus"],
+        "l_quantity", **UNCOMPRESSED,
+    )
+    cube = fine.cube("l_returnflag", "l_linestatus").agg(
+        Fn.merge_tdigests("tdigest").alias("tdigest")
+    )
+    return cube.select(
+        "l_returnflag", "l_linestatus",
+        Fn.tdigest_quantile("tdigest", Q1).alias("q_qty"),
+        Fn.tdigest_count("tdigest").alias("n"),
+    )
+
+
 def q_sketch_rollup_consistency(spark, sf_dir):
     """Merge associativity of the companion sketches on Spark: per-group
     sketches merged == sketch built directly on everything (exact state
@@ -539,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_add_values": q_td_add_values,
         "td_struct_roundtrip": q_td_struct_roundtrip,
         "td_cdf_col": q_td_cdf_col,
+        "td_cube": q_td_cube,
         "sketch_rollup_consistency": q_sketch_rollup_consistency,
         "hll_bound": q_hll_bound,
         "cms_topk": q_cms_topk,
@@ -664,6 +686,15 @@ def oracle_sql() -> dict[str, str]:
                     + 0.5 * count(*) FILTER (l_quantity = x)) / count(*)
                      AS cdf_x
             FROM lineitem, probes GROUP BY l_returnflag, x
+            """
+        ),
+        "td_cube": (
+            f"""
+            SELECT l_returnflag, l_linestatus,
+                   quantile_disc(l_quantity, {Q1}) AS q_qty,
+                   count(*)::DOUBLE AS n
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
             """
         ),
         "sketch_rollup_consistency": (

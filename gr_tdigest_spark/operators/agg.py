@@ -412,6 +412,15 @@ def sketch_agg(
     ))
     src = df.select(*proj)  # column pruning reaches the scan
 
+    # Partial-build cost is dominated by a fixed per-(flush, group) term
+    # (pile coalescing + k-limit cap search), so many small partitions
+    # anti-scale. Run the partial stage at ~1 partition per core: fewer,
+    # bigger flushes amortize the fixed term; the 1M-row flush threshold
+    # bounds memory.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() > 2 * target:
+        src = src.coalesce(2 * target)
+
     out_fields = [src.schema[k] for k in key_cols] + [
         StructField(out_col, BinaryType(), True)
     ]

@@ -91,6 +91,30 @@ def q_to_k(q, d: float, family: str, n: float):
     raise ValueError(f"unknown scale family: {family!r}")
 
 
+def _q_to_k_scalar(q: float, d: float, family: str, n: float) -> float:
+    """Scalar q→k on pure ``math`` — the greedy cluster loop evaluates
+    k(q_left) once per cluster and numpy scalar ufuncs cost ~12 µs each,
+    which dominates the stage-4 cap search otherwise."""
+    eps = 1e-15
+    qq = eps if q < eps else (1.0 - eps if q > 1.0 - eps else q)
+    if family == "k2":
+        return (d / (4.0 * _LN2)) * math.log(qq / (1.0 - qq))
+    if family == "quad":
+        r = math.sqrt(qq * 0.5) if qq < 0.5 else 1.0 - math.sqrt((1.0 - qq) * 0.5)
+        return d * r
+    if family == "k1":
+        s = math.asin(max(-1.0, min(1.0, 2.0 * qq - 1.0)))
+        return (d / (2.0 * math.pi)) * s
+    if family == "k2norm":
+        factor = d / (math.log(n / d) * 4.0 + 24.0)
+        return factor * math.log(qq / (1.0 - qq))
+    if family == "k3":
+        a = math.log(1.0 / (1.0 - qq))
+        b = math.log(1.0 / qq)
+        return (d / 4.0) * math.log(max(a / b, eps))
+    raise ValueError(f"unknown scale family: {family!r}")
+
+
 def _coerce_pile_weights(weights: np.ndarray) -> np.ndarray:
     """``new_singleton_f64`` coerces weight<=1 to exactly 1 (centroids.rs:102-108)."""
     return np.where(weights <= 1.0, 1.0, weights)
@@ -153,11 +177,12 @@ def _klimit_boundaries(
     starts = []
     s = 0
     c_acc = 0.0
+    ss = np.searchsorted
     while s < m:
         starts.append(s)
-        k_left = float(q_to_k(c_acc / total, d, family, n))
+        k_left = _q_to_k_scalar(c_acc / total, d, family, n)
         # last index whose inclusive-prefix k fits under the limit
-        e = int(np.searchsorted(k_right, k_left + (1.0 + tol), side="right")) - 1
+        e = int(ss(k_right, k_left + (1.0 + tol), side="right")) - 1
         if e < s:
             e = s
         c_acc = float(cum[e])
@@ -337,6 +362,20 @@ class TDigest:
             raise ValueError(f"unknown singleton policy: {self.policy!r}")
         if self.precision not in ("f32", "f64"):
             raise ValueError(f"unknown precision: {self.precision!r}")
+        if self.delta is not None:
+            # delta-mode contract (reference py.rs:30-68): requires the
+            # canonical Dunning K2 (k2norm) and no singleton handling
+            if not (math.isfinite(self.delta) and self.delta > 0.0):
+                raise ValueError("delta must be finite and > 0")
+            if self.scale != "k2norm":
+                raise ValueError(
+                    "delta mode only supports scale='k2norm' (canonical "
+                    "Dunning K2); omit scale or pass scale='k2norm'."
+                )
+            if self.policy != "off":
+                raise ValueError(
+                    "delta mode requires singleton_policy='off'"
+                )
         self._store()
 
     def _dtype(self):

@@ -63,12 +63,25 @@ def _mixture_lengths(rng: np.random.Generator, n: int) -> np.ndarray:
     )
 
 
-def _make_text(lengths: np.ndarray, rng: np.random.Generator) -> list:
+_SOUP_CACHE: dict = {}
+
+
+def _soup(seed: int) -> str:
+    """One deterministic word soup per seed, cached per process — the
+    per-turn text is a (offset, length) slice of it."""
+    s = _SOUP_CACHE.get(seed)
+    if s is None:
+        rng = np.random.default_rng([seed, 2])
+        s = " ".join(_WORDS[rng.integers(0, len(_WORDS), 8192)])
+        while len(s) < 21001:
+            s += " " + s
+        _SOUP_CACHE[seed] = s
+    return s
+
+
+def _make_text(lengths: np.ndarray, rng: np.random.Generator, seed: int) -> list:
     """Deterministic pseudo-text of exactly the requested lengths."""
-    # one long word soup reused via slicing (cheap + deterministic)
-    soup = " ".join(_WORDS[rng.integers(0, len(_WORDS), 4096)])
-    while len(soup) < 20001:
-        soup += " " + soup
+    soup = _soup(seed)
     offsets = rng.integers(0, 1000, size=lengths.size)
     return [
         soup[int(o):int(o) + int(ln)] for o, ln in zip(offsets, lengths)
@@ -95,7 +108,7 @@ def transcripts_pandas(
         n_turns = int(n_turns)
         roles = ROLES[rng.choice(4, size=n_turns, p=ROLE_W)]
         lengths = _mixture_lengths(rng, n_turns)
-        texts = _make_text(lengths, rng)
+        texts = _make_text(lengths, rng, seed)
         # zipf over tools; null for non-tool roles
         tool_ids = np.minimum(rng.zipf(1.5, size=n_turns) - 1, N_TOOLS - 1)
         tools = np.where(roles == "tool", TOOLS[tool_ids], None)

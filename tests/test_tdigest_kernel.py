@@ -438,3 +438,37 @@ class TestTrimmedMean:
         got = td.trimmed_mean(0.1, 0.9)
         exact = np.arange(10, 90).mean()  # central 80%
         assert got == pytest.approx(exact, abs=1.0)
+
+
+class TestDeltaMode:
+    """Legacy tdigest-rs delta mode (reference py.rs:30-68; pin from
+    test_api_python.py:101-108)."""
+
+    def test_delta_pin_four_centroids(self):
+        td = TDigest.from_weighted(
+            [0.0, 1.0, 2.0, 3.0, 4.0], [100.0, 1.0, 1.0, 1.0, 1.0],
+            max_size=1000, scale="k2norm", policy="off", delta=20.0,
+        )
+        assert len(td) == 4
+        assert td.count == 104.0
+
+    def test_delta_requires_k2norm(self):
+        with pytest.raises(ValueError, match="k2norm"):
+            TDigest.empty(delta=20.0, scale="k2")
+
+    def test_delta_requires_policy_off(self):
+        with pytest.raises(ValueError, match="off"):
+            TDigest.empty(delta=20.0, scale="k2norm", policy="use")
+
+    def test_delta_must_be_positive(self):
+        with pytest.raises(ValueError, match="finite"):
+            TDigest.empty(delta=-1.0, scale="k2norm", policy="off")
+
+    def test_delta_mode_merges_under_capacity(self):
+        """compressor.rs:774-795: legacy mode still merges when
+        len <= max_size (no fast-path passthrough)."""
+        td = TDigest.from_weighted(
+            [0.0, 1.0, 2.0, 3.0, 4.0], [100.0, 1.0, 1.0, 1.0, 1.0],
+            max_size=100, scale="k2norm", policy="off", delta=20.0,
+        )
+        assert len(td) == 4

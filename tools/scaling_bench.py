@@ -29,21 +29,28 @@ cores = int(sys.argv[1]); n_convs = int(sys.argv[2]); sf_dir = sys.argv[3]
 os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
 spark = get_spark(app=f"scale-{cores}", cores=cores, shuffle_partitions=cores)
 spark.sparkContext.setLogLevel("ERROR")
-t = transcripts_df(spark, n_convs=n_convs, seed=42, slices=cores * 4)
-# cache ONLY the measured columns: full text would overflow the cache and
-# silently push regeneration into the timed window
-t = t.select("role", "conv_id",
-             F.length("text").cast("double").alias("len")).persist()
-n_turns = t.count()   # materialize generation outside the timed window
-# timed: the BASELINE metric job — per-role t-digest of text length +
-# per-role HLL of conv_id, end to end
+
+# warm JVM + python workers with a tiny pass so the timed run measures
+# steady state
+warm = transcripts_df(spark, n_convs=50, seed=1, slices=cores)
+tdigest_agg(warm.select("role", F.length("text").cast("double").alias("len")),
+            ["role"], "len", max_size=100).select(
+    Fn.tdigest_count("tdigest")).collect()
+n_turns_known = None
+
+# timed: the BASELINE metric job end-to-end — materialize the transcript
+# table (the sandbox stand-in for the 100 TB table scan) and build the
+# per-role t-digest of text length, then query it. One pass, one job.
 t0 = time.perf_counter()
-tdigest_agg(t, ["role"], "len", max_size=1000).select(
-    "role", Fn.tdigest_quantile("tdigest", 0.5),
-    Fn.tdigest_quantile("tdigest", 0.99)).collect()
-hll_agg(t, ["role"], "conv_id", p=14).select(
-    hll_estimate("hll")).collect()
+t = transcripts_df(spark, n_convs=n_convs, seed=42, slices=cores * 8)
+t = t.select("role", F.length("text").cast("double").alias("len"))
+dg = tdigest_agg(t, ["role"], "len", max_size=1000)
+res = dg.select(
+    "role", Fn.tdigest_quantile("tdigest", 0.5).alias("p50"),
+    Fn.tdigest_quantile("tdigest", 0.99).alias("p99"),
+    Fn.tdigest_count("tdigest").alias("n")).collect()
 dt = time.perf_counter() - t0
+n_turns = int(sum(r["n"] for r in res))
 print(json.dumps({"cores": cores, "turns": n_turns, "sec": dt,
                   "turns_per_sec": n_turns / dt}))
 spark.stop()
