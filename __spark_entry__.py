@@ -306,6 +306,40 @@ def q_td_cdf_col(spark, sf_dir):
     )
 
 
+def q_td_over_group(spark, sf_dir):
+    """Per-row group quantile (the Polars `.over(g)` pattern, SURVEY
+    §2.8): digest table broadcast-joined back onto rows."""
+    from gr_tdigest_spark.operators.window import with_group_quantile
+
+    li = _li(spark, sf_dir)
+    out = with_group_quantile(
+        li, ["l_returnflag", "l_linestatus"], "l_extendedprice", Q1,
+        out_col="q_group", **UNCOMPRESSED,
+    )
+    return out.select("l_orderkey", "l_linenumber", "q_group")
+
+
+def q_td_sql(spark, sf_dir):
+    """SQL-string surface: registered UDFs over a digest temp view."""
+    from gr_tdigest_spark.operators import tdigest_agg
+    import gr_tdigest_spark.functions as Fn
+
+    Fn.register_sql(spark)
+    dg = tdigest_agg(
+        _li(spark, sf_dir), ["l_returnflag"], "l_quantity", **UNCOMPRESSED
+    )
+    dg.createOrReplaceTempView("qdigests")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag,
+               tdigest_quantile(tdigest, {Q1}) AS q_qty,
+               tdigest_cdf(tdigest, 25.0) AS cdf_25,
+               tdigest_count(tdigest) AS n
+        FROM qdigests
+        """
+    )
+
+
 def q_td_cube(spark, sf_dir):
     """Grouping sets over mergeable digests (SURVEY §2.7): Spark `cube`
     with merge_tdigests re-aggregates fine digests into every grouping
@@ -561,6 +595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_struct_roundtrip": q_td_struct_roundtrip,
         "td_cdf_col": q_td_cdf_col,
         "td_cube": q_td_cube,
+        "td_over_group": q_td_over_group,
+        "td_sql": q_td_sql,
         "sketch_rollup_consistency": q_sketch_rollup_consistency,
         "hll_bound": q_hll_bound,
         "cms_topk": q_cms_topk,
@@ -686,6 +722,25 @@ def oracle_sql() -> dict[str, str]:
                     + 0.5 * count(*) FILTER (l_quantity = x)) / count(*)
                      AS cdf_x
             FROM lineitem, probes GROUP BY l_returnflag, x
+            """
+        ),
+        "td_over_group": (
+            f"""
+            SELECT l_orderkey, l_linenumber,
+                   quantile_disc(l_extendedprice, {Q1})
+                     OVER (PARTITION BY l_returnflag, l_linestatus)
+                     AS q_group
+            FROM lineitem
+            """
+        ),
+        "td_sql": (
+            f"""
+            SELECT l_returnflag, quantile_disc(l_quantity, {Q1}) AS q_qty,
+                   (count(*) FILTER (l_quantity < 25.0)
+                    + 0.5 * count(*) FILTER (l_quantity = 25.0)) / count(*)
+                     AS cdf_25,
+                   count(*)::DOUBLE AS n
+            FROM lineitem GROUP BY l_returnflag
             """
         ),
         "td_cube": (

@@ -43,6 +43,8 @@ __all__ = [
     "tdigest_quantiles",
     "tdigest_cdf",
     "tdigest_cdfs",
+    "tdigest_cdf_col",
+    "register_sql",
     "tdigest_median",
     "tdigest_trimmed_mean",
     "tdigest_count",
@@ -349,6 +351,47 @@ def tdigest_to_version(col, version: int) -> Column:
         return _map_blobs(blobs, lambda td: td_wire.encode(td, v))
 
     return _enc(col)
+
+
+def register_sql(spark) -> None:
+    """Register the t-digest query functions for ``spark.sql`` use —
+    the SQL-string surface analogue of the reference's CLI/JNI layers:
+
+        SELECT g, tdigest_quantile(td, 0.5) FROM digests
+
+    (Probe arguments are per-row columns/literals here; the Python API
+    keeps the plan-time-validated variants.)
+    """
+    @F.pandas_udf(DoubleType())
+    def _q(blobs: pd.Series, qs: pd.Series) -> pd.Series:
+        out = []
+        for b, q in zip(blobs, qs):
+            td = _decode(b)
+            q = validation.validate_quantile_probe(float(q))
+            out.append(None if td.is_effectively_empty else float(td.quantile(q)))
+        return pd.Series(out, dtype="float64")
+
+    @F.pandas_udf(DoubleType())
+    def _c(blobs: pd.Series, xs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [float(_decode(b).cdf([float(x)])[0]) for b, x in zip(blobs, xs)],
+            dtype="float64",
+        )
+
+    @F.pandas_udf(DoubleType())
+    def _m(blobs: pd.Series) -> pd.Series:
+        def one(td):
+            return None if td.is_effectively_empty else float(td.median())
+
+        return _map_blobs(blobs, one, dtype="float64")
+
+    spark.udf.register("tdigest_quantile", _q)
+    spark.udf.register("tdigest_cdf", _c)
+    spark.udf.register("tdigest_median", _m)
+    spark.udf.register("tdigest_count", _stat_udf(20))
+    spark.udf.register("tdigest_min", _stat_udf(28))
+    spark.udf.register("tdigest_max", _stat_udf(36))
+    spark.udf.register("tdigest_sum", _stat_udf(52))
 
 
 # digest struct schema — unlike the reference's Polars codec

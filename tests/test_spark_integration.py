@@ -312,3 +312,82 @@ class TestMultimodalPlumbing:
             per_id.setdefault(r["media_id"], []).append(r["frame_idx"])
         assert sorted(per_id[1]) == [0, 1, 2]
         assert sorted(per_id[2]) == [0]
+
+
+class TestWindowPattern:
+    def test_with_group_quantile_matches_window_sql(self, spark, sf_dir):
+        from gr_tdigest_spark.operators.window import with_group_quantile
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        out = with_group_quantile(
+            li, ["l_returnflag"], "l_extendedprice", 0.314159,
+            out_col="qg", max_size=20000, policy="off",
+        )
+        got = [
+            (r["l_returnflag"], r["qg"])
+            for r in out.select("l_returnflag", "qg").collect()
+        ]
+        li.createOrReplaceTempView("li_w")
+        # exact oracle via sort + pick within Spark
+        exact = {
+            r["l_returnflag"]: r["v"]
+            for r in spark.sql(
+                """
+                SELECT l_returnflag, min(x) AS v FROM (
+                  SELECT l_returnflag, l_extendedprice AS x,
+                         row_number() OVER (PARTITION BY l_returnflag
+                                            ORDER BY l_extendedprice) rn,
+                         count(*) OVER (PARTITION BY l_returnflag) n
+                  FROM li_w
+                ) WHERE rn = cast(floor(0.314159 * n) AS int) + 1
+                GROUP BY l_returnflag
+                """
+            ).collect()
+        }
+        assert len(got) == li.count()
+        for flag, v in got:
+            assert v == exact[flag], flag
+
+    def test_with_group_cdf_self_probe(self, spark, sf_dir):
+        from gr_tdigest_spark.operators.window import with_group_cdf
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(500)
+        out = with_group_cdf(
+            li, ["l_returnflag"], "l_extendedprice",
+            max_size=20000, policy="off",
+        )
+        vals = out.select("cdf").collect()
+        assert all(0.0 <= r["cdf"] <= 1.0 for r in vals)
+
+
+class TestSkewSalting:
+    def test_salted_equals_unsalted_under_skew(self, spark):
+        """north_rule: skew handled explicitly — a 95%-hot key produces
+        identical results through the salted two-hop merge."""
+        import gr_tdigest_spark.functions as Fn
+        from pyspark.sql import functions as F
+
+        n = 40000
+        df = (
+            spark.range(n)
+            .withColumn(
+                "g",
+                F.when(F.col("id") % 20 < 19, F.lit("hot")).otherwise(
+                    F.lit("cold")
+                ),
+            )
+            .withColumn("x", (F.col("id") % 997).cast("double"))
+        )
+        plain = tdigest_agg(df, ["g"], "x", max_size=20000, policy="off")
+        salted = tdigest_agg(
+            df, ["g"], "x", max_size=20000, policy="off", salt_buckets=16
+        )
+        q = 0.314159
+        a = {r[0]: (r[1], r[2]) for r in plain.select(
+            "g", Fn.tdigest_quantile("tdigest", q),
+            Fn.tdigest_count("tdigest")).collect()}
+        b = {r[0]: (r[1], r[2]) for r in salted.select(
+            "g", Fn.tdigest_quantile("tdigest", q),
+            Fn.tdigest_count("tdigest")).collect()}
+        assert a == b
+        assert a["hot"][1] == 38000.0
