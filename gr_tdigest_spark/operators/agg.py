@@ -130,6 +130,7 @@ class TDigestSpec(SketchSpec):
     vectorized multi-group builder."""
 
     name = "tdigest"
+    supports_arrow = True  # opt into the mapInArrow partial path
 
     def __init__(
         self,
@@ -217,9 +218,8 @@ class TDigestSpec(SketchSpec):
         return td
 
     def build_groups(self, pdf, key_cols, value_col, weight_col):
-        """Vectorized multi-group build: one lexsort over (key, value),
-        one reduceat pass for pile coalescing, direct digest construction
-        for no-merge groups, kernel compress for the rest."""
+        """Vectorized multi-group build from a pandas frame (see
+        ``build_from_codes`` for the core)."""
         vals = np.asarray(pdf[value_col].to_numpy(), dtype=np.float64)
         ws = (
             np.asarray(pdf[weight_col].to_numpy(), dtype=np.float64)
@@ -229,13 +229,6 @@ class TDigestSpec(SketchSpec):
             # row-filtering changes key alignment; use the generic
             # per-group path for this rare mode
             return super().build_groups(pdf, key_cols, value_col, weight_col)
-        vals, ws = self.clean_values(vals, ws)
-        out: Dict[tuple, TDigest] = {}
-        if vals.size == 0:
-            return out
-        if self.precision == "f32":
-            vals = np.asarray(vals.astype(np.float32), dtype=np.float64)
-
         if key_cols:
             keys_frame = pdf[key_cols]
             if len(key_cols) == 1:
@@ -251,6 +244,34 @@ class TDigestSpec(SketchSpec):
         else:
             codes = np.zeros(vals.size, dtype=np.int64)
             key_tuples = [()]
+        return self.build_from_codes(codes, key_tuples, vals, ws)
+
+    def build_from_codes(
+        self,
+        codes: np.ndarray,
+        key_tuples: list,
+        vals: np.ndarray,
+        ws: Optional[np.ndarray],
+    ) -> Dict[tuple, TDigest]:
+        """Core vectorized multi-group build: one lexsort over
+        (key code, value), one reduceat pass for pile coalescing, direct
+        digest construction for no-merge groups, kernel compress for the
+        rest."""
+        if self.on_invalid == "drop":
+            keep = np.isfinite(np.asarray(vals, dtype=np.float64))
+            if ws is not None:
+                w64 = np.asarray(ws, dtype=np.float64)
+                keep &= np.isfinite(w64) & (w64 > 0.0)
+            vals = np.asarray(vals, dtype=np.float64)[keep]
+            codes = codes[keep]
+            ws = None if ws is None else np.asarray(ws, dtype=np.float64)[keep]
+        else:
+            vals, ws = self.clean_values(vals, ws)
+        out: Dict[tuple, TDigest] = {}
+        if vals.size == 0:
+            return out
+        if self.precision == "f32":
+            vals = np.asarray(vals.astype(np.float32), dtype=np.float64)
 
         order = np.lexsort((vals, codes))
         sc = codes[order]
@@ -304,6 +325,138 @@ class TDigestSpec(SketchSpec):
                 td._compress(run_means[r0:r1], run_weights[r0:r1])
             out[key] = td
         return out
+
+
+# --------------------------------------------------------------------- #
+# Arrow-native partial builder (t-digest fast path)
+# --------------------------------------------------------------------- #
+
+def _encode_batch_keys(batch, key_cols: List[str]):
+    """Dictionary-encode the key columns of an Arrow batch WITHOUT
+    materializing Python objects per row: returns (local_codes int64,
+    local_key_tuples). Nulls get their own dictionary slot."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    per_col_idx = []
+    per_col_vocab = []
+    for name in key_cols:
+        col = batch.column(batch.schema.get_field_index(name))
+        enc = col if isinstance(col.type, pa.DictionaryType) else (
+            col.dictionary_encode()
+        )
+        vocab = enc.dictionary.to_pylist()
+        idx = enc.indices
+        if idx.null_count:
+            idx = pc.fill_null(idx, len(vocab))
+            vocab = vocab + [None]
+        per_col_idx.append(idx.to_numpy(zero_copy_only=False).astype(np.int64))
+        per_col_vocab.append(vocab)
+    # mixed-radix combine of per-column local codes
+    combined = per_col_idx[0]
+    radix = [len(v) for v in per_col_vocab]
+    for i in range(1, len(per_col_idx)):
+        combined = combined * radix[i] + per_col_idx[i]
+    uniq, inv = np.unique(combined, return_inverse=True)
+    key_tuples = []
+    for u in uniq:
+        parts = []
+        for i in range(len(key_cols) - 1, -1, -1):
+            u, r = divmod(int(u), radix[i]) if i > 0 else (0, int(u))
+            parts.append(per_col_vocab[i][r])
+        key_tuples.append(tuple(reversed(parts)))
+    return inv.astype(np.int64), key_tuples
+
+
+def _partial_builder_arrow(
+    spec: "TDigestSpec",
+    key_cols: List[str],
+    value_col: str,
+    weight_col: Optional[str],
+    out_col: str,
+    out_schema: StructType,
+    flush_rows: int = _FLUSH_ROWS,
+):
+    """mapInArrow partial builder: key columns stay dictionary-encoded
+    end to end (no per-row Python strings), values go straight from
+    Arrow buffers to numpy."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(out_schema)
+
+    def build(batches):
+        gid_of: Dict[tuple, int] = {}
+        keys_by_gid: List[tuple] = []
+        states: Dict[tuple, TDigest] = {}
+        buf_codes: List[np.ndarray] = []
+        buf_vals: List[np.ndarray] = []
+        buf_ws: List[np.ndarray] = []
+        buffered = 0
+
+        def flush():
+            nonlocal buffered
+            if not buf_codes:
+                return
+            codes = np.concatenate(buf_codes)
+            vals = np.concatenate(buf_vals)
+            ws = np.concatenate(buf_ws) if buf_ws else None
+            built = spec.build_from_codes(codes, keys_by_gid, vals, ws)
+            for key, st in built.items():
+                prev = states.get(key)
+                states[key] = st if prev is None else spec.merge_states(
+                    prev, st
+                )
+            buf_codes.clear()
+            buf_vals.clear()
+            buf_ws.clear()
+            buffered = 0
+
+        for batch in batches:
+            vals = batch.column(
+                batch.schema.get_field_index(value_col)
+            ).to_numpy(zero_copy_only=False)
+            if key_cols:
+                local_codes, local_keys = _encode_batch_keys(batch, key_cols)
+                lookup = np.empty(len(local_keys), dtype=np.int64)
+                for li, key in enumerate(local_keys):
+                    gid = gid_of.get(key)
+                    if gid is None:
+                        gid = gid_of[key] = len(keys_by_gid)
+                        keys_by_gid.append(key)
+                    lookup[li] = gid
+                buf_codes.append(lookup[local_codes])
+            else:
+                if not keys_by_gid:
+                    gid_of[()] = 0
+                    keys_by_gid.append(())
+                buf_codes.append(np.zeros(len(vals), dtype=np.int64))
+            buf_vals.append(np.asarray(vals, dtype=np.float64))
+            if weight_col:
+                buf_ws.append(
+                    np.asarray(
+                        batch.column(
+                            batch.schema.get_field_index(weight_col)
+                        ).to_numpy(zero_copy_only=False),
+                        dtype=np.float64,
+                    )
+                )
+            buffered += len(vals)
+            if buffered >= flush_rows:
+                flush()
+        flush()
+        if not states:
+            return
+        rows = [
+            dict(zip(key_cols, key)) | {out_col: spec.state_to_blob(st)}
+            for key, st in states.items()
+        ]
+        pdf = pd.DataFrame(rows, columns=key_cols + [out_col])
+        yield pa.RecordBatch.from_pandas(
+            pdf, schema=arrow_schema, preserve_index=False
+        )
+
+    return build
 
 
 # --------------------------------------------------------------------- #
@@ -426,10 +579,20 @@ def sketch_agg(
     ]
     out_schema = StructType(out_fields)
 
-    partials = src.mapInPandas(
-        _partial_builder(spec, key_cols, value_col, weight_col, out_col),
-        schema=out_schema,
-    )
+    if getattr(spec, "supports_arrow", False) and getattr(
+        spec, "on_invalid", "error"
+    ) != "drop":
+        partials = src.mapInArrow(
+            _partial_builder_arrow(
+                spec, key_cols, value_col, weight_col, out_col, out_schema
+            ),
+            schema=out_schema,
+        )
+    else:
+        partials = src.mapInPandas(
+            _partial_builder(spec, key_cols, value_col, weight_col, out_col),
+            schema=out_schema,
+        )
 
     if not key_cols:
         merged = partials.repartition(1).mapInPandas(
