@@ -90,6 +90,21 @@ def main() -> None:
         .select(kll_quantile("kll", 0.5)).collect(),
     )
 
+    from gr_tdigest_spark.operators.dedup import dedup_exact
+    from gr_tdigest_spark.operators.similarity import cosine_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench(
+        "q8_dedup_exact",
+        lambda: dedup_exact(docs, "doc_id", "text").agg(F.count("*")).collect(),
+    )
+    qvec = emb.first()["embedding"]
+    bench(
+        "q9_embed_topk",
+        lambda: cosine_topk(emb, qvec, k=10).collect(),
+    )
+
     # transcript sketch-build throughput (turns/sec), the BASELINE metric
     from gr_tdigest_spark.sources.transcripts import transcripts_df
 

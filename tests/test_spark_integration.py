@@ -391,3 +391,62 @@ class TestSkewSalting:
             Fn.tdigest_count("tdigest")).collect()}
         assert a == b
         assert a["hot"][1] == 38000.0
+
+
+class TestSimilaritySearch:
+    def test_lsh_bucket_topk_finds_near_neighbors(self, spark, sf_dir):
+        from gr_tdigest_spark.operators.similarity import (
+            cosine_topk, lsh_bucket_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.first()["embedding"]
+        exact = [r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()]
+        approx = [
+            r["vec_id"]
+            for r in lsh_bucket_topk(
+                emb, q, k=5, n_planes=6, multiprobe=2
+            ).collect()
+        ]
+        # the query vector itself must be found; recall >= 2/5 on this
+        # tiny corpus with 6 planes + 2-bit multiprobe
+        assert exact[0] == approx[0]
+        assert len(set(exact) & set(approx)) >= 2
+
+    def test_embedding_near_dup_pairs_self_similarity(self, spark, sf_dir):
+        from gr_tdigest_spark.operators.similarity import (
+            embedding_near_dup_pairs,
+        )
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+        # duplicate every vector under a shifted id → every original/dup
+        # pair has cosine 1.0 and must be found
+        dup = emb.select(
+            (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+        )
+        both = emb.select("vec_id", "embedding").unionByName(dup)
+        pairs = embedding_near_dup_pairs(
+            both, threshold=0.999, n_planes=8
+        ).collect()
+        found = {(r["a"], r["b"]) for r in pairs}
+        expected = {(r["vec_id"], r["vec_id"] + 1000) for r in emb.collect()}
+        assert expected <= found
+
+
+class TestQualityScore:
+    def test_quality_score_orders_docs_sensibly(self, spark):
+        from gr_tdigest_spark.operators.text import with_quality_score
+
+        rows = [
+            (1, "The quick brown fox jumps over the lazy dog and it was "
+                "a fine day for that kind of thing."),
+            (2, "!!! ??? ,,, ;;; ### 12345 67890 !!!! ,,,,, 99999"),
+        ]
+        pdf = spark.createDataFrame(rows, "id long, text string")
+        got = {
+            r["id"]: r["quality_score"]
+            for r in with_quality_score(pdf).collect()
+        }
+        assert got[1] > got[2]
+        assert 0.0 <= got[2] <= got[1] <= 1.0
