@@ -507,7 +507,10 @@ def q_embed_topk(spark, sf_dir):
 
 
 def q_minhash_near_dups(spark, sf_dir):
-    """MinHash LSH near-dup pairs (no SQL oracle — rows-only check)."""
+    """MinHash LSH near-dup pairs. Oracle: exact character-5-gram
+    Jaccard over all pairs — at this scale the 64-hash/16-band LSH
+    recalls every pair above threshold, so the candidate-pruned result
+    equals the exhaustive one (verified; banding is deterministic)."""
     from gr_tdigest_spark.operators.dedup import near_dup_pairs_minhash
 
     d = _docs(spark, sf_dir)
@@ -525,7 +528,8 @@ def q_simhash_near_dups(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    """Stopword language-ID heuristic counts (rows-only check)."""
+    """Stopword language-ID heuristic counts; oracle replicates the
+    (score, lang)-max tie-break with zero-padded sort keys."""
     from gr_tdigest_spark.operators.text import with_language_id
 
     d = with_language_id(_docs(spark, sf_dir), "text")
@@ -789,6 +793,58 @@ def oracle_sql() -> dict[str, str]:
                        '[^.,;:!?''"()\\[\\]-]', '', 'g'))::DOUBLE /
                        greatest(len(text), 1)), 6) AS avg_punct
             FROM documents GROUP BY lang
+            """
+        ),
+        "lang_id": (
+            """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+              FROM documents
+            ), scored AS (
+              SELECT doc_id,
+                len(list_intersect(tk, ['the','and','of','to','is','in',
+                                        'that','it','was','for'])) AS s_en,
+                len(list_intersect(tk, ['der','die','das','und','ist',
+                                        'nicht','ein','mit','von'])) AS s_de,
+                len(list_intersect(tk, ['le','la','les','et','est','dans',
+                                        'que','pour','une'])) AS s_fr,
+                len(list_intersect(tk, ['el','la','los','que','es','en',
+                                        'por','una','con'])) AS s_es
+              FROM toks
+            ), best AS (
+              SELECT doc_id, greatest(s_en, s_de, s_fr, s_es) AS mx,
+                greatest(lpad(s_en::text,2,'0')||'en',
+                         lpad(s_de::text,2,'0')||'de',
+                         lpad(s_fr::text,2,'0')||'fr',
+                         lpad(s_es::text,2,'0')||'es') AS key
+              FROM scored
+            )
+            SELECT CASE WHEN mx = 0 THEN 'und' ELSE key[3:] END AS lang_id,
+                   count(*) AS n
+            FROM best GROUP BY 1
+            """
+        ),
+        "minhash_near_dups": (
+            """
+            WITH s AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, t[i:i+4] AS g
+              FROM s, unnest(range(1, greatest(len(t)-4, 1) + 1)) AS u(i)
+            ), cnt AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b, round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+            FROM inter JOIN cnt ca ON ca.doc_id = a
+                       JOIN cnt cb ON cb.doc_id = b
+            WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
             """
         ),
         "embed_topk": (
