@@ -114,7 +114,9 @@ def main() -> None:
     # transcript sketch-build throughput (turns/sec), the BASELINE metric
     from gr_tdigest_spark.sources.transcripts import transcripts_df
 
-    n_convs = int(os.environ.get("SPARK_GRAFT_CONVS", "2000"))
+    # 8000 conversations ≈ 2.6M turns — big enough that per-job fixed
+    # costs don't dominate the turns/sec headline
+    n_convs = int(os.environ.get("SPARK_GRAFT_CONVS", "8000"))
     t = transcripts_df(spark, n_convs=n_convs, seed=42)
     t = t.withColumn("len", F.length("text")).persist()
     n_turns = t.count()  # materialize generation outside the timed window
