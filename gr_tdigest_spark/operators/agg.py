@@ -463,10 +463,6 @@ def _partial_builder_arrow(
 # generic two-phase plan
 # --------------------------------------------------------------------- #
 
-def _key_of_row(row, key_cols):
-    return tuple(row)
-
-
 def _partial_builder(
     spec: SketchSpec,
     key_cols: List[str],
