@@ -50,6 +50,18 @@ __all__ = ["tdigest_agg", "sketch_agg", "SketchSpec", "TDigestSpec"]
 # Rows buffered per partition before a vectorized flush.
 _FLUSH_ROWS = 1 << 20
 
+
+def _keyed_blob_frame(
+    keys, blobs, key_cols: List[str], out_col: str
+) -> pd.DataFrame:
+    """Columnar frame construction — per-row dicts cost ~10µs/row at
+    100k+ keys."""
+    data = {}
+    for ci, name in enumerate(key_cols):
+        data[name] = [k[ci] for k in keys]
+    data[out_col] = list(blobs)
+    return pd.DataFrame(data, columns=key_cols + [out_col])
+
 # A group whose total weight N satisfies N < factor·max_size provably
 # produces ZERO k-limit merges (stage 3), because the minimum adjacent
 # Δk = min_q k'(q)·(w/N) exceeds 1: k2/k3 have min k'(q) = d/ln2·… →
@@ -447,11 +459,11 @@ def _partial_builder_arrow(
         flush()
         if not states:
             return
-        rows = [
-            dict(zip(key_cols, key)) | {out_col: spec.state_to_blob(st)}
-            for key, st in states.items()
-        ]
-        pdf = pd.DataFrame(rows, columns=key_cols + [out_col])
+        pdf = _keyed_blob_frame(
+            list(states.keys()),
+            [spec.state_to_blob(st) for st in states.values()],
+            key_cols, out_col,
+        )
         yield pa.RecordBatch.from_pandas(
             pdf, schema=arrow_schema, preserve_index=False
         )
@@ -500,11 +512,11 @@ def _partial_builder(
         flush()
         if not states:
             return
-        rows = [
-            dict(zip(key_cols, key)) | {out_col: spec.state_to_blob(st)}
-            for key, st in states.items()
-        ]
-        yield pd.DataFrame(rows, columns=key_cols + [out_col])
+        yield _keyed_blob_frame(
+            list(states.keys()),
+            [spec.state_to_blob(st) for st in states.values()],
+            key_cols, out_col,
+        )
 
     return build
 
@@ -516,24 +528,31 @@ def _partition_merger(
     Requires partials hash-partitioned by the keys."""
 
     def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        states: Dict[tuple, object] = {}
+        # collect blobs per key first: a key with a single partial passes
+        # through untouched (merge of one digest is the identity here —
+        # no decode/re-encode), which is the common case when input data
+        # is clustered by the key
+        blobs_by_key: Dict[tuple, list] = {}
         for pdf in batches:
             keys_np = [pdf[k].to_numpy() for k in key_cols]
             blobs = pdf[out_col]
             for i in range(len(pdf)):
                 key = tuple(k[i] for k in keys_np)
-                st = spec.blob_to_state(bytes(blobs.iloc[i]))
-                prev = states.get(key)
-                states[key] = st if prev is None else spec.merge_states(
-                    prev, st
+                blobs_by_key.setdefault(key, []).append(
+                    bytes(blobs.iloc[i])
                 )
-        if not states:
+        if not blobs_by_key:
             return
-        rows = [
-            dict(zip(key_cols, key)) | {out_col: spec.state_to_blob(st)}
-            for key, st in states.items()
-        ]
-        yield pd.DataFrame(rows, columns=key_cols + [out_col])
+        out_blobs = []
+        for bl in blobs_by_key.values():
+            if len(bl) == 1:
+                out_blobs.append(bl[0])
+            else:
+                states = [spec.blob_to_state(b) for b in bl]
+                out_blobs.append(spec.state_to_blob(spec.merge_many(states)))
+        yield _keyed_blob_frame(
+            list(blobs_by_key.keys()), out_blobs, key_cols, out_col
+        )
 
     return merge
 
