@@ -62,6 +62,30 @@ def _keyed_blob_frame(
     data[out_col] = list(blobs)
     return pd.DataFrame(data, columns=key_cols + [out_col])
 
+
+def _canon_key(v):
+    """Canonicalize one group-key scalar for dict identity.
+
+    Spark NULLs in numeric key columns cross the Arrow/pandas boundary as
+    float NaN, and NaN never compares equal to itself (Python ≥3.10 even
+    hashes NaN by identity) — so NaN-bearing key tuples would keep one
+    dict entry per partial instead of merging. Map every missing-ish
+    scalar (None / NaN / NaT) to None. Note: this conflates SQL NULL with
+    a literal float('nan') key — pandas cannot distinguish them anyway.
+    """
+    if v is None:
+        return None
+    try:
+        if v != v:  # NaN / NaT
+            return None
+    except (TypeError, ValueError):
+        pass
+    return v
+
+
+def _canon_key_tuple(t) -> tuple:
+    return tuple(_canon_key(v) for v in t)
+
 # A group whose total weight N satisfies N < factor·max_size provably
 # produces ZERO k-limit merges (stage 3), because the minimum adjacent
 # Δk = min_q k'(q)·(w/N) exceeds 1: k2/k3 have min k'(q) = d/ln2·… →
@@ -128,12 +152,14 @@ class SketchSpec:
             return out
         gb = pdf.groupby(key_cols, dropna=False, sort=False)
         for key, sel in gb.indices.items():
-            key = key if isinstance(key, tuple) else (key,)
+            key = _canon_key_tuple(key if isinstance(key, tuple) else (key,))
             v, w = self.clean_values(
                 vals[sel], None if ws is None else ws[sel]
             )
             if v.size:
-                out[key] = self.build_state(v, w)
+                st = self.build_state(v, w)
+                prev = out.get(key)
+                out[key] = st if prev is None else self.merge_states(prev, st)
         return out
 
 
@@ -247,12 +273,12 @@ class TDigestSpec(SketchSpec):
                 codes, uniques = pd.factorize(
                     keys_frame[key_cols[0]], use_na_sentinel=False
                 )
-                key_tuples = [(u,) for u in uniques]
+                key_tuples = [(_canon_key(u),) for u in uniques]
             else:
                 codes, uniques = pd.factorize(
                     pd.MultiIndex.from_frame(keys_frame), use_na_sentinel=False
                 )
-                key_tuples = list(uniques)
+                key_tuples = [_canon_key_tuple(u) for u in uniques]
         else:
             codes = np.zeros(vals.size, dtype=np.int64)
             key_tuples = [()]
@@ -335,7 +361,10 @@ class TDigestSpec(SketchSpec):
                 # piles are already sorted+coalesced: run the pipeline on
                 # them instead of the raw rows (≤ distinct-count items)
                 td._compress(run_means[r0:r1], run_weights[r0:r1])
-            out[key] = td
+            prev = out.get(key)
+            # canonicalized keys can collide (None vs NaN in an object
+            # key column) — merge, never overwrite
+            out[key] = td if prev is None else self.merge_states(prev, td)
         return out
 
 
@@ -375,7 +404,7 @@ def _encode_batch_keys(batch, key_cols: List[str]):
         parts = []
         for i in range(len(key_cols) - 1, -1, -1):
             u, r = divmod(int(u), radix[i]) if i > 0 else (0, int(u))
-            parts.append(per_col_vocab[i][r])
+            parts.append(_canon_key(per_col_vocab[i][r]))
         key_tuples.append(tuple(reversed(parts)))
     return inv.astype(np.int64), key_tuples
 
@@ -537,7 +566,7 @@ def _partition_merger(
             keys_np = [pdf[k].to_numpy() for k in key_cols]
             blobs = pdf[out_col]
             for i in range(len(pdf)):
-                key = tuple(k[i] for k in keys_np)
+                key = _canon_key_tuple(k[i] for k in keys_np)
                 blobs_by_key.setdefault(key, []).append(
                     bytes(blobs.iloc[i])
                 )
@@ -585,9 +614,11 @@ def sketch_agg(
     # anti-scale. Run the partial stage at ~1 partition per core: fewer,
     # bigger flushes amortize the fixed term; the 1M-row flush threshold
     # bounds memory.
+    # coalesce() never increases the partition count, so this is a no-op
+    # on already-coarse scans; checking src.rdd.getNumPartitions() first
+    # would materialize the RDD lineage and plan the query twice.
     target = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() > 2 * target:
-        src = src.coalesce(2 * target)
+    src = src.coalesce(2 * target)
 
     out_fields = [src.schema[k] for k in key_cols] + [
         StructField(out_col, BinaryType(), True)

@@ -104,8 +104,11 @@ def encode(td: TDigest, version: int = 3) -> bytes:
         head += bytes([version, scale_code, policy_code, pin])
         head += struct.pack("<Q", td.max_size)
         if version == 1:
-            w_round = np.round(weights)
-            w_u64 = np.where(w_round <= 0.0, 0, w_round).astype(np.uint64)
+            # round-half-away-from-zero, matching Rust f64::round in the
+            # reference v1 encoder (np.round is half-to-even; fractional
+            # .5 weights from scale_weights would differ). Weights are
+            # non-negative so floor(w + 0.5) suffices.
+            w_u64 = np.floor(weights + 0.5).astype(np.uint64)
             head += struct.pack("<Q", int(np.sum(w_u64)))
         else:
             head += struct.pack("<d", td.count)
@@ -153,8 +156,7 @@ def _encode_payload(
     view = buf.reshape(n, stride)
     view[:, :msz] = means.astype(mdt).view(np.uint8).reshape(n, msz)
     if version == 1:
-        w_round = np.round(weights)
-        w_u64 = np.where(w_round <= 0.0, 0, w_round).astype("<u8")
+        w_u64 = np.floor(weights + 0.5).astype("<u8")
         view[:, msz:msz + 8] = w_u64.view(np.uint8).reshape(n, 8)
     else:
         view[:, msz:msz + 8] = weights.astype("<f8").view(np.uint8).reshape(n, 8)

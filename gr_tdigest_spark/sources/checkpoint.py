@@ -52,6 +52,22 @@ def _partials_path(ckpt_dir: str) -> str:
     return os.path.join(ckpt_dir, "partials")
 
 
+def _clear_partials(spark: SparkSession, ckpt_dir: str) -> None:
+    """Delete any existing partials (fresh, non-resuming run).
+
+    Without this, ``mode('append')`` would leave prior-attempt rows in
+    place and ``merge_from_checkpoint`` would double-count every shard.
+    Uses the Hadoop FS API so the same code works on local paths, HDFS
+    and object stores.
+    """
+    path = _partials_path(ckpt_dir)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
 def _completed_shards(spark: SparkSession, ckpt_dir: str) -> set:
     path = _partials_path(ckpt_dir)
     try:
@@ -82,7 +98,11 @@ def build_partials_checkpointed(
     out_col = out_col or spec.name
     attempt = uuid.uuid4().hex[:12]
 
-    done = _completed_shards(spark, ckpt_dir) if resume else set()
+    if resume:
+        done = _completed_shards(spark, ckpt_dir)
+    else:
+        _clear_partials(spark, ckpt_dir)
+        done = set()
 
     proj = key_cols + [value_col] + ([weight_col] if weight_col else [])
     src = df.select(*proj)

@@ -90,3 +90,29 @@ def test_lineage_records_metrics(spark, sf_dir, ckpt):
     assert all(r["rows_ingested"] > 0 for r in lin)
     assert all(r["wall_ms"] >= 0 for r in lin)
     assert sum(r["rows_ingested"] for r in lin) == li.count()
+
+
+def test_fresh_run_clears_stale_partials(spark, sf_dir, ckpt):
+    """resume=False must clear prior partials: append-mode leftovers would
+    make merge_from_checkpoint double-count every shard."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    spec = TDigestSpec(max_size=20000, policy="off")
+    build_partials_checkpointed(
+        li, ["l_returnflag"], "l_quantity", spec, ckpt, n_shards=4
+    )
+    build_partials_checkpointed(
+        li, ["l_returnflag"], "l_quantity", spec, ckpt, n_shards=4,
+        resume=False,
+    )
+    out = merge_from_checkpoint(spark, ckpt, spec, ["l_returnflag"])
+    got = {
+        r[0]: r[1]
+        for r in out.select(
+            "l_returnflag", Fn.tdigest_count("tdigest").alias("n")
+        ).collect()
+    }
+    exp = {
+        r[0]: r[1]
+        for r in li.groupBy("l_returnflag").count().collect()
+    }
+    assert got == {k: float(v) for k, v in exp.items()}

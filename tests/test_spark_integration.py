@@ -450,3 +450,47 @@ class TestQualityScore:
         }
         assert got[1] > got[2]
         assert 0.0 <= got[2] <= got[1] <= 1.0
+
+
+class TestNullableGroupKeys:
+    def test_null_numeric_key_merges_across_partials(self, spark):
+        """Spark NULL in a double key column crosses the pandas boundary
+        as NaN; without canonicalization each partial kept its own dict
+        entry and the output had duplicate partially-merged rows."""
+        import pandas as pd
+
+        pdf = pd.DataFrame({
+            "g": ([1.0, None, 2.0, None] * 250),
+            "x": [float(i) for i in range(1000)],
+        })
+        df = spark.createDataFrame(pdf).repartition(8)
+        out = tdigest_agg(df, ["g"], "x", max_size=20000, policy="off")
+        rows = out.collect()
+        assert len(rows) == 3  # 1.0, 2.0 and ONE merged null group
+        import gr_tdigest_spark.functions as Fn
+        counts = {
+            r[0]: r[1]
+            for r in out.select(
+                "g", Fn.tdigest_count("tdigest").alias("n")
+            ).collect()
+        }
+        assert counts[None] == 500.0
+        assert counts[1.0] == 250.0 and counts[2.0] == 250.0
+
+    def test_null_string_key_merges(self, spark):
+        import pandas as pd
+
+        pdf = pd.DataFrame({
+            "g": (["a", None] * 300),
+            "x": [float(i) for i in range(600)],
+        })
+        df = spark.createDataFrame(pdf).repartition(6)
+        out = tdigest_agg(df, ["g"], "x", max_size=20000, policy="off")
+        import gr_tdigest_spark.functions as Fn
+        counts = {
+            r[0]: r[1]
+            for r in out.select(
+                "g", Fn.tdigest_count("tdigest").alias("n")
+            ).collect()
+        }
+        assert counts == {"a": 300.0, None: 300.0}

@@ -143,3 +143,18 @@ class TestPickle:
         td = sample_digest()
         back = copy.deepcopy(td)
         assert back.quantile(0.9) == td.quantile(0.9)
+
+
+def test_v1_half_weight_rounds_away_from_zero():
+    """v1 integerizes weights like Rust f64::round (half away from zero),
+    not banker's rounding: weight 2.5 -> 3 (reference wire.rs v1 encode)."""
+    import numpy as np
+    from gr_tdigest_spark.sketches.tdigest import TDigest
+    from gr_tdigest_spark.sketches import wire
+
+    td = TDigest.from_weighted(
+        np.array([1.0, 2.0]), np.array([2.5, 1.5]), max_size=100
+    )
+    blob = wire.encode(td, version=1)
+    back = wire.decode(blob)
+    assert sorted(back.weights64.tolist()) == [2.0, 3.0]
