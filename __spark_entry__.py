@@ -488,10 +488,17 @@ def q_text_stats(spark, sf_dir):
     from gr_tdigest_spark.operators.text import with_text_stats
 
     d = with_text_stats(_docs(spark, sf_dir), "text")
+    # punct rate = one division of exact integer sums — avg(double ratio)
+    # would tie-break differently between Spark and DuckDB at the 6th
+    # decimal because doubles sum in different orders
     return d.groupBy("lang").agg(
         F.sum("n_tokens").alias("tot_tokens"),
         F.sum("n_chars").alias("tot_chars"),
-        F.round(F.avg("punct_ratio"), 6).alias("avg_punct"),
+        F.round(
+            F.sum("n_punct").cast("double")
+            / F.sum(F.greatest(F.col("n_chars"), F.lit(1))),
+            6,
+        ).alias("punct_per_char"),
     )
 
 
@@ -520,7 +527,11 @@ def q_minhash_near_dups(spark, sf_dir):
 
 
 def q_simhash_near_dups(spark, sf_dir):
-    """Simhash near-dup candidates (rows-only check)."""
+    """Simhash near-dup pairs. Oracle: full simhash replica in SQL —
+    token hash is md5-derived (bit-identical across engines), votes and
+    banding are deterministic, and the pigeonhole block join is
+    recall-complete, so the bucketed Spark result equals the exhaustive
+    all-pairs set the oracle computes."""
     from gr_tdigest_spark.operators.dedup import simhash_near_dups
 
     return simhash_near_dups(_docs(spark, sf_dir), "doc_id", "text",
@@ -536,26 +547,47 @@ def q_lang_id(spark, sf_dir):
     return d.groupBy("lang_id").agg(F.count("*").alias("n"))
 
 
+_TRANSCRIPT_ORACLE_PATH = "/root/repo/.cache/transcripts_oracle.parquet"
+
+
+def _transcript_table(spark):
+    """Materialize the seeded transcript table to a deterministic
+    parquet path so DuckDB reads the IDENTICAL rows (same pattern the
+    TPC-H tables get for free). The generator is fully seeded, so a
+    stale file from a prior run is byte-equivalent."""
+    import os
+    from gr_tdigest_spark.sources.transcripts import transcripts_df
+
+    if not os.path.exists(os.path.join(_TRANSCRIPT_ORACLE_PATH,
+                                       "_SUCCESS")):
+        transcripts_df(spark, n_convs=150, seed=42).write.mode(
+            "overwrite"
+        ).parquet(_TRANSCRIPT_ORACLE_PATH)
+    return spark.read.parquet(_TRANSCRIPT_ORACLE_PATH)
+
+
 def q_transcript_latency(spark, sf_dir):
     """North-star query on the synthesized transcript table: per-role
-    p50/p95 of inter-turn latency (rows-only — the transcripts table is
-    generated, not a driver view)."""
+    p50/p95 of inter-turn latency. Exact oracle via the uncompressed-
+    digest trick (quantile at non-integer q·N == quantile_disc) over the
+    materialized parquet both engines read."""
     from pyspark.sql.window import Window
     from gr_tdigest_spark.operators import tdigest_agg
-    from gr_tdigest_spark.sources.transcripts import transcripts_df
     import gr_tdigest_spark.functions as Fn
 
-    t = transcripts_df(spark, n_convs=200, seed=42)
+    t = _transcript_table(spark)
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     lat = t.withColumn(
         "latency_s",
         (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 1e6,
     ).where(F.col("latency_s").isNotNull())
-    dg = tdigest_agg(lat, ["role"], "latency_s", max_size=1000)
+    # at n_convs=150 every role has <14k latency rows, safely inside
+    # the 20k uncompressed bound (exact oracle)
+    dg = tdigest_agg(lat, ["role"], "latency_s", **UNCOMPRESSED)
     return dg.select(
         "role",
-        Fn.tdigest_quantile("tdigest", 0.5).alias("p50_latency"),
-        Fn.tdigest_quantile("tdigest", 0.95).alias("p95_latency"),
+        Fn.tdigest_quantile("tdigest", 0.503173).alias("p50_latency"),
+        Fn.tdigest_quantile("tdigest", 0.953171).alias("p95_latency"),
         Fn.tdigest_count("tdigest").alias("n_turns"),
     )
 
@@ -789,9 +821,9 @@ def oracle_sql() -> dict[str, str]:
                                                        '\\s+')) END)
                      AS tot_tokens,
                    sum(len(text)) AS tot_chars,
-                   round(avg(len(regexp_replace(text,
-                       '[^.,;:!?''"()\\[\\]-]', '', 'g'))::DOUBLE /
-                       greatest(len(text), 1)), 6) AS avg_punct
+                   round(sum(len(regexp_replace(text,
+                       '[^.,;:!?''"()\\[\\]-]', '', 'g')))::DOUBLE /
+                       sum(greatest(len(text), 1)), 6) AS punct_per_char
             FROM documents GROUP BY lang
             """
         ),
@@ -857,6 +889,60 @@ def oracle_sql() -> dict[str, str]:
                                                 qv::DOUBLE[]), 6) AS cos_sim
             FROM embeddings, q WHERE vec_id != 0
             ORDER BY cos_sim DESC, vec_id LIMIT 5
+            """
+        ),
+        # full simhash replica: md5-derived 64-bit token hash, ±1 bit
+        # votes, exhaustive pair scan (the Spark side's pigeonhole block
+        # join is recall-complete, so the sets are equal)
+        "simhash_near_dups": (
+            """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+')) AS tok
+              FROM documents
+            ), th AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+              FROM toks WHERE tok <> ''
+            ), votes AS (
+              SELECT doc_id, b.bit,
+                     sum(CASE WHEN (h >> b.bit) & 1 = 1
+                         THEN 1 ELSE -1 END) AS vote
+              FROM th, (SELECT unnest(range(64))::INTEGER AS bit) b
+              GROUP BY doc_id, b.bit
+            ), sh AS (
+              SELECT doc_id,
+                     sum(CASE WHEN vote > 0 THEN (1::UBIGINT << bit)
+                         ELSE 0::UBIGINT END)::UBIGINT AS simhash
+              FROM votes GROUP BY doc_id
+            ), allsh AS (
+              SELECT d.doc_id, coalesce(s.simhash, 0::UBIGINT) AS simhash
+              FROM documents d LEFT JOIN sh s USING (doc_id)
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   bit_count(xor(x.simhash, y.simhash)) AS hamming
+            FROM allsh x JOIN allsh y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+            """
+        ),
+        # reads the SAME materialized parquet the Spark query writes;
+        # quantile_disc == uncompressed-digest quantile at non-integer q·N
+        "transcript_latency": (
+            f"""
+            WITH lat AS (
+              SELECT role,
+                     (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY conv_id ORDER BY turn_idx)) / 1e6
+                       AS latency_s
+              FROM read_parquet(
+                '{_TRANSCRIPT_ORACLE_PATH}/*.parquet')
+            )
+            SELECT role,
+                   quantile_disc(latency_s, 0.503173) AS p50_latency,
+                   quantile_disc(latency_s, 0.953171) AS p95_latency,
+                   count(latency_s)::DOUBLE AS n_turns
+            FROM lat WHERE latency_s IS NOT NULL GROUP BY role
             """
         ),
     }

@@ -57,8 +57,14 @@ def with_text_stats(
             F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(toks)).cast("long"),
         )
         .withColumn(
+            f"{prefix}n_punct",
+            F.length(
+                F.regexp_replace(t, r"[^.,;:!?'\"()\[\]-]", "")
+            ).cast("long"),
+        )
+        .withColumn(
             f"{prefix}punct_ratio",
-            F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]-]", "")) / safe_chars,
+            F.col(f"{prefix}n_punct") / safe_chars,
         )
         .withColumn(
             f"{prefix}digit_ratio",
@@ -132,29 +138,53 @@ def with_simhash(
 ) -> DataFrame:
     """64-bit simhash over token hashes (vectorized pandas UDF): sign of
     the per-bit sum of token hash bits. Near-duplicate docs differ in few
-    bits (compare with hamming distance via bit_count(a ^ b))."""
+    bits (compare with hamming distance via bit_count(a ^ b)).
+
+    Token hash = first 8 bytes of md5(token), big-endian. md5 is
+    bit-identical in every engine, so the whole simhash is replicable in
+    plain SQL (DuckDB: ``('0x' || substr(md5(tok), 1, 16))::UBIGINT``) —
+    that is what makes an exact cross-engine oracle possible. md5 runs
+    once per *unique* token per Arrow batch; votes are numpy matmuls.
+    """
 
     @F.pandas_udf(LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
-        from gr_tdigest_spark.sketches.hashing import hash64
+        import hashlib
 
         out = np.zeros(len(texts), dtype=np.int64)
+        tok_lists = [
+            t.lower().split() if t is not None else [] for t in texts
+        ]
+        all_toks = [tok for lst in tok_lists for tok in lst]
+        if not all_toks:
+            return pd.Series(out)
+        uniq, inv = np.unique(
+            np.asarray(all_toks, dtype=object), return_inverse=True
+        )
+        uh = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(u.encode("utf-8")).digest()[:8], "big"
+                )
+                for u in uniq
+            ),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
         bit_idx = np.arange(64, dtype=np.uint64)
-        for i, txt in enumerate(texts):
-            if txt is None:
+        # unique-token bit matrix (V × 64); per-doc votes sum rows of it
+        bits_u = ((uh[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        pow2 = np.uint64(1) << bit_idx
+        pos = 0
+        for i, lst in enumerate(tok_lists):
+            n = len(lst)
+            if n == 0:
                 continue
-            toks = np.asarray(txt.lower().split(), dtype=object)
-            if toks.size == 0:
-                continue
-            h = hash64(toks)
-            bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(
-                np.int64
-            )
-            vote = bits.sum(axis=0) * 2 - toks.size  # +1/-1 votes
-            sh = np.uint64(0)
-            for b in range(64):
-                if vote[b] > 0:
-                    sh |= np.uint64(1) << np.uint64(b)
+            vote = bits_u[inv[pos:pos + n]].sum(axis=0) * 2 - n
+            pos += n
+            sh = np.sum(pow2[vote > 0], dtype=np.uint64)
             out[i] = np.int64(sh.astype(np.int64))
         return pd.Series(out)
 
