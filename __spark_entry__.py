@@ -433,14 +433,35 @@ def q_hll_bound(spark, sf_dir):
 
 
 def q_cms_topk(spark, sf_dir):
-    from gr_tdigest_spark.operators.companions import cms_agg, cms_estimate
+    """Global heavy-hitter top-k — fully distributed (per-partition
+    candidate tracking + broadcast CMS re-estimation), no driver-side
+    candidate collection."""
+    from gr_tdigest_spark.operators.companions import cms_topk
+
+    return cms_topk(_ev(spark, sf_dir), None, "event_type", k=5,
+                    width=1 << 16)
+
+
+def q_hh_topk_tools(spark, sf_dir):
+    """North-star 'heavy-hitter tools': per-role top-3 tools on the
+    transcript table via the grouped distributed top-k (window rank over
+    the candidate set, never the raw rows)."""
+    from gr_tdigest_spark.operators.companions import cms_topk
+
+    t = _transcript_table(spark)
+    return cms_topk(t, ["role"], "tool", k=3, width=1 << 16)
+
+
+def q_hh_topk_users(spark, sf_dir):
+    """Grouped top-k under NEAR-UNIFORM counts — the adversarial case
+    for candidate tracking: m is sized above the per-group cardinality
+    (150 users) so the candidate set is complete; skewed data (the
+    normal heavy-hitter case, q_hh_topk_tools) doesn't need that."""
+    from gr_tdigest_spark.operators.companions import cms_topk
 
     ev = _ev(spark, sf_dir)
-    cand = sorted(r[0] for r in ev.select("event_type").distinct().collect())
-    c = cms_agg(ev, None, "event_type")
-    est = c.select(cms_estimate("cms", cand).alias("est")).collect()[0][0]
-    rows = sorted(zip(cand, est), key=lambda t: (-t[1], t[0]))[:5]
-    return spark.createDataFrame(rows, "event_type string, est_count long")
+    return cms_topk(ev, ["event_type"], "user_id", k=3, m=512,
+                    width=1 << 16)
 
 
 def q_bloom_members(spark, sf_dir):
@@ -636,6 +657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_rollup_consistency": q_sketch_rollup_consistency,
         "hll_bound": q_hll_bound,
         "cms_topk": q_cms_topk,
+        "hh_topk_tools": q_hh_topk_tools,
+        "hh_topk_users": q_hh_topk_users,
         "bloom_members": q_bloom_members,
         "kll_quantile_docs": q_kll_quantile_docs,
         "dedup_exact": q_dedup_exact,
@@ -799,6 +822,37 @@ def oracle_sql() -> dict[str, str]:
         "cms_topk": (
             "SELECT event_type, count(*) AS est_count FROM events "
             "GROUP BY event_type ORDER BY est_count DESC, event_type LIMIT 5"
+        ),
+        "hh_topk_tools": (
+            f"""
+            WITH c AS (
+              SELECT role, tool, count(*) AS est_count
+              FROM read_parquet(
+                '{_TRANSCRIPT_ORACLE_PATH}/*.parquet')
+              WHERE tool IS NOT NULL GROUP BY role, tool
+            ), r AS (
+              SELECT role, tool, est_count,
+                     row_number() OVER (PARTITION BY role
+                       ORDER BY est_count DESC, tool) AS rk
+              FROM c
+            )
+            SELECT role, tool, est_count FROM r WHERE rk <= 3
+            """
+        ),
+        "hh_topk_users": (
+            """
+            WITH c AS (
+              SELECT event_type, user_id, count(*) AS est_count
+              FROM events WHERE user_id IS NOT NULL
+              GROUP BY event_type, user_id
+            ), r AS (
+              SELECT event_type, user_id, est_count,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY est_count DESC, user_id) AS rk
+              FROM c
+            )
+            SELECT event_type, user_id, est_count FROM r WHERE rk <= 3
+            """
         ),
         "bloom_members": (
             "SELECT count(DISTINCT user_id) AS n_members FROM events "

@@ -29,7 +29,7 @@ __all__ = [
     "HLLSpec", "CMSSpec", "BloomSpec", "KLLSpec",
     "hll_agg", "cms_agg", "bloom_agg", "kll_agg",
     "hll_estimate", "cms_estimate", "bloom_contains",
-    "kll_quantile", "kll_rank", "kll_count",
+    "kll_quantile", "kll_rank", "kll_count", "cms_topk",
 ]
 
 
@@ -262,3 +262,120 @@ def kll_count(col) -> Column:
         )
 
     return _n(col)
+
+
+# ------------------------------------------------------------------ #
+# distributed heavy-hitter top-k
+# ------------------------------------------------------------------ #
+
+def _candidate_tracker(key_cols, col, m: int, cap_factor: int = 8):
+    """mapInPandas per-partition candidate tracker (SpaceSaving-style
+    bounded memory): keeps at most ``m·cap_factor`` counted values per
+    group, pruning the smallest when the cap is exceeded, and emits the
+    local top-m values per group. Any value with true partition count
+    above (partition rows)/(m·cap_factor) survives pruning, so global
+    heavy hitters are always emitted by at least one partition."""
+    cap = m * cap_factor
+
+    def run(batches):
+        counts: dict = {}  # key_tuple -> {value: count}
+
+        def bump(key, vc_items):
+            d = counts.setdefault(key, {})
+            for v, c in vc_items:
+                d[v] = d.get(v, 0) + int(c)
+            if len(d) > cap:
+                top = sorted(d.items(), key=lambda t: -t[1])[:cap]
+                counts[key] = dict(top)
+
+        for pdf in batches:
+            sub = pdf.dropna(subset=[col])
+            if not len(sub):
+                continue
+            if key_cols:
+                sizes = sub.groupby(
+                    key_cols + [col], sort=False, dropna=False
+                ).size()
+                per_key: dict = {}
+                for idx, c in sizes.items():
+                    key, v = tuple(idx[:-1]), idx[-1]
+                    per_key.setdefault(key, []).append((v, c))
+                for key, items in per_key.items():
+                    bump(key, items)
+            else:
+                vc = sub[col].value_counts()
+                bump((), list(vc.items()))
+        rows = []
+        for key, d in counts.items():
+            top = sorted(d.items(), key=lambda t: -t[1])[:m]
+            rows.extend(key + (v,) for v, _ in top)
+        if rows:
+            yield pd.DataFrame(rows, columns=(key_cols or []) + [col])
+
+    return run
+
+
+def cms_topk(
+    df: DataFrame,
+    keys,
+    col: str,
+    k: int,
+    m: Optional[int] = None,
+    depth: int = 5,
+    width: int = 1 << 16,
+    seed: int = 7,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Heavy-hitter top-k per group — fully distributed, no driver
+    round-trip (the reference exposes CMS estimates only; the north_rule
+    asks for heavy-hitter *tools*, which needs candidate discovery too).
+
+    Plan — only sketch-sized data ever shuffles or broadcasts:
+
+    1. one pass emits each partition's exact local top-m candidates
+       (bounded-memory SpaceSaving-style tracker, ≤ m·partitions rows)
+    2. ``cms_agg`` builds the global/per-group CMS (two-phase merge)
+    3. the tiny sketch table broadcasts; every deduped candidate is
+       re-estimated against its group's sketch (one decode per blob)
+    4. top-k by (estimate desc, value) — global case compiles to
+       TakeOrderedAndProject, grouped case to a window rank over the
+       candidate set (≤ m·partitions rows, never the raw data)
+
+    Completeness: a key with true share > 1/m of some partition appears
+    in that partition's top-m; with Zipf-skewed heavy hitters the true
+    top-k are heavy in most partitions. Estimates are CMS upper bounds
+    (ε = e/width, δ = e^−depth).
+    """
+    from pyspark.sql.window import Window
+    from pyspark.sql.types import StructField, StructType
+
+    key_cols = list(keys) if keys else []
+    m = m or max(4 * k, 64)
+    src = df.select(*dict.fromkeys(key_cols + [col]))
+    cand_schema = StructType(
+        [src.schema[c] for c in key_cols] + [src.schema[col]]
+    )
+    cand = src.mapInPandas(
+        _candidate_tracker(key_cols, col, m), schema=cand_schema
+    ).distinct()
+
+    sketch = cms_agg(df, key_cols or None, col, depth=depth, width=width,
+                     seed=seed)
+    if key_cols:
+        joined = cand.join(F.broadcast(sketch), key_cols)
+    else:
+        joined = cand.crossJoin(F.broadcast(sketch))
+    est = joined.select(
+        *key_cols, col,
+        cms_estimate_col("cms", col).alias(out_col),
+    )
+    if key_cols:
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.desc(out_col), F.col(col)
+        )
+        return (
+            est.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k)
+            .drop("__rk")
+        )
+    return est.orderBy(F.desc(out_col), F.col(col)).limit(k)

@@ -229,3 +229,77 @@ class TestKLL:
         np.testing.assert_array_equal(
             a.quantile(np.linspace(0, 1, 11)), b.quantile(np.linspace(0, 1, 11))
         )
+
+
+class TestCmsTopK:
+    def test_global_topk_matches_exact(self, spark, sf_dir):
+        from gr_tdigest_spark.operators.companions import cms_topk
+        from pyspark.sql import functions as F
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        got = [tuple(r) for r in cms_topk(
+            ev, None, "event_type", k=3, width=1 << 16
+        ).collect()]
+        exp = [tuple(r) for r in (
+            ev.groupBy("event_type").count()
+            .orderBy(F.desc("count"), "event_type").limit(3)
+        ).collect()]
+        assert got == exp
+
+    def test_grouped_topk_zipf(self, spark):
+        """Zipf-skewed values: heavy hitters found without m covering
+        the full cardinality, across multiple partitions."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from gr_tdigest_spark.operators.companions import cms_topk
+
+        rng = np.random.default_rng(7)
+        vals = np.minimum(rng.zipf(1.5, size=20000), 500)
+        pdf = pd.DataFrame({
+            "g": np.where(np.arange(20000) % 2 == 0, "a", "b"),
+            "v": vals.astype("int64"),
+        })
+        df = spark.createDataFrame(pdf).repartition(8)
+        got = {
+            (r["g"], r["v"]): r["est_count"]
+            for r in cms_topk(df, ["g"], "v", k=5, m=32,
+                              width=1 << 16).collect()
+        }
+        exact = {
+            (r["g"], r["v"]): r["n"]
+            for r in df.groupBy("g", "v").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        # top-5 per group by exact count
+        import collections
+        per_g = collections.defaultdict(list)
+        for (g, v), n in exact.items():
+            per_g[g].append((n, -v))
+        for g, lst in per_g.items():
+            lst.sort(reverse=True)
+            for n, negv in lst[:5]:
+                assert (g, -negv) in got
+                assert got[(g, -negv)] == n  # estimate exact at this width
+
+    def test_tracker_prunes_bounded_memory(self):
+        """The per-partition tracker never holds more than m*cap_factor
+        values per group, yet still emits a partition-heavy value."""
+        import numpy as np
+        import pandas as pd
+        from gr_tdigest_spark.operators.companions import _candidate_tracker
+
+        rng = np.random.default_rng(3)
+        # one dominant value + a long uniform tail
+        v = np.concatenate([
+            np.full(5000, 42), rng.integers(1000, 9000, 20000)
+        ])
+        rng.shuffle(v)
+        pdfs = [
+            pd.DataFrame({"v": v[i::4]}) for i in range(4)
+        ]
+        out = list(_candidate_tracker([], "v", m=8, cap_factor=4)(iter(pdfs)))
+        cand = set(out[0]["v"].tolist())
+        assert 42 in cand
+        assert len(cand) <= 8
