@@ -494,3 +494,36 @@ class TestNullableGroupKeys:
             ).collect()
         }
         assert counts == {"a": 300.0, None: 300.0}
+
+
+class TestGroupCdfStrategies:
+    def test_cogroup_matches_broadcast(self, spark, sf_dir):
+        from gr_tdigest_spark.operators.window import with_group_cdf
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+            "l_orderkey % 7 = 0")  # deterministic subset (limit() is not)
+        cfg = dict(max_size=20000, policy="off")
+        # (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        # data — compare sorted multisets, not dicts
+        def rows(strategy):
+            return sorted(
+                tuple(r) for r in with_group_cdf(
+                    li, ["l_returnflag"], "l_extendedprice",
+                    strategy=strategy, **cfg,
+                ).select("l_orderkey", "l_linenumber", "cdf").collect()
+            )
+
+        a, b = rows("broadcast"), rows("cogroup")
+        assert a == b and len(a) > 100
+
+    def test_multi_key_broadcast_cdf(self, spark, sf_dir):
+        from gr_tdigest_spark.operators.window import with_group_cdf
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(600)
+        out = with_group_cdf(
+            li, ["l_returnflag", "l_linestatus"], "l_extendedprice",
+            max_size=20000, policy="off",
+        )
+        vals = out.select("cdf").collect()
+        assert len(vals) == 600
+        assert all(0.0 <= r["cdf"] <= 1.0 for r in vals)
