@@ -534,6 +534,62 @@ def q_embed_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cosine", 6).alias("cos_sim"))
 
 
+_EMB768_PATH = "/root/repo/.cache/embeddings768.parquet"
+_PLANES768_PATH = "/root/repo/.cache/lsh_planes768.parquet"
+
+
+def _emb768_table(spark):
+    """Seeded 400 × 768-dim float32 embedding fixture (clustered so
+    buckets have genuine neighbors), materialized once so DuckDB reads
+    identical values; the LSH hyperplanes are materialized beside it so
+    the oracle can replicate the bucketing exactly."""
+    import os
+    import numpy as np
+    import pandas as pd
+    from gr_tdigest_spark.operators.similarity import _hyperplanes
+
+    if not os.path.exists(os.path.join(_EMB768_PATH, "_SUCCESS")):
+        rng = np.random.default_rng(2024)
+        n, dim = 400, 768
+        base = rng.standard_normal((20, dim))
+        M = (
+            base[rng.integers(0, 20, n)]
+            + 0.22 * rng.standard_normal((n, dim))
+        ).astype(np.float32)
+        pdf = pd.DataFrame(
+            {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(M)}
+        )
+        spark.createDataFrame(
+            pdf, schema="vec_id long, embedding array<float>"
+        ).coalesce(1).write.mode("overwrite").parquet(_EMB768_PATH)
+        planes = _hyperplanes(dim, 16, seed=23)
+        ppdf = pd.DataFrame({
+            "bit": (1 << np.arange(16)).astype(np.int64),
+            "vec": list(planes.astype(np.float64)),
+        })
+        spark.createDataFrame(
+            ppdf, schema="bit long, vec array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(_PLANES768_PATH)
+    return spark.read.parquet(_EMB768_PATH)
+
+
+def q_lsh_bucket_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-k at a REAL embedding dim (768): bucket ids
+    come from one numpy matmul per Arrow batch (not 12k inlined plan
+    literals). Oracle replicates buckets from the materialized plane
+    matrix and takes exact cosine top-k within hamming ≤ 2 buckets —
+    the same candidate set by construction."""
+    from gr_tdigest_spark.operators.similarity import lsh_bucket_topk
+
+    emb = _emb768_table(spark)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = lsh_bucket_topk(
+        emb.filter(F.col("vec_id") != 0), qvec, k=10,
+        n_planes=16, seed=23, multiprobe=2,
+    )
+    return top.select("vec_id", F.round("cosine", 6).alias("cos_sim"))
+
+
 def q_minhash_near_dups(spark, sf_dir):
     """MinHash LSH near-dup pairs. Oracle: exact character-5-gram
     Jaccard over all pairs — at this scale the 64-hash/16-band LSH
@@ -664,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "embed_topk": q_embed_topk,
+        "lsh_bucket_topk": q_lsh_bucket_topk,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "lang_id": q_lang_id,
@@ -943,6 +1000,35 @@ def oracle_sql() -> dict[str, str]:
                                                 qv::DOUBLE[]), 6) AS cos_sim
             FROM embeddings, q WHERE vec_id != 0
             ORDER BY cos_sim DESC, vec_id LIMIT 5
+            """
+        ),
+        "lsh_bucket_topk": (
+            f"""
+            WITH emb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM read_parquet('{_EMB768_PATH}/*.parquet')
+            ), pl AS (
+              SELECT bit, vec
+              FROM read_parquet('{_PLANES768_PATH}/*.parquet')
+            ), b AS (
+              SELECT vec_id,
+                     sum(CASE WHEN list_dot_product(v, vec) >= 0
+                         THEN bit ELSE 0 END)::UBIGINT AS bucket
+              FROM emb, pl GROUP BY vec_id
+            ), qb AS (
+              SELECT bucket AS qbucket FROM b WHERE vec_id = 0
+            ), qv AS (
+              SELECT v AS q FROM emb WHERE vec_id = 0
+            ), cand AS (
+              SELECT e.vec_id, e.v
+              FROM emb e JOIN b USING (vec_id), qb
+              WHERE e.vec_id != 0
+                AND bit_count(xor(b.bucket, qb.qbucket)) <= 2
+            )
+            SELECT vec_id,
+                   round(list_cosine_similarity(v, q), 6) AS cos_sim
+            FROM cand, qv
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
             """
         ),
         # full simhash replica: md5-derived 64-bit token hash, ±1 bit

@@ -16,9 +16,11 @@ import math
 from typing import List, Optional, Sequence
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType
 
 __all__ = [
     "cosine_sim_col",
@@ -26,6 +28,23 @@ __all__ = [
     "lsh_bucket_topk",
     "embedding_near_dup_pairs",
 ]
+
+# Above these sizes the inline-literal Catalyst expressions stop being
+# a win: every hyperplane inlines `dim` literals, so dim=768 ×
+# n_planes=16 would put ~12k literal nodes in the plan — analysis and
+# codegen blow up long before data volume matters. The pandas-UDF path
+# holds the plane matrix in the closure (broadcast with the task) and
+# does one numpy matmul per Arrow batch instead.
+_MAX_INLINE_LITERALS = 2048
+
+
+def _vec_matrix(vecs: pd.Series) -> np.ndarray:
+    """Arrow list column → (rows × dim) float64 matrix. Element-wise
+    cast to double first — same semantics as the expression path's
+    ``x.cast("double")``."""
+    return np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in vecs], dtype=np.float64
+    )
 
 
 def _dot_const(vec_col: Column, q: Sequence[float]) -> Column:
@@ -47,10 +66,28 @@ def _norm(vec_col: Column) -> Column:
 
 
 def cosine_sim_col(vec_col: Column, query: Sequence[float]) -> Column:
-    """Cosine similarity of an array column against a constant query —
-    pure built-in expressions."""
-    qn = math.sqrt(sum(float(x) * float(x) for x in query))
-    return _dot_const(vec_col, query) / (_norm(vec_col) * F.lit(qn))
+    """Cosine similarity of an array column against a constant query.
+
+    Small dims run as built-in expressions (JVM, codegen'd); above
+    ``_MAX_INLINE_LITERALS`` query elements the constant would bloat
+    the plan, so a closure-held numpy matvec per Arrow batch takes
+    over (one BLAS call per batch, not per row)."""
+    q = np.asarray(query, dtype=np.float64)
+    if q.size <= _MAX_INLINE_LITERALS:
+        qn = math.sqrt(float(q @ q))
+        return _dot_const(vec_col, query) / (_norm(vec_col) * F.lit(qn))
+
+    qn = math.sqrt(float(q @ q))
+
+    @F.pandas_udf(DoubleType())
+    def _cos(vecs: pd.Series) -> pd.Series:
+        M = _vec_matrix(vecs)
+        norms = np.linalg.norm(M, axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = (M @ q) / (norms * qn)
+        return pd.Series(out)
+
+    return _cos(vec_col)
 
 
 def cosine_topk(
@@ -78,15 +115,29 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
 
 
 def _bucket_expr(vec_col: Column, planes: np.ndarray) -> Column:
-    """Sign-bit bucket id from random hyperplanes — built-in exprs only."""
-    bits = []
-    for i, p in enumerate(planes):
-        dot = _dot_const(vec_col, p.tolist())
-        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    """Sign-bit bucket id from random hyperplanes — built-in exprs for
+    small plane matrices, one numpy matmul per Arrow batch otherwise
+    (inlining dim × n_planes literals into the plan does not survive
+    real embedding dims; see _MAX_INLINE_LITERALS)."""
+    if planes.size <= _MAX_INLINE_LITERALS:
+        bits = []
+        for i, p in enumerate(planes):
+            dot = _dot_const(vec_col, p.tolist())
+            bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    P = np.ascontiguousarray(planes.T)  # (dim × n_planes)
+    pow2 = (np.int64(1) << np.arange(planes.shape[0], dtype=np.int64))
+
+    @F.pandas_udf(LongType())
+    def _b(vecs: pd.Series) -> pd.Series:
+        M = _vec_matrix(vecs)
+        return pd.Series(((M @ P) >= 0.0) @ pow2)
+
+    return _b(vec_col)
 
 
 def lsh_bucket_topk(

@@ -527,3 +527,116 @@ class TestGroupCdfStrategies:
         vals = out.select("cdf").collect()
         assert len(vals) == 600
         assert all(0.0 <= r["cdf"] <= 1.0 for r in vals)
+
+
+class TestSimilarityMatmulPath:
+    def test_bucket_udf_matches_expr_path(self, spark):
+        """The matmul-UDF bucketing (large dim×planes) must agree with
+        the inline-expression path bit for bit."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from gr_tdigest_spark.operators import similarity as sim
+
+        rng = np.random.default_rng(11)
+        dim, n = 96, 300
+        M = rng.standard_normal((n, dim)).astype(np.float32)
+        pdf = pd.DataFrame({
+            "vec_id": np.arange(n, dtype=np.int64), "embedding": list(M)
+        })
+        df = spark.createDataFrame(
+            pdf, schema="vec_id long, embedding array<float>"
+        )
+        planes = sim._hyperplanes(dim, 12, seed=5)
+        assert planes.size <= sim._MAX_INLINE_LITERALS
+        expr = {
+            r["vec_id"]: r["b"]
+            for r in df.select(
+                "vec_id",
+                sim._bucket_expr(F.col("embedding"), planes).alias("b"),
+            ).collect()
+        }
+        # force the UDF path with the same planes
+        old = sim._MAX_INLINE_LITERALS
+        sim._MAX_INLINE_LITERALS = 1
+        try:
+            udf = {
+                r["vec_id"]: r["b"]
+                for r in df.select(
+                    "vec_id",
+                    sim._bucket_expr(F.col("embedding"), planes).alias("b"),
+                ).collect()
+            }
+        finally:
+            sim._MAX_INLINE_LITERALS = old
+        assert expr == udf
+
+    def test_cosine_udf_matches_expr_path(self, spark):
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from gr_tdigest_spark.operators import similarity as sim
+
+        rng = np.random.default_rng(12)
+        dim, n = 64, 200
+        M = rng.standard_normal((n, dim)).astype(np.float32)
+        q = rng.standard_normal(dim)
+        df = spark.createDataFrame(
+            pd.DataFrame({
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": list(M),
+            }),
+            schema="vec_id long, embedding array<float>",
+        )
+
+        def run():
+            return {
+                r["vec_id"]: round(r["c"], 9)
+                for r in df.select(
+                    "vec_id",
+                    sim.cosine_sim_col(F.col("embedding"), q).alias("c"),
+                ).collect()
+            }
+
+        expr = run()
+        old = sim._MAX_INLINE_LITERALS
+        sim._MAX_INLINE_LITERALS = 1
+        try:
+            udf = run()
+        finally:
+            sim._MAX_INLINE_LITERALS = old
+        assert expr == udf
+
+    def test_lsh_topk_768(self, spark):
+        """End-to-end ANN at a real embedding dim through the matmul
+        path; candidates must be a subset of brute force ranking top."""
+        import numpy as np
+        import pandas as pd
+        from gr_tdigest_spark.operators.similarity import (
+            cosine_topk, lsh_bucket_topk,
+        )
+
+        rng = np.random.default_rng(13)
+        n, dim = 250, 768
+        base = rng.standard_normal((10, dim))
+        M = (base[rng.integers(0, 10, n)]
+             + 0.2 * rng.standard_normal((n, dim))).astype(np.float32)
+        df = spark.createDataFrame(
+            pd.DataFrame({
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": list(M),
+            }),
+            schema="vec_id long, embedding array<float>",
+        )
+        q = M[0].astype(np.float64)
+        approx = lsh_bucket_topk(
+            df.where("vec_id != 0"), q, k=5, n_planes=16, seed=23,
+            multiprobe=2,
+        ).collect()
+        assert 0 < len(approx) <= 5
+        exact_top = {
+            r["vec_id"]
+            for r in cosine_topk(df.where("vec_id != 0"), q, 30).collect()
+        }
+        # every ANN hit should be a genuinely close vector
+        assert all(r["vec_id"] in exact_top for r in approx)
