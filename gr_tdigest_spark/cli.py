@@ -73,6 +73,118 @@ def _load_digests(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _choose_precision(df: DataFrame, column: str, flag: str) -> str:
+    """``--precision auto``: f32 iff every value is finite and
+    f32-representable within 1e-6 relative error (reference
+    tdigest_cli.rs:660-681). One JVM-side aggregate pass — the f32
+    round-trip is ``cast(float)→cast(double)``, no Python."""
+    if flag != "auto":
+        return flag
+    v = F.col(column).cast("double")
+    back = v.cast("float").cast("double")
+    ok = (
+        ~F.isnan(v) & (F.abs(v) != float("inf"))
+        & (F.abs(back - v) <= 1e-6 * F.greatest(F.abs(v), F.lit(1.0)))
+    )
+    row = df.where(F.col(column).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(ok.cast("int")).alias("all_ok"),
+    ).first()
+    # empty input → f64, like the reference's !values.is_empty() guard
+    return "f32" if (row["n"] or 0) > 0 and row["all_ok"] == 1 else "f64"
+
+
+def _parse_probe_file(path: str, fmt: Optional[str],
+                      column: Optional[str]) -> List[float]:
+    """Driver-side probe-file ingest (probe lists are small by
+    construction) — text / csv / json, auto-detected from the extension
+    like the reference (tdigest_cli.rs:169-190); ``column`` selects a
+    csv/json field by name or 0-based index."""
+    import json as _json
+
+    low = path.lower()
+    if fmt in (None, "auto"):
+        if low.endswith(".csv"):
+            fmt = "csv"
+        elif low.endswith((".json", ".ndjson", ".jsonl")):
+            fmt = "json"
+        else:
+            fmt = "text"
+    with open(path) as fh:
+        raw = fh.read()
+    if fmt == "text":
+        toks = raw.replace(",", " ").split()
+        return [float(t) for t in toks]
+    if fmt == "csv":
+        import csv as _csv
+
+        rows = list(_csv.reader(raw.splitlines()))
+        if not rows:
+            return []
+        header = rows[0]
+        if column is None:
+            idx, body = 0, rows
+            # skip a non-numeric first row (header)
+            try:
+                float(rows[0][0])
+            except ValueError:
+                body = rows[1:]
+        elif column.isdigit():
+            idx, body = int(column), rows
+            try:
+                float(rows[0][idx])
+            except ValueError:
+                body = rows[1:]
+        else:
+            if column not in header:
+                raise SystemExit(f"probe column {column!r} not in csv header")
+            idx, body = header.index(column), rows[1:]
+        return [float(r[idx]) for r in body if r]
+    if fmt == "json":
+        lines = [ln for ln in raw.splitlines() if ln.strip()]
+        try:
+            doc = _json.loads(raw)
+        except ValueError:
+            doc = [_json.loads(ln) for ln in lines]
+        if isinstance(doc, dict):
+            doc = [doc]
+        out = []
+        for item in doc:
+            if isinstance(item, (int, float)):
+                out.append(float(item))
+            elif isinstance(item, dict):
+                if column is None:
+                    raise SystemExit(
+                        "--probes-column required for json objects"
+                    )
+                out.append(float(item[column]))
+            else:
+                raise SystemExit("unsupported json probe payload")
+        return out
+    raise SystemExit(f"unknown probe format: {fmt}")
+
+
+def _gather_probes(args) -> List[float]:
+    vals: List[float] = []
+    if args.x:
+        vals.extend(float(t) for t in args.x.split(","))
+    if getattr(args, "probes_stdin", False) and getattr(
+        args, "probes_input", None
+    ):
+        raise SystemExit("--probes-stdin conflicts with --probes-input")
+    if getattr(args, "probes_stdin", False):
+        vals.extend(float(t) for t in sys.stdin.read().split())
+    if getattr(args, "probes_input", None):
+        vals.extend(
+            _parse_probe_file(args.probes_input, args.probes_format,
+                              args.probes_column)
+        )
+    if not vals:
+        raise SystemExit("no probes given (--x / --probes-input / "
+                         "--probes-stdin)")
+    return vals
+
+
 def _key_cols(df: DataFrame) -> List[str]:
     return [c for c in df.columns if c != "tdigest"]
 
@@ -97,7 +209,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     b.add_argument("--scale", default="k2")
     b.add_argument("--singleton-policy", dest="policy", default="use")
     b.add_argument("--pin-per-side", type=int, default=0)
-    b.add_argument("--precision", default="f64", choices=["f64", "f32"])
+    b.add_argument("--precision", default="f64",
+                   choices=["f64", "f32", "auto"],
+                   help="auto = f32 iff every value is f32-representable "
+                        "within 1e-6 relative error")
     b.add_argument("--to-digest", required=True,
                    help="output parquet dir for the digest table")
     b.add_argument("--checkpoint-dir", default=None,
@@ -114,8 +229,17 @@ def main(argv: Optional[List[str]] = None) -> int:
             s.add_argument("--p", required=True,
                            help="comma-separated q values in [0,1]")
         if name == "cdf":
-            s.add_argument("--x", required=True,
+            s.add_argument("--x", default=None,
                            help="comma-separated probe values")
+            s.add_argument("--probes-input", default=None, metavar="PATH",
+                           help="read probes from file (text/csv/json)")
+            s.add_argument("--probes-stdin", action="store_true",
+                           default=False)
+            s.add_argument("--probes-format", default=None,
+                           choices=[None, "auto", "text", "csv", "json"])
+            s.add_argument("--probes-column", default=None,
+                           help="csv/json probe field, name or 0-based "
+                                "index")
         common(s)
 
     m = sub.add_parser("merge", help="merge digest tables")
@@ -128,7 +252,12 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     from gr_tdigest_spark.plans import get_spark
 
-    spark = get_spark(app=f"gr-tdigest-cli-{args.cmd}", cores=args.cores)
+    # reuse an already-active session (in-process/test drives) and
+    # leave its lifecycle to the caller
+    existing = SparkSession.getActiveSession()
+    spark = existing or get_spark(
+        app=f"gr-tdigest-cli-{args.cmd}", cores=args.cores
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     import gr_tdigest_spark.functions as Fn
@@ -137,6 +266,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         if args.cmd == "build":
             df = _read_input(spark, args.input, args.format)
             keys = args.keys.split(",") if args.keys else None
+            args.precision = _choose_precision(df, args.column,
+                                               args.precision)
             if args.checkpoint_dir:
                 from gr_tdigest_spark.operators.agg import TDigestSpec
                 from gr_tdigest_spark.sources.checkpoint import (
@@ -178,7 +309,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         elif args.cmd == "cdf":
             dg = _load_digests(spark, args.from_digest)
             ks = _key_cols(dg)
-            xs = [float(x) for x in args.x.split(",")]
+            xs = _gather_probes(args)
             sel = ks + [
                 Fn.tdigest_cdf("tdigest", x).alias(f"cdf{x}") for x in xs
             ]
@@ -220,7 +351,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"wrote merged digests to {args.to_digest}",
                   file=sys.stderr)
     finally:
-        spark.stop()
+        if existing is None:
+            spark.stop()
     return 0
 
 
