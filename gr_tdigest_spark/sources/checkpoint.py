@@ -6,11 +6,15 @@ partial sketch state is persisted per shard to a table with
 **per-partition lineage and metrics**, and a rerun skips shards that
 already checkpointed (north_rule resumability).
 
-Layout under ``ckpt_dir`` (parquet; an Iceberg table path works the
-same via ``spark.read.table`` — parquet keeps the sandbox dependency-
-free):
+``ckpt_dir`` is either a filesystem path (parquet layout below) or a
+catalog table ref like ``db.ckpt`` — table refs run through
+``spark.read.table`` / ``writeTo`` via sources/tables.py, which is the
+Iceberg API surface the north_rule names (point the session at an
+Iceberg catalog and the checkpoint becomes transactional; the sandbox
+exercises the built-in session catalog).
 
-    partials/   shard_id int, <keys...>, <out_col> binary,
+    partials/  (or <ref>_partials)
+                shard_id int, <keys...>, <out_col> binary,
                 rows_ingested long, n_keys long, wall_ms double,
                 attempt string
 
@@ -39,6 +43,9 @@ from pyspark.sql.types import (
 from gr_tdigest_spark.operators.agg import (
     SketchSpec, _partition_merger, TDigestSpec,
 )
+from gr_tdigest_spark.sources.tables import (
+    drop_table, is_table_ref, read_table, write_table,
+)
 
 __all__ = [
     "checkpointed_sketch_agg",
@@ -49,6 +56,11 @@ __all__ = [
 
 
 def _partials_path(ckpt_dir: str) -> str:
+    """Partials location: ``<dir>/partials`` for filesystem checkpoints,
+    ``<table>_partials`` when ``ckpt_dir`` is a catalog-table ref
+    (Iceberg surface — see sources/tables.py)."""
+    if is_table_ref(ckpt_dir):
+        return f"{ckpt_dir}_partials"
     return os.path.join(ckpt_dir, "partials")
 
 
@@ -60,18 +72,13 @@ def _clear_partials(spark: SparkSession, ckpt_dir: str) -> None:
     Uses the Hadoop FS API so the same code works on local paths, HDFS
     and object stores.
     """
-    path = _partials_path(ckpt_dir)
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(hpath):
-        fs.delete(hpath, True)
+    drop_table(spark, _partials_path(ckpt_dir))
 
 
 def _completed_shards(spark: SparkSession, ckpt_dir: str) -> set:
     path = _partials_path(ckpt_dir)
     try:
-        existing = spark.read.parquet(path)
+        existing = read_table(spark, path)
     except Exception:
         return set()
     return {
@@ -164,11 +171,11 @@ def build_partials_checkpointed(
                 )
 
     partials = src.mapInPandas(build, schema=out_schema)
-    partials.write.mode("append").parquet(_partials_path(ckpt_dir))
+    write_table(partials, _partials_path(ckpt_dir), mode="append")
     # report the shards actually written by THIS attempt (a shard with no
     # data never materializes and needs no processing)
     written = (
-        spark.read.parquet(_partials_path(ckpt_dir))
+        read_table(spark, _partials_path(ckpt_dir))
         .where(F.col("attempt") == attempt)
         .select("shard_id").distinct().collect()
     )
@@ -186,7 +193,7 @@ def merge_from_checkpoint(
     sketch table (same partition-wise merge as the in-flight plan)."""
     key_cols = list(keys) if keys else []
     out_col = out_col or spec.name
-    partials = spark.read.parquet(_partials_path(ckpt_dir)).select(
+    partials = read_table(spark, _partials_path(ckpt_dir)).select(
         *key_cols, out_col
     )
     out_schema = StructType(
@@ -205,7 +212,7 @@ def merge_from_checkpoint(
 def checkpoint_lineage(spark: SparkSession, ckpt_dir: str) -> DataFrame:
     """Per-shard lineage/metrics: rows ingested, keys, wall time,
     attempt id — the audit trail the north_rule asks for."""
-    p = spark.read.parquet(_partials_path(ckpt_dir))
+    p = read_table(spark, _partials_path(ckpt_dir))
     return (
         p.groupBy("shard_id", "attempt")
         .agg(

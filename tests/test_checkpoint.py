@@ -116,3 +116,69 @@ def test_fresh_run_clears_stale_partials(spark, sf_dir, ckpt):
         for r in li.groupBy("l_returnflag").count().collect()
     }
     assert got == {k: float(v) for k, v in exp.items()}
+
+
+class TestCatalogTableCheckpoint:
+    """Iceberg-surface adapter: ckpt_dir as a catalog table ref goes
+    through spark.read.table / writeTo (sources/tables.py)."""
+
+    def test_checkpoint_via_table_ref(self, spark, sf_dir):
+        from gr_tdigest_spark.sources.tables import drop_table
+
+        ref = "default.gr_ckpt_test"
+        drop_table(spark, f"{ref}_partials")
+        try:
+            li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            spec = TDigestSpec(max_size=20000, policy="off")
+            out = checkpointed_sketch_agg(
+                li, ["l_returnflag"], "l_quantity", spec, ref, n_shards=4
+            )
+            got = {
+                r[0]: r[1]
+                for r in out.select(
+                    "l_returnflag",
+                    Fn.tdigest_count("tdigest").alias("n"),
+                ).collect()
+            }
+            exp = {
+                r[0]: float(r[1])
+                for r in li.groupBy("l_returnflag").count().collect()
+            }
+            assert got == exp
+            # lineage readable through the same surface
+            lin = checkpoint_lineage(spark, ref)
+            assert lin.count() > 0
+            # resume skips everything (no new shards)
+            done2 = build_partials_checkpointed(
+                li, ["l_returnflag"], "l_quantity", spec, ref, n_shards=4
+            )
+            assert done2 == []
+        finally:
+            drop_table(spark, f"{ref}_partials")
+
+    def test_adapter_roundtrip_and_modes(self, spark, tmp_path):
+        import pandas as pd
+        from gr_tdigest_spark.sources.tables import (
+            drop_table, is_table_ref, read_table, write_table,
+            table_exists,
+        )
+
+        assert is_table_ref("db.tbl") and is_table_ref("cat.db.tbl")
+        assert not is_table_ref("/a/b") and not is_table_ref("x.parquet")
+
+        df = spark.createDataFrame(pd.DataFrame({"a": [1, 2]}))
+        ref = "default.gr_adapter_test"
+        drop_table(spark, ref)
+        try:
+            write_table(df, ref, mode="append")   # creates via writeTo
+            assert table_exists(spark, ref)
+            write_table(df, ref, mode="append")   # v1 fallback append
+            assert read_table(spark, ref).count() == 4
+            write_table(df, ref, mode="overwrite")
+            assert read_table(spark, ref).count() == 2
+        finally:
+            drop_table(spark, ref)
+        # path mode unchanged
+        p = str(tmp_path / "t.parquet")
+        write_table(df, p, mode="overwrite")
+        assert read_table(spark, p).count() == 2
