@@ -146,6 +146,11 @@ def main() -> None:
         "turns_per_sec": round(turns_per_sec, 1),
         "cpus": cpus,
     }))
+    # flush the JSON line and let AQE/exchange threads settle before the
+    # JVM teardown — otherwise a harmless RejectedExecutionException race
+    # pollutes the bench transcript
+    sys.stdout.flush()
+    time.sleep(1.0)
     spark.stop()
 
 

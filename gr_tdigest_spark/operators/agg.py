@@ -284,17 +284,16 @@ class TDigestSpec(SketchSpec):
             key_tuples = [()]
         return self.build_from_codes(codes, key_tuples, vals, ws)
 
-    def build_from_codes(
+    def _prepare_runs(
         self,
         codes: np.ndarray,
-        key_tuples: list,
+        n_groups: int,
         vals: np.ndarray,
         ws: Optional[np.ndarray],
-    ) -> Dict[tuple, TDigest]:
-        """Core vectorized multi-group build: one lexsort over
-        (key code, value), one reduceat pass for pile coalescing, direct
-        digest construction for no-merge groups, kernel compress for the
-        rest."""
+    ):
+        """Shared preprocessing for the vectorized builders: validate/
+        clean, one lexsort over (key code, value), one reduceat pass for
+        pile coalescing. Returns None when no rows survive."""
         if self.on_invalid == "drop":
             keep = np.isfinite(np.asarray(vals, dtype=np.float64))
             if ws is not None:
@@ -305,9 +304,8 @@ class TDigestSpec(SketchSpec):
             ws = None if ws is None else np.asarray(ws, dtype=np.float64)[keep]
         else:
             vals, ws = self.clean_values(vals, ws)
-        out: Dict[tuple, TDigest] = {}
         if vals.size == 0:
-            return out
+            return None
         if self.precision == "f32":
             vals = np.asarray(vals.astype(np.float32), dtype=np.float64)
 
@@ -316,7 +314,7 @@ class TDigestSpec(SketchSpec):
         sv = vals[order]
         sw = ws[order] if ws is not None else None
 
-        group_bounds = np.searchsorted(sc, np.arange(len(key_tuples) + 1))
+        group_bounds = np.searchsorted(sc, np.arange(n_groups + 1))
 
         w_all = sw if sw is not None else np.ones(sv.size)
         # coalesce equal (group, value) runs globally
@@ -330,8 +328,27 @@ class TDigestSpec(SketchSpec):
         # per-group run ranges
         run_group = sc[run_starts]
         grp_run_bounds = np.searchsorted(
-            run_group, np.arange(len(key_tuples) + 1)
+            run_group, np.arange(n_groups + 1)
         )
+        return (
+            sw, w_all, group_bounds, run_means, run_weights, grp_run_bounds
+        )
+
+    def build_from_codes(
+        self,
+        codes: np.ndarray,
+        key_tuples: list,
+        vals: np.ndarray,
+        ws: Optional[np.ndarray],
+    ) -> Dict[tuple, TDigest]:
+        """Core vectorized multi-group build: direct digest construction
+        for no-merge groups, kernel compress for the rest."""
+        out: Dict[tuple, TDigest] = {}
+        prep = self._prepare_runs(codes, len(key_tuples), vals, ws)
+        if prep is None:
+            return out
+        (sw, w_all, group_bounds, run_means, run_weights,
+         grp_run_bounds) = prep
         no_merge_factor = _NO_MERGE_FACTOR.get(self.scale, 0.0) * 0.99
 
         for gi, key in enumerate(key_tuples):
@@ -366,6 +383,82 @@ class TDigestSpec(SketchSpec):
             # key column) — merge, never overwrite
             out[key] = td if prev is None else self.merge_states(prev, td)
         return out
+
+    def build_blobs_from_codes(
+        self,
+        codes: np.ndarray,
+        key_tuples: list,
+        vals: np.ndarray,
+        ws: Optional[np.ndarray],
+    ):
+        """Columnar partial output: encode TDIG v3 blobs straight from
+        the coalesced run arrays — no per-key TDigest object, no states
+        dict. No-merge groups (the common case at high key cardinality:
+        many small groups) go through the vectorized multi-group encoder
+        (wire.encode_pile_groups); groups that need compression fall
+        back to the kernel. Returns (keys, blobs) for non-empty groups.
+
+        Group count/sum here come from reduceat over the run arrays —
+        same values as the per-key np.sum/np.dot of the states path up
+        to summation order (integer-weight counts are exact either way).
+        """
+        prep = self._prepare_runs(codes, len(key_tuples), vals, ws)
+        if prep is None:
+            return [], []
+        (sw, w_all, group_bounds, run_means, run_weights,
+         grp_run_bounds) = prep
+        n_groups = len(key_tuples)
+        nruns = run_means.size
+
+        b0 = grp_run_bounds[:-1]
+        b1 = grp_run_bounds[1:]
+        valid = b1 > b0
+        # reduceat with a sentinel element: trailing empty groups index
+        # the sentinel (identity for add/min) instead of clipping into —
+        # and truncating — the last real group's segment
+        idx = np.minimum(b0, nruns)
+        counts = np.add.reduceat(np.append(run_weights, 0.0), idx)
+        sums = np.add.reduceat(
+            np.append(run_means * run_weights, 0.0), idx
+        )
+        counts = np.where(valid, counts, 0.0)
+        sums = np.where(valid, sums, 0.0)
+        n_distinct = b1 - b0
+        if sw is not None:
+            min_w = np.minimum.reduceat(np.append(run_weights, np.inf), idx)
+            all_ge1 = np.where(valid, min_w >= 1.0, False)
+        else:
+            all_ge1 = valid  # unit weights are always ≥ 1
+        no_merge_factor = _NO_MERGE_FACTOR.get(self.scale, 0.0) * 0.99
+        fast = (
+            valid
+            & (counts < no_merge_factor * self.max_size)
+            & (n_distinct <= self.max_size)
+            & all_ge1
+        )
+
+        # slow groups get a pile blob too (ignored below) — they are
+        # rare by construction, the wasted header/crc is negligible
+        blobs = td_wire.encode_pile_groups(
+            run_means, run_weights, grp_run_bounds, counts, sums,
+            max_size=self.max_size, scale=self.scale, policy=self.policy,
+            pin_per_side=self.pin_per_side, precision=self.precision,
+        )
+        if bool(np.all(fast)):
+            return list(key_tuples), blobs
+        out_keys, out_blobs = [], []
+        for gi, key in enumerate(key_tuples):
+            if fast[gi]:
+                out_keys.append(key)
+                out_blobs.append(blobs[gi])
+            elif valid[gi]:
+                td = self._empty()
+                td._compress(
+                    run_means[b0[gi]:b1[gi]], run_weights[b0[gi]:b1[gi]]
+                )
+                out_keys.append(key)
+                out_blobs.append(td_wire.encode(td, 3))
+        return out_keys, out_blobs
 
 
 # --------------------------------------------------------------------- #
@@ -434,11 +527,13 @@ def _partial_builder_arrow(
         buf_vals: List[np.ndarray] = []
         buf_ws: List[np.ndarray] = []
         buffered = 0
+        spilled = False  # True once any intermediate flush built states
 
         def flush():
-            nonlocal buffered
+            nonlocal buffered, spilled
             if not buf_codes:
                 return
+            spilled = True
             codes = np.concatenate(buf_codes)
             vals = np.concatenate(buf_vals)
             ws = np.concatenate(buf_ws) if buf_ws else None
@@ -485,6 +580,23 @@ def _partial_builder_arrow(
             buffered += len(vals)
             if buffered >= flush_rows:
                 flush()
+        if not spilled and buf_codes:
+            # single-flush partition (the common case: flush_rows is 1M
+            # and partitions are sized ~rows/2·cores): encode blobs
+            # straight from the coalesced run arrays — no per-key
+            # TDigest objects, no states dict, no re-encode
+            keys_out, blobs = spec.build_blobs_from_codes(
+                np.concatenate(buf_codes), keys_by_gid,
+                np.concatenate(buf_vals),
+                np.concatenate(buf_ws) if buf_ws else None,
+            )
+            if not keys_out:
+                return
+            pdf = _keyed_blob_frame(keys_out, blobs, key_cols, out_col)
+            yield pa.RecordBatch.from_pandas(
+                pdf, schema=arrow_schema, preserve_index=False
+            )
+            return
         flush()
         if not states:
             return
@@ -557,21 +669,34 @@ def _partition_merger(
     Requires partials hash-partitioned by the keys."""
 
     def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # collect blobs per key first: a key with a single partial passes
-        # through untouched (merge of one digest is the identity here —
-        # no decode/re-encode), which is the common case when input data
-        # is clustered by the key
-        blobs_by_key: Dict[tuple, list] = {}
-        for pdf in batches:
-            keys_np = [pdf[k].to_numpy() for k in key_cols]
-            blobs = pdf[out_col]
-            for i in range(len(pdf)):
-                key = _canon_key_tuple(k[i] for k in keys_np)
-                blobs_by_key.setdefault(key, []).append(
-                    bytes(blobs.iloc[i])
-                )
-        if not blobs_by_key:
+        # a key with a single partial passes through untouched (merge of
+        # one digest is the identity — no decode/re-encode); that is the
+        # common case when input data is clustered by the key, so detect
+        # it VECTORIZED (pandas duplicated; NaN==NaN and None==None in
+        # duplicated, and Arrow conversion keeps each column's missing
+        # marker uniform — None for object, NaN for float — so this
+        # agrees with the canonicalized dict keys) and spend Python only
+        # on the genuinely multi-partial keys
+        pdfs = list(batches)
+        if not pdfs:
             return
+        pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(
+            pdfs, ignore_index=True
+        )
+        if key_cols:
+            dup = pdf.duplicated(subset=key_cols, keep=False)
+            singles = pdf.loc[~dup, key_cols + [out_col]]
+            if len(singles):
+                yield singles
+            pdf = pdf.loc[dup]
+        if not len(pdf):
+            return
+        blobs_by_key: Dict[tuple, list] = {}
+        keys_np = [pdf[k].to_numpy() for k in key_cols]
+        blobs = pdf[out_col].to_numpy()
+        for i in range(len(pdf)):
+            key = _canon_key_tuple(k[i] for k in keys_np)
+            blobs_by_key.setdefault(key, []).append(bytes(blobs[i]))
         out_blobs = []
         for bl in blobs_by_key.values():
             if len(bl) == 1:

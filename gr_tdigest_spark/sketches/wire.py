@@ -337,3 +337,106 @@ def _decode_v3(blob: bytes) -> TDigest:
         precision, scale_code, policy_code, pin, int(max_size),
         total_weight, mn, mx, data_sum, means, w, kinds,
     )
+
+
+def encode_pile_groups(
+    run_means: np.ndarray,
+    run_weights: np.ndarray,
+    bounds: np.ndarray,
+    counts: np.ndarray,
+    sums: np.ndarray,
+    *,
+    max_size: int,
+    scale: str,
+    policy: str,
+    pin_per_side: int,
+    precision: str,
+) -> list:
+    """Vectorized v3 encoding of MANY uncompressed pile digests at once.
+
+    Group ``i`` owns runs ``bounds[i]:bounds[i+1]`` of the (sorted,
+    coalesced) ``run_means``/``run_weights`` arrays; ``counts``/``sums``
+    carry the group totals computed from the ORIGINAL weights. Produces
+    byte-for-byte the same blob as ``encode(_pile_digest(...), 3)``
+    without constructing a TDigest object per key: the payload matrix
+    and header field columns are built in numpy for all groups, leaving
+    only crc32 (zlib, C) + slicing in the per-key loop. Empty groups
+    yield None.
+    """
+    scale_code = _SCALE_TO_CODE[scale]
+    policy_code = _POLICY_TO_CODE[policy]
+    pin = min(pin_per_side, 255) if policy == "edges" else 0
+
+    n_groups = len(bounds) - 1
+    # storage-precision views (TDigest._store semantics)
+    if precision == "f32":
+        m_store = run_means.astype(np.float32)
+        w_store = np.where(run_weights <= 1.0, 1.0, run_weights).astype(
+            np.float32
+        ).astype(np.float64)
+        mean_payload = m_store  # already f32
+    else:
+        m_store = np.asarray(run_means, dtype=np.float64)
+        w_store = np.where(run_weights <= 1.0, 1.0, run_weights)
+        mean_payload = m_store
+
+    n = run_means.size
+    stride = _stride(3, precision)
+    msz = 4 if precision == "f32" else 8
+    pay = np.zeros(n * stride, dtype=np.uint8)
+    view = pay.reshape(n, stride) if n else pay.reshape(0, stride)
+    if n:
+        view[:, :msz] = (
+            mean_payload.astype(_mean_dtype(precision))
+            .view(np.uint8).reshape(n, msz)
+        )
+        view[:, msz:msz + 8] = (
+            w_store.astype("<f8").view(np.uint8).reshape(n, 8)
+        )
+        # kinds: all piles are atomic (0) — column already zeroed
+    pay_bytes = pay.tobytes()
+
+    b0 = bounds[:-1]
+    b1 = bounds[1:]
+    valid = b1 > b0
+    mn = np.zeros(n_groups)
+    mx = np.zeros(n_groups)
+    if n:
+        m64 = np.asarray(m_store, dtype=np.float64)
+        mn[valid] = m64[np.minimum(b0[valid], n - 1)]
+        mx[valid] = m64[b1[valid] - 1]
+
+    tmpl = bytearray(HEADER_LEN_V3)
+    tmpl[0:4] = MAGIC
+    tmpl[4:12] = bytes([
+        3, V3_FLAG_CHECKSUM, HEADER_LEN_V3, _PRECISION_CODE[precision],
+        scale_code, policy_code, pin, 0,
+    ])
+    struct.pack_into("<Q", tmpl, 12, max_size)
+
+    # all headers as one (G × 64) matrix — vectorized field writes; the
+    # crc slot stays zero so crc32 over the full 64-byte slice matches
+    # _checksum_v3's zeroed-slot semantics
+    H = np.tile(np.frombuffer(bytes(tmpl), np.uint8), (n_groups, 1))
+    if n_groups:
+        H[:, 20:28] = np.asarray(counts, "<f8").view(np.uint8).reshape(-1, 8)
+        H[:, 28:36] = mn.astype("<f8").view(np.uint8).reshape(-1, 8)
+        H[:, 36:44] = mx.astype("<f8").view(np.uint8).reshape(-1, 8)
+        H[:, 44:52] = (b1 - b0).astype("<u8").view(np.uint8).reshape(-1, 8)
+        H[:, 52:60] = np.asarray(sums, "<f8").view(np.uint8).reshape(-1, 8)
+    hdr_bytes = H.tobytes()
+
+    out = []
+    crc32 = zlib.crc32
+    pack = struct.pack
+    off = (bounds * stride).tolist()
+    valid_l = valid.tolist()
+    for i in range(n_groups):
+        if not valid_l[i]:
+            out.append(None)
+            continue
+        h = hdr_bytes[i * HEADER_LEN_V3:(i + 1) * HEADER_LEN_V3]
+        pslice = pay_bytes[off[i]:off[i + 1]]
+        crc = crc32(pslice, crc32(h))
+        out.append(h[:V3_CHECKSUM_OFFSET] + pack("<I", crc) + pslice)
+    return out
