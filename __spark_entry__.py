@@ -267,6 +267,32 @@ def q_td_add_values(spark, sf_dir):
     )
 
 
+def q_td_add_weighted(spark, sf_dir):
+    """Table-level add_weighted_many (frontends.rs:385-402): per-flag
+    digests + integer-weighted correction rows == digests over the
+    expanded union (oracle expands weights via unnest(range(w)))."""
+    from gr_tdigest_spark.operators import tdigest_agg
+    from gr_tdigest_spark.operators.rollup import add_weighted_values
+    import gr_tdigest_spark.functions as Fn
+
+    li = _li(spark, sf_dir)
+    base = tdigest_agg(li, ["l_returnflag"], "l_quantity", **UNCOMPRESSED)
+    new_rows = (
+        li.select("l_returnflag").distinct()
+        .crossJoin(spark.createDataFrame(
+            [(3.5, 3.0), (97.5, 2.0)], "qv double, w double"
+        ))
+    )
+    full = add_weighted_values(
+        base, new_rows, ["l_returnflag"], "qv", "w", **UNCOMPRESSED
+    )
+    return full.select(
+        "l_returnflag",
+        Fn.tdigest_quantile("tdigest", Q1).alias("q_qty"),
+        Fn.tdigest_count("tdigest").alias("n"),
+    )
+
+
 def q_td_struct_roundtrip(spark, sf_dir):
     """Blob → struct → blob round-trip preserves queries (the struct form
     carries kind + config — SURVEY §1.3)."""
@@ -590,6 +616,22 @@ def q_lsh_bucket_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cosine", 6).alias("cos_sim"))
 
 
+def q_embed_near_dups(spark, sf_dir):
+    """Embedding near-duplicate pairs at dim=768 (matmul bucketing):
+    same-bucket self-join + exact cosine ≥ threshold. Oracle replicates
+    the bucketing from the materialized plane matrix — same candidate
+    semantics (bucket equality) by construction."""
+    from gr_tdigest_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _emb768_table(spark)
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=0.9, n_planes=16, seed=23
+    )
+    return pairs.select("a", "b", F.round("cosine", 6).alias("cos_sim"))
+
+
 def q_minhash_near_dups(spark, sf_dir):
     """MinHash LSH near-dup pairs. Oracle: exact character-5-gram
     Jaccard over all pairs — at this scale the 64-hash/16-band LSH
@@ -705,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_wire_v2": q_td_wire_v2,
         "td_f32": q_td_f32,
         "td_add_values": q_td_add_values,
+        "td_add_weighted": q_td_add_weighted,
         "td_struct_roundtrip": q_td_struct_roundtrip,
         "td_cdf_col": q_td_cdf_col,
         "td_cube": q_td_cube,
@@ -721,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "embed_topk": q_embed_topk,
         "lsh_bucket_topk": q_lsh_bucket_topk,
+        "embed_near_dups": q_embed_near_dups,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "lang_id": q_lang_id,
@@ -819,6 +863,22 @@ def oracle_sql() -> dict[str, str]:
         "td_f32": (
             f"SELECT l_returnflag, quantile_disc(l_quantity, {Q1}) AS q_qty, "
             "'f32' AS prec FROM lineitem GROUP BY l_returnflag"
+        ),
+        "td_add_weighted": (
+            f"""
+            WITH added AS (
+              SELECT l_returnflag, qv AS l_quantity
+              FROM (SELECT DISTINCT l_returnflag FROM lineitem),
+                   (VALUES (3.5::DOUBLE, 3), (97.5::DOUBLE, 2)) AS t(qv, w),
+                   unnest(range(w)) AS u(_i)
+            ), allrows AS (
+              SELECT l_returnflag, l_quantity FROM lineitem
+              UNION ALL SELECT l_returnflag, l_quantity FROM added
+            )
+            SELECT l_returnflag, quantile_disc(l_quantity, {Q1}) AS q_qty,
+                   count(*)::DOUBLE AS n
+            FROM allrows GROUP BY l_returnflag
+            """
         ),
         "td_add_values": (
             f"SELECT l_returnflag, quantile_disc(l_quantity, {Q1}) AS q_qty, "
@@ -1029,6 +1089,29 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(v, q), 6) AS cos_sim
             FROM cand, qv
             ORDER BY cos_sim DESC, vec_id LIMIT 10
+            """
+        ),
+        "embed_near_dups": (
+            f"""
+            WITH emb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM read_parquet('{_EMB768_PATH}/*.parquet')
+            ), pl AS (
+              SELECT bit, vec
+              FROM read_parquet('{_PLANES768_PATH}/*.parquet')
+            ), b AS (
+              SELECT vec_id,
+                     sum(CASE WHEN list_dot_product(v, vec) >= 0
+                         THEN bit ELSE 0 END)::BIGINT AS bucket
+              FROM emb, pl GROUP BY vec_id
+            )
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(list_cosine_similarity(ex.v, ey.v), 6) AS cos_sim
+            FROM b x JOIN b y ON x.bucket = y.bucket
+                              AND x.vec_id < y.vec_id
+                 JOIN emb ex ON ex.vec_id = x.vec_id
+                 JOIN emb ey ON ey.vec_id = y.vec_id
+            WHERE list_cosine_similarity(ex.v, ey.v) >= 0.9
             """
         ),
         # full simhash replica: md5-derived 64-bit token hash, ±1 bit

@@ -110,6 +110,12 @@ def main() -> None:
         "q9_embed_topk",
         lambda: cosine_topk(emb, qvec, k=10).collect(),
     )
+    from gr_tdigest_spark.operators.companions import cms_topk
+    bench(
+        "q10_hh_topk",
+        lambda: cms_topk(ev, ["event_type"], "user_id", k=5, m=512,
+                         width=1 << 16).collect(),
+    )
 
     # transcript sketch-build throughput (turns/sec), the BASELINE metric
     from gr_tdigest_spark.sources.transcripts import transcripts_df
