@@ -1,19 +1,15 @@
-"""Stateful streaming t-digest aggregation (applyInPandasWithState)."""
+"""Stateful streaming t-digest aggregation — a thin parameterization of
+the generic ``sketch_stream_agg`` (any SketchSpec monoid streams the
+same way; see streaming/sketch_stream.py)."""
 
 from __future__ import annotations
 
-from typing import Iterable, List, Optional, Sequence, Tuple
-
-import pandas as pd
+from typing import Sequence
 
 from pyspark.sql import DataFrame
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (
-    BinaryType, DoubleType, StructField, StructType,
-)
 
 from gr_tdigest_spark.operators.agg import TDigestSpec
-from gr_tdigest_spark.sketches import wire as td_wire
+from gr_tdigest_spark.streaming.sketch_stream import sketch_stream_agg
 
 __all__ = ["tdigest_stream_agg"]
 
@@ -35,58 +31,11 @@ def tdigest_stream_agg(
     Output rows: (keys..., out_col binary, n double) — ``n`` is the
     digest's running total weight.
     """
-    key_cols = list(keys)
     spec = TDigestSpec(
         max_size=max_size, scale=scale, policy=policy,
         pin_per_side=pin_per_side, precision=precision,
     )
-
-    key_fields = [stream_df.schema[k] for k in key_cols]
-    out_schema = StructType(
-        key_fields
-        + [
-            StructField(out_col, BinaryType(), True),
-            StructField("n", DoubleType(), True),
-        ]
-    )
-    state_schema = StructType([StructField("blob", BinaryType(), True)])
-
-    def update(
-        key: Tuple,
-        pdfs: Iterable[pd.DataFrame],
-        state: GroupState,
-    ) -> Iterable[pd.DataFrame]:
-        if state.exists:
-            (blob,) = state.get
-            digest = td_wire.decode(bytes(blob))
-        else:
-            digest = None
-        for pdf in pdfs:
-            vals, _ = spec.clean_values(pdf[value_col].to_numpy(), None)
-            if vals.size == 0:
-                continue
-            batch_digest = spec.build_state(vals, None)
-            digest = (
-                batch_digest if digest is None
-                else spec.merge_states(digest, batch_digest)
-            )
-        if digest is None:
-            return
-        blob = td_wire.encode(digest)
-        state.update((blob,))
-        row = dict(zip(key_cols, key))
-        row[out_col] = blob
-        row["n"] = float(digest.count)
-        yield pd.DataFrame([row], columns=key_cols + [out_col, "n"])
-
-    return (
-        stream_df.select(*key_cols, value_col)
-        .groupBy(*key_cols)
-        .applyInPandasWithState(
-            update,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    return sketch_stream_agg(
+        stream_df, keys, value_col, spec, out_col=out_col,
+        count_fn=lambda d: d.count,
     )

@@ -63,3 +63,56 @@ def test_streaming_matches_incremental_batch(spark, tmp_path):
         assert latest[g]["n"] == float(vals.size)
         assert abs(got.quantile(0.5) - np.quantile(vals, 0.5)) < 5.0
         assert got.min == vals.min() and got.max == vals.max()
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """The generic sketch_stream_agg streams ANY SketchSpec: streamed
+    HLL state equals the batch HLL over the same rows byte-for-byte
+    (same monoid, same fold)."""
+    from gr_tdigest_spark.operators.companions import HLLSpec, hll_agg
+    from gr_tdigest_spark.sketches.hll import HLL
+    from gr_tdigest_spark.streaming import sketch_stream_agg
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    rng = np.random.default_rng(9)
+    schema = "g string, uid long"
+    rows = [
+        (f"g{k}", int(u))
+        for k, u in zip(rng.integers(0, 2, 800), rng.integers(0, 500, 800))
+    ]
+    spark.createDataFrame(rows[:400], schema).write.mode("append").parquet(src)
+    spark.createDataFrame(rows[400:], schema).write.mode("append").parquet(src)
+
+    collected = []
+
+    def sink(df, epoch_id):
+        collected.extend(df.collect())
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        sketch_stream_agg(stream, ["g"], "uid", HLLSpec(p=12))
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    latest = {}
+    for r in collected:
+        latest[r["g"]] = r
+    batch = {
+        r["g"]: bytes(r["hll"])
+        for r in hll_agg(
+            spark.createDataFrame(rows, schema), ["g"], "uid", p=12
+        ).collect()
+    }
+    for g, blob in batch.items():
+        streamed = HLL.from_bytes(bytes(latest[g]["hll"]))
+        expect = HLL.from_bytes(blob)
+        assert streamed.estimate() == expect.estimate(), g
+        n_rows = sum(1 for (k, _) in rows if k == g)
+        assert latest[g]["n"] == float(n_rows)
