@@ -118,3 +118,73 @@ def test_f32_precision_vectorized():
     got = built[(0,)]
     assert got.precision == "f32"
     np.testing.assert_array_equal(got.means, ref.means)
+
+
+class TestColumnarBlobPath:
+    """build_blobs_from_codes (columnar partial output) must agree with
+    the states path (build_from_codes → encode) for every config."""
+
+    def _compare(self, prec, weighted, seed):
+        rng = np.random.default_rng(seed)
+        n = 30000
+        codes = rng.integers(0, 2000, n)
+        keys = [(int(i),) for i in range(2100)]  # trailing empty groups
+        vals = rng.lognormal(0, 1, n)
+        ws = rng.integers(1, 5, n).astype(float) if weighted else None
+        spec = TDigestSpec(max_size=100, precision=prec)
+        states = spec.build_from_codes(
+            codes.copy(), keys, vals.copy(),
+            None if ws is None else ws.copy(),
+        )
+        k2, blobs = spec.build_blobs_from_codes(
+            codes.copy(), keys, vals.copy(),
+            None if ws is None else ws.copy(),
+        )
+        assert set(k2) == set(states.keys())
+        from gr_tdigest_spark.sketches import wire
+        bmap = dict(zip(k2, blobs))
+        for key, st in states.items():
+            a, b = wire.encode(st, 3), bmap[key]
+            if a == b:
+                continue
+            ta, tb = wire.decode(a), wire.decode(b)
+            assert np.array_equal(ta.means, tb.means), key
+            assert np.array_equal(ta.weights, tb.weights), key
+            assert np.array_equal(ta.kinds, tb.kinds), key
+            assert ta.count == tb.count and ta.min == tb.min, key
+            assert ta.max == tb.max, key
+            # sum may differ at ulp (np.dot vs reduceat ordering)
+            assert abs(ta.sum - tb.sum) <= 1e-12 * max(abs(ta.sum), 1.0)
+
+    def test_f64_unit(self):
+        self._compare("f64", False, 1)
+
+    def test_f64_weighted(self):
+        self._compare("f64", True, 2)
+
+    def test_f32_unit(self):
+        self._compare("f32", False, 3)
+
+    def test_f32_weighted(self):
+        self._compare("f32", True, 4)
+
+    def test_slow_group_byte_equal(self):
+        rng = np.random.default_rng(5)
+        vals = rng.lognormal(0, 1, 5000)
+        codes = np.zeros(5000, dtype=np.int64)
+        spec = TDigestSpec(max_size=100)
+        from gr_tdigest_spark.sketches import wire
+        st = spec.build_from_codes(codes.copy(), [(0,)], vals.copy(),
+                                   None)[(0,)]
+        _, blobs = spec.build_blobs_from_codes(codes, [(0,)], vals, None)
+        assert wire.encode(st, 3) == blobs[0]
+
+    def test_drop_mode_and_empty(self):
+        spec = TDigestSpec(max_size=50, on_invalid="drop")
+        vals = np.array([np.nan, np.inf, 1.0, 2.0])
+        k, blobs = spec.build_blobs_from_codes(
+            np.array([0, 0, 1, 1]), [(0,), (1,)], vals, None
+        )
+        assert k == [(1,)]
+        from gr_tdigest_spark.sketches import wire
+        assert wire.decode(blobs[0]).count == 2.0
