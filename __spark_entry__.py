@@ -564,38 +564,49 @@ _EMB768_PATH = "/root/repo/.cache/embeddings768.parquet"
 _PLANES768_PATH = "/root/repo/.cache/lsh_planes768.parquet"
 
 
-def _emb768_table(spark):
+def _write_pa(path, table):
+    import os
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+    open(os.path.join(path, "_SUCCESS"), "w").close()
+
+
+def _ensure_emb768_fixture():
     """Seeded 400 × 768-dim float32 embedding fixture (clustered so
-    buckets have genuine neighbors), materialized once so DuckDB reads
-    identical values; the LSH hyperplanes are materialized beside it so
-    the oracle can replicate the bucketing exactly."""
+    buckets have genuine neighbors) + the LSH hyperplane matrix,
+    materialized once (pyarrow — no SparkSession needed, so oracle_sql()
+    can guarantee existence regardless of which side the driver runs
+    first); both engines read identical values."""
     import os
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
     from gr_tdigest_spark.operators.similarity import _hyperplanes
 
-    if not os.path.exists(os.path.join(_EMB768_PATH, "_SUCCESS")):
-        rng = np.random.default_rng(2024)
-        n, dim = 400, 768
-        base = rng.standard_normal((20, dim))
-        M = (
-            base[rng.integers(0, 20, n)]
-            + 0.22 * rng.standard_normal((n, dim))
-        ).astype(np.float32)
-        pdf = pd.DataFrame(
-            {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(M)}
-        )
-        spark.createDataFrame(
-            pdf, schema="vec_id long, embedding array<float>"
-        ).coalesce(1).write.mode("overwrite").parquet(_EMB768_PATH)
-        planes = _hyperplanes(dim, 16, seed=23)
-        ppdf = pd.DataFrame({
-            "bit": (1 << np.arange(16)).astype(np.int64),
-            "vec": list(planes.astype(np.float64)),
-        })
-        spark.createDataFrame(
-            ppdf, schema="bit long, vec array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(_PLANES768_PATH)
+    if os.path.exists(os.path.join(_EMB768_PATH, "_SUCCESS")):
+        return
+    rng = np.random.default_rng(2024)
+    n, dim = 400, 768
+    base = rng.standard_normal((20, dim))
+    M = (
+        base[rng.integers(0, 20, n)]
+        + 0.22 * rng.standard_normal((n, dim))
+    ).astype(np.float32)
+    _write_pa(_EMB768_PATH, pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(M), type=pa.list_(pa.float32())),
+    }))
+    planes = _hyperplanes(dim, 16, seed=23)
+    _write_pa(_PLANES768_PATH, pa.table({
+        "bit": pa.array((1 << np.arange(16)).astype(np.int64)),
+        "vec": pa.array(list(planes.astype(np.float64)),
+                        type=pa.list_(pa.float64())),
+    }))
+
+
+def _emb768_table(spark):
+    _ensure_emb768_fixture()
     return spark.read.parquet(_EMB768_PATH)
 
 
@@ -669,19 +680,35 @@ def q_lang_id(spark, sf_dir):
 _TRANSCRIPT_ORACLE_PATH = "/root/repo/.cache/transcripts_oracle.parquet"
 
 
-def _transcript_table(spark):
+def _ensure_transcript_fixture():
     """Materialize the seeded transcript table to a deterministic
     parquet path so DuckDB reads the IDENTICAL rows (same pattern the
-    TPC-H tables get for free). The generator is fully seeded, so a
-    stale file from a prior run is byte-equivalent."""
+    TPC-H tables get for free). pyarrow writer — no SparkSession needed,
+    so oracle_sql() can guarantee existence regardless of which side
+    the driver runs first. Timestamps are UTC-localized so Spark reads
+    TIMESTAMP (unix_micros works) and DuckDB reads TIMESTAMPTZ
+    (epoch_us works) with identical microsecond values."""
     import os
-    from gr_tdigest_spark.sources.transcripts import transcripts_df
+    import pyarrow as pa
+    from gr_tdigest_spark.sources.transcripts import transcripts_pandas
 
-    if not os.path.exists(os.path.join(_TRANSCRIPT_ORACLE_PATH,
-                                       "_SUCCESS")):
-        transcripts_df(spark, n_convs=150, seed=42).write.mode(
-            "overwrite"
-        ).parquet(_TRANSCRIPT_ORACLE_PATH)
+    if os.path.exists(os.path.join(_TRANSCRIPT_ORACLE_PATH, "_SUCCESS")):
+        return
+    pdf = transcripts_pandas(n_convs=150, seed=42)
+    pdf = pdf.assign(ts=pdf["ts"].dt.tz_localize("UTC"))
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    # Spark rejects TIMESTAMP(NANOS) parquet — store microseconds
+    # (the generator works in µs, so the cast is lossless)
+    ts_type = pa.timestamp("us", tz="UTC")
+    idx = table.schema.get_field_index("ts")
+    table = table.set_column(
+        idx, pa.field("ts", ts_type), table.column("ts").cast(ts_type)
+    )
+    _write_pa(_TRANSCRIPT_ORACLE_PATH, table)
+
+
+def _transcript_table(spark):
+    _ensure_transcript_fixture()
     return spark.read.parquet(_TRANSCRIPT_ORACLE_PATH)
 
 
@@ -776,6 +803,11 @@ _GROUPED = "FROM lineitem GROUP BY l_returnflag, l_linestatus"
 
 
 def oracle_sql() -> dict[str, str]:
+    # generated-table fixtures must exist before DuckDB reads them,
+    # whichever side the driver evaluates first — generation is
+    # Spark-free (pyarrow) and deterministic, so this is idempotent
+    _ensure_transcript_fixture()
+    _ensure_emb768_fixture()
     return {
         "td_quantile_group": (
             f"SELECT l_returnflag, l_linestatus, "
