@@ -293,6 +293,24 @@ def q_td_add_weighted(spark, sf_dir):
     )
 
 
+def q_td_infer_precision(spark, sf_dir):
+    """infer_column_precision sniffs wire precision from blob headers
+    (reference __init__.py:207-257); pinned-constant oracle — a broken
+    sniffer mismatches."""
+    from gr_tdigest_spark.operators import tdigest_agg
+    import gr_tdigest_spark.functions as Fn
+
+    li = _li(spark, sf_dir)
+    dg64 = tdigest_agg(li, ["l_returnflag"], "l_quantity", max_size=100)
+    dg32 = tdigest_agg(li, ["l_returnflag"], "l_quantity", max_size=100,
+                       precision="f32")
+    rows = [
+        ("f64_col", Fn.infer_column_precision(dg64, "tdigest")),
+        ("f32_col", Fn.infer_column_precision(dg32, "tdigest")),
+    ]
+    return spark.createDataFrame(rows, "name string, precision string")
+
+
 def q_td_struct_roundtrip(spark, sf_dir):
     """Blob → struct → blob round-trip preserves queries (the struct form
     carries kind + config — SURVEY §1.3)."""
@@ -775,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_f32": q_td_f32,
         "td_add_values": q_td_add_values,
         "td_add_weighted": q_td_add_weighted,
+        "td_infer_precision": q_td_infer_precision,
         "td_struct_roundtrip": q_td_struct_roundtrip,
         "td_cdf_col": q_td_cdf_col,
         "td_cube": q_td_cube,
@@ -911,6 +930,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::DOUBLE AS n
             FROM allrows GROUP BY l_returnflag
             """
+        ),
+        "td_infer_precision": (
+            "SELECT 'f64_col' AS name, 'f64' AS precision "
+            "UNION ALL SELECT 'f32_col', 'f32'"
         ),
         "td_add_values": (
             f"SELECT l_returnflag, quantile_disc(l_quantity, {Q1}) AS q_qty, "
