@@ -567,6 +567,19 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_quality_score(spark, sf_dir):
+    """Pretraining-filter quality score: docs per score decile. The
+    oracle replicates the exact expression tree (same op order → IEEE
+    doubles are bit-identical across engines)."""
+    from gr_tdigest_spark.operators.text import with_quality_score
+
+    d = with_quality_score(_docs(spark, sf_dir), "text")
+    return (
+        d.groupBy(F.floor(F.col("quality_score") * 10).alias("decile"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def q_embed_topk(spark, sf_dir):
     from gr_tdigest_spark.operators.similarity import cosine_topk
 
@@ -808,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantile_docs": q_kll_quantile_docs,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
+        "quality_score": q_quality_score,
         "embed_topk": q_embed_topk,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "embed_near_dups": q_embed_near_dups,
@@ -1051,6 +1065,47 @@ def oracle_sql() -> dict[str, str]:
                        '[^.,;:!?''"()\\[\\]-]', '', 'g')))::DOUBLE /
                        sum(greatest(len(text), 1)), 6) AS punct_per_char
             FROM documents GROUP BY lang
+            """
+        ),
+        # replicates with_quality_score's expression tree in the same
+        # operation ORDER (each double op is exactly rounded, so same
+        # order → bit-identical scores → identical deciles)
+        "quality_score": (
+            """
+            WITH s AS (
+              SELECT
+                len(text) AS n_chars,
+                CASE WHEN len(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(lower(text)),
+                                                    '\\s+')) END
+                  AS n_tokens,
+                len(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '',
+                                   'g')) AS n_punct,
+                len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                len(list_intersect(
+                  regexp_split_to_array(trim(lower(text)), '\\s+'),
+                  ['the','and','of','to','is','in','that','it','was',
+                   'for'])) AS stop_hits
+              FROM documents
+            ), r AS (
+              SELECT
+                n_punct / greatest(n_chars, 1)::DOUBLE AS punct_ratio,
+                n_digit / greatest(n_chars, 1)::DOUBLE AS digit_ratio,
+                n_chars / greatest(n_tokens, 1)::DOUBLE AS avg_word,
+                stop_hits
+              FROM s
+            ), q AS (
+              SELECT greatest(least(
+                1.0 - least(punct_ratio * 3.0, 0.4)
+                    - least(digit_ratio * 2.0, 0.3)
+                    - least(abs(avg_word - 5.0) / 20.0, 0.2)
+                    + least(stop_hits::DOUBLE / 10.0, 0.1),
+                1.0), 0.0) AS quality_score
+              FROM r
+            )
+            SELECT floor(quality_score * 10)::BIGINT AS decile,
+                   count(*) AS n_docs
+            FROM q GROUP BY 1
             """
         ),
         "lang_id": (

@@ -116,3 +116,65 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
         assert streamed.estimate() == expect.estimate(), g
         n_rows = sum(1 for (k, _) in rows if k == g)
         assert latest[g]["n"] == float(n_rows)
+
+
+def test_streaming_windowed_with_watermark(spark, tmp_path):
+    """north_star: watermarks + windowed aggs for late data. Windowed
+    digests compose by keying the stream on F.window(event_time): late
+    rows inside the watermark still fold into their window's digest."""
+    from gr_tdigest_spark.streaming import tdigest_stream_agg
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "ts timestamp, x double"
+
+    import datetime as dt
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def rows(minutes_vals):
+        return [(base + dt.timedelta(minutes=m), float(v))
+                for m, v in minutes_vals]
+
+    # batch 1: two 10-minute windows
+    b1 = rows([(1, 10.0), (2, 20.0), (11, 100.0), (12, 110.0)])
+    # batch 2: a LATE row for window 0 (inside the 30-min watermark)
+    # plus a new window
+    b2 = rows([(3, 30.0), (25, 200.0)])
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+
+    collected = []
+
+    def sink(df, epoch_id):
+        collected.extend(df.collect())
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "30 minutes")
+        .withColumn("win", F.window("ts", "10 minutes").start)
+    )
+    q = (
+        tdigest_stream_agg(stream, ["win"], "x", max_size=200)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    latest = {}
+    for r in collected:
+        latest[r["win"]] = r
+    got = {w.isoformat(): (r["n"],
+                           td_wire.decode(bytes(r["tdigest"])).max)
+           for w, r in latest.items()}
+    w0 = base.isoformat()
+    w1 = (base + dt.timedelta(minutes=10)).isoformat()
+    w2 = (base + dt.timedelta(minutes=20)).isoformat()
+    # late row (minute 3, value 30) folded into window 0
+    assert got[w0] == (3.0, 30.0), got
+    assert got[w1] == (2.0, 110.0), got
+    assert got[w2] == (1.0, 200.0), got
