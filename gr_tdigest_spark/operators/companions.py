@@ -335,8 +335,10 @@ def cms_topk(
     1. one pass emits each partition's exact local top-m candidates
        (bounded-memory SpaceSaving-style tracker, ≤ m·partitions rows)
     2. ``cms_agg`` builds the global/per-group CMS (two-phase merge)
-    3. the tiny sketch table broadcasts; every deduped candidate is
-       re-estimated against its group's sketch (one decode per blob)
+    3. the sketch table (one row per group) ships once per executor as
+       a Spark broadcast variable; every deduped candidate re-estimates
+       against its group's sketch (one decode per blob per batch) —
+       never a blob-per-row join
     4. top-k by (estimate desc, value) — global case compiles to
        TakeOrderedAndProject, grouped case to a window rank over the
        candidate set (≤ m·partitions rows, never the raw data)
@@ -361,13 +363,49 @@ def cms_topk(
 
     sketch = cms_agg(df, key_cols or None, col, depth=depth, width=width,
                      seed=seed)
-    if key_cols:
-        joined = cand.join(F.broadcast(sketch), key_cols)
-    else:
-        joined = cand.crossJoin(F.broadcast(sketch))
-    est = joined.select(
-        *key_cols, col,
-        cms_estimate_col("cms", col).alias(out_col),
+    # the CMS blob is ~depth·width·8 bytes (MBs at useful widths) — a
+    # broadcast JOIN would ship it once per candidate row through Arrow.
+    # Ship the tiny sketch TABLE once per executor as a Spark broadcast
+    # variable instead; candidates carry only (keys, value).
+    from gr_tdigest_spark.operators.agg import _canon_key_tuple
+
+    sk_map = {
+        _canon_key_tuple(tuple(r[k] for k in key_cols)): bytes(r["cms"])
+        for r in sketch.collect()
+    }
+    bc = df.sparkSession.sparkContext.broadcast(sk_map)
+
+    @F.pandas_udf(LongType())
+    def _est(*cols: pd.Series) -> pd.Series:
+        vals = cols[-1]
+        out = np.zeros(len(vals), dtype=np.int64)
+        if not len(vals):
+            return pd.Series(out)
+        arr = vals.to_numpy()
+        if key_cols:
+            if len(cols) == 2:
+                codes, uniq = pd.factorize(cols[0], use_na_sentinel=False)
+                ktups = [_canon_key_tuple((u,)) for u in uniq]
+            else:
+                codes, uniq = pd.factorize(
+                    pd.MultiIndex.from_arrays(list(cols[:-1])),
+                    use_na_sentinel=False,
+                )
+                ktups = [_canon_key_tuple(u) for u in uniq]
+        else:
+            codes = np.zeros(len(vals), dtype=np.int64)
+            ktups = [()]
+        mp = bc.value
+        for gi, kt in enumerate(ktups):
+            blob = mp.get(kt)
+            if blob is None:
+                continue
+            idx = np.flatnonzero(codes == gi)
+            out[idx] = CMS.from_bytes(blob).estimate(arr[idx])
+        return pd.Series(out)
+
+    est = cand.select(
+        *key_cols, col, _est(*key_cols, col).alias(out_col)
     )
     if key_cols:
         w = Window.partitionBy(*key_cols).orderBy(

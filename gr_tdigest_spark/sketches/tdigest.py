@@ -168,24 +168,31 @@ def _klimit_boundaries(
     unconditional" is evaluated with a precomputed monotone k(prefix)
     array and searchsorted jumps — O(clusters · log n).
     """
+    from bisect import bisect_right
+
     m = weights.size
     total = float(np.sum(weights))
     n = float(m)
     cum = np.cumsum(weights)
     k_right = np.asarray(q_to_k(cum / total, d, family, n), dtype=np.float64)
+    # plain-list bisect beats per-cluster np.searchsorted scalar calls
+    # ~10× (same comparisons, no ufunc dispatch); values are identical
+    # python floats so the boundaries are byte-for-byte the same
+    kr = k_right.tolist()
+    cl = cum.tolist()
 
     starts = []
     s = 0
     c_acc = 0.0
-    ss = np.searchsorted
+    limit = 1.0 + tol
     while s < m:
         starts.append(s)
         k_left = _q_to_k_scalar(c_acc / total, d, family, n)
         # last index whose inclusive-prefix k fits under the limit
-        e = int(ss(k_right, k_left + (1.0 + tol), side="right")) - 1
+        e = bisect_right(kr, k_left + limit) - 1
         if e < s:
             e = s
-        c_acc = float(cum[e])
+        c_acc = cl[e]
         s = e + 1
     return np.asarray(starts, dtype=np.int64)
 
