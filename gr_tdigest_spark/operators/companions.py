@@ -347,6 +347,13 @@ def cms_topk(
     in that partition's top-m; with Zipf-skewed heavy hitters the true
     top-k are heavy in most partitions. Estimates are CMS upper bounds
     (ε = e/width, δ = e^−depth).
+
+    Memory bound: the sketch table is collected and broadcast, i.e.
+    n_groups × depth × width × 8 bytes on the driver and each executor
+    — size ``width`` (or pre-partition the group space) accordingly;
+    heavy-hitter queries are per-group, so n_groups is typically small
+    (the 10^12-row dimension is the VALUE space, which never leaves the
+    sketch).
     """
     from pyspark.sql.window import Window
     from pyspark.sql.types import StructField, StructType
