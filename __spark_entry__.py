@@ -687,6 +687,21 @@ def q_minhash_near_dups(spark, sf_dir):
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Connected components over the MinHash near-dup pairs → canonical
+    keeper per document (min id in component). Oracle: recursive-CTE
+    reachability closure over the exact-Jaccard pair set."""
+    from gr_tdigest_spark.operators.dedup import (
+        near_dup_clusters, near_dup_pairs_minhash,
+    )
+
+    pairs = near_dup_pairs_minhash(
+        _docs(spark, sf_dir), "doc_id", "text",
+        n_hashes=64, bands=16, threshold=0.5,
+    )
+    return near_dup_clusters(pairs).select("id", "cluster")
+
+
 def q_simhash_near_dups(spark, sf_dir):
     """Simhash near-dup pairs. Oracle: full simhash replica in SQL —
     token hash is md5-derived (bit-identical across engines), votes and
@@ -826,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "embed_near_dups": q_embed_near_dups,
         "minhash_near_dups": q_minhash_near_dups,
+        "near_dup_clusters": q_near_dup_clusters,
         "simhash_near_dups": q_simhash_near_dups,
         "lang_id": q_lang_id,
         "transcript_latency": q_transcript_latency,
@@ -1158,6 +1174,41 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN cnt ca ON ca.doc_id = a
                        JOIN cnt cb ON cb.doc_id = b
             WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+            """
+        ),
+        # same exact-Jaccard pair set, then a recursive reachability
+        # closure: cluster = min id reachable from each node
+        "near_dup_clusters": (
+            """
+            WITH RECURSIVE s AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, t[i:i+4] AS g
+              FROM s, unnest(range(1, greatest(len(t)-4, 1) + 1)) AS u(i)
+            ), cnt AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT a, b
+              FROM inter JOIN cnt ca ON ca.doc_id = a
+                         JOIN cnt cb ON cb.doc_id = b
+              WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+            ), edges AS (
+              SELECT a AS src, b AS dst FROM pairs
+              UNION SELECT b, a FROM pairs
+            ), reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r
+                JOIN edges e ON r.dst = e.src
+            )
+            SELECT src AS id, least(src, min(dst)) AS cluster
+            FROM reach GROUP BY src
             """
         ),
         "embed_topk": (

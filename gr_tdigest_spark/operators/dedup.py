@@ -28,6 +28,7 @@ __all__ = [
     "near_dup_pairs_minhash",
     "ngram_jaccard_pairs",
     "simhash_near_dups",
+    "near_dup_clusters",
 ]
 
 
@@ -242,3 +243,66 @@ def simhash_near_dups(
         .distinct()
     )
     return cands.where(F.col("hamming") <= max_hamming)
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → (id, cluster),
+    ``cluster`` = the minimum id in the component (the canonical keeper
+    a dedup pipeline retains).
+
+    Min-label propagation: every node repeatedly adopts the minimum
+    label in its neighborhood; converges in O(component diameter)
+    rounds (near-dup components are shallow — pairs come from a
+    similarity threshold, so diameters are small). Each round is one
+    shuffle-join + aggregate on the EDGE table, never the corpus;
+    lineage is truncated per round (localCheckpoint) so plans stay
+    flat. The driver-side loop reads only a 1-row convergence count per
+    round — the standard Spark iterative-algorithm shape (GraphX
+    connected components does the same under the hood).
+    """
+    e = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("t"))
+    edges = e.union(
+        e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    ).distinct().localCheckpoint()
+
+    labels = (
+        edges.select(F.col("s").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("t"), F.col("label").alias("nl")
+                ),
+                "t",
+            )
+            .groupBy("s")
+            .agg(F.min("nl").alias("min_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["s"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("min_nbr", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster"))

@@ -640,3 +640,38 @@ class TestSimilarityMatmulPath:
         }
         # every ANN hit should be a genuinely close vector
         assert all(r["vec_id"] in exact_top for r in approx)
+
+
+class TestNearDupClusters:
+    def test_chain_and_triangle_components(self, spark):
+        """Min-label propagation must traverse chains (diameter > 1):
+        a-b, b-c, c-d is one component labeled by its min id."""
+        import pandas as pd
+        from gr_tdigest_spark.operators.dedup import near_dup_clusters
+
+        pairs = spark.createDataFrame(
+            pd.DataFrame({
+                "a": [10, 20, 30, 50, 60, 60],
+                "b": [20, 30, 40, 60, 70, 50],
+            })
+        )
+        got = {
+            r["id"]: r["cluster"]
+            for r in near_dup_clusters(pairs).collect()
+        }
+        assert got == {10: 10, 20: 10, 30: 10, 40: 10,
+                       50: 50, 60: 50, 70: 50}
+
+    def test_long_chain_converges(self, spark):
+        import pandas as pd
+        from gr_tdigest_spark.operators.dedup import near_dup_clusters
+
+        n = 40  # diameter 39 — exercises multi-round propagation
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"a": range(n - 1), "b": range(1, n)})
+        )
+        got = {
+            r["id"]: r["cluster"]
+            for r in near_dup_clusters(pairs, max_iter=50).collect()
+        }
+        assert set(got.values()) == {0} and len(got) == n
