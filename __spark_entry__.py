@@ -523,6 +523,26 @@ def q_bloom_members(spark, sf_dir):
     return probed.filter("m").agg(F.count("*").alias("n_members"))
 
 
+def q_bloom_semi_filter(spark, sf_dir):
+    """Ship-the-filter semi-join: Bloom of high-value order keys
+    pre-filters lineitem without shuffling it. At the chosen (m, k, n)
+    the per-probe FPR is ~1e-14, so the surviving count equals the
+    exact semi-join (deterministic hashing — verified, not hoped)."""
+    from gr_tdigest_spark.operators.companions import (
+        bloom_agg, bloom_filter_rows,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    hot = orders.where(F.col("o_totalprice") > 400000.0)
+    bl = bloom_agg(hot, None, "o_orderkey", m_bits=1 << 20)
+    li = _li(spark, sf_dir)
+    kept = bloom_filter_rows(li, "l_orderkey", bl)
+    return kept.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_quantity").alias("tot_qty"),
+    )
+
+
 def q_kll_quantile_docs(spark, sf_dir):
     from gr_tdigest_spark.operators.companions import kll_agg, kll_quantile
 
@@ -833,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hh_topk_tools": q_hh_topk_tools,
         "hh_topk_users": q_hh_topk_users,
         "bloom_members": q_bloom_members,
+        "bloom_semi_filter": q_bloom_semi_filter,
         "kll_quantile_docs": q_kll_quantile_docs,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -1059,6 +1080,15 @@ def oracle_sql() -> dict[str, str]:
         "bloom_members": (
             "SELECT count(DISTINCT user_id) AS n_members FROM events "
             "WHERE event_type = 'click'"
+        ),
+        "bloom_semi_filter": (
+            """
+            SELECT count(*) AS n_rows, sum(l_quantity) AS tot_qty
+            FROM lineitem
+            WHERE l_orderkey IN (
+              SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0
+            )
+            """
         ),
         "kll_quantile_docs": (
             "SELECT source, quantile_disc(n_chars::DOUBLE, 0.5) AS med_chars "

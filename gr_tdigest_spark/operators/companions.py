@@ -30,6 +30,7 @@ __all__ = [
     "hll_agg", "cms_agg", "bloom_agg", "kll_agg",
     "hll_estimate", "cms_estimate", "bloom_contains",
     "kll_quantile", "kll_rank", "kll_count", "cms_topk",
+    "bloom_filter_rows",
 ]
 
 
@@ -424,3 +425,43 @@ def cms_topk(
             .drop("__rk")
         )
     return est.orderBy(F.desc(out_col), F.col(col)).limit(k)
+
+
+def bloom_filter_rows(
+    df: DataFrame,
+    key_col: str,
+    bloom_df: DataFrame,
+    blob_col: str = "bloom",
+    negate: bool = False,
+    key_dtype: Optional[str] = None,
+) -> DataFrame:
+    """Semi-join reduction via a Bloom filter — ship the filter, not
+    the shuffle: the (single-row) Bloom table collects to a broadcast
+    variable and the big side filters locally; no shuffle of ``df``, no
+    blob-per-row join. False positives pass (no false negatives), so
+    this is the standard pre-filter before an exact join at 100 TB —
+    it cuts the exact join's shuffle volume by the true selectivity.
+
+    ``negate=True`` keeps definite non-members (useful for
+    "new keys only" ingestion). Hashing is dtype-aware: a NULLABLE
+    integer key column crosses the Arrow boundary as float64, so pass
+    ``key_dtype="int64"`` (or pre-filter nulls) to probe with the
+    ingested dtype.
+    """
+    blob = bytes(bloom_df.select(blob_col).first()[0])
+    bc = df.sparkSession.sparkContext.broadcast(blob)
+
+    @F.pandas_udf(BooleanType())
+    def _member(keys: pd.Series) -> pd.Series:
+        sk = BloomFilter.from_bytes(bc.value)
+        out = np.zeros(len(keys), dtype=bool)
+        mask = keys.notna().to_numpy()
+        vals = keys.to_numpy()[mask]
+        if key_dtype is not None:
+            vals = vals.astype(np.dtype(key_dtype))
+        if vals.size:
+            out[mask] = sk.contains(vals)
+        return pd.Series(out)
+
+    cond = _member(F.col(key_col))
+    return df.where(~cond if negate else cond)

@@ -303,3 +303,36 @@ class TestCmsTopK:
         cand = set(out[0]["v"].tolist())
         assert 42 in cand
         assert len(cand) <= 8
+
+
+class TestBloomSemiFilter:
+    def test_matches_exact_semi_join(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from gr_tdigest_spark.operators.companions import (
+            bloom_agg, bloom_filter_rows,
+        )
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        hot = orders.where(F.col("o_totalprice") > 300000.0)
+        bl = bloom_agg(hot, None, "o_orderkey", m_bits=1 << 20)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        got = bloom_filter_rows(li, "l_orderkey", bl).count()
+        exact = li.join(
+            hot.select("o_orderkey"),
+            li["l_orderkey"] == F.col("o_orderkey"), "leftsemi"
+        ).count()
+        assert got == exact and exact > 0
+
+    def test_negate_keeps_non_members(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from gr_tdigest_spark.operators.companions import (
+            bloom_agg, bloom_filter_rows,
+        )
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        hot = orders.where(F.col("o_totalprice") > 300000.0)
+        bl = bloom_agg(hot, None, "o_orderkey", m_bits=1 << 20)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        n_in = bloom_filter_rows(li, "l_orderkey", bl).count()
+        n_out = bloom_filter_rows(li, "l_orderkey", bl, negate=True).count()
+        assert n_in + n_out == li.count()
