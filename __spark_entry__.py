@@ -559,6 +559,21 @@ def q_kll_quantile_docs(spark, sf_dir):
 # training-data extras
 # --------------------------------------------------------------------- #
 
+def q_kll_rank_docs(spark, sf_dir):
+    """KLL rank query (fraction ≤ x); exact below the compaction
+    threshold, so the oracle is the exact empirical CDF — ratio of
+    integer counts (tie-proof)."""
+    from gr_tdigest_spark.operators.companions import kll_agg, kll_rank
+
+    d = _docs(spark, sf_dir).withColumn(
+        "len_chars", F.col("n_chars").cast("double")
+    )
+    k = kll_agg(d, ["source"], "len_chars", k=4096)
+    return k.select(
+        "source", F.round(kll_rank("kll", 1000.0), 6).alias("rank_1k")
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     from gr_tdigest_spark.operators.text import with_fingerprint
 
@@ -855,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_members": q_bloom_members,
         "bloom_semi_filter": q_bloom_semi_filter,
         "kll_quantile_docs": q_kll_quantile_docs,
+        "kll_rank_docs": q_kll_rank_docs,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
@@ -1092,6 +1108,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kll_quantile_docs": (
             "SELECT source, quantile_disc(n_chars::DOUBLE, 0.5) AS med_chars "
+            "FROM documents GROUP BY source"
+        ),
+        "kll_rank_docs": (
+            "SELECT source, round(sum(CASE WHEN n_chars <= 1000 THEN 1 "
+            "ELSE 0 END) * 1.0 / count(*), 6) AS rank_1k "
             "FROM documents GROUP BY source"
         ),
         "dedup_exact": (
