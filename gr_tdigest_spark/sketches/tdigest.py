@@ -159,7 +159,8 @@ def _normalize(
 
 
 def _klimit_boundaries(
-    weights: np.ndarray, d: float, family: str, tol: float
+    weights: np.ndarray, d: float, family: str, tol: float,
+    max_starts: Optional[int] = None,
 ) -> np.ndarray:
     """Stage 3 cluster boundaries (reference compressor.rs:297-361).
 
@@ -187,6 +188,11 @@ def _klimit_boundaries(
     limit = 1.0 + tol
     while s < m:
         starts.append(s)
+        if max_starts is not None and len(starts) > max_starts:
+            # feasibility probe only ("would the cluster count fit under
+            # max_starts?") — the exact count past the cap is irrelevant,
+            # so stop scanning; callers compare .size > max_starts
+            break
         k_left = _q_to_k_scalar(c_acc / total, d, family, n)
         # last index whose inclusive-prefix k fits under the limit
         e = bisect_right(kr, k_left + limit) - 1
@@ -316,7 +322,9 @@ def _cap_core(
     found = False
     for _ in range(CAP_SEARCH_ITERS):
         mid = 0.5 * (lo + hi)
-        n_mid = _klimit_boundaries(weights, mid, family, KLIMIT_TOL).size
+        n_mid = _klimit_boundaries(
+            weights, mid, family, KLIMIT_TOL, max_starts=core_cap
+        ).size
         if n_mid <= core_cap:
             found = True
             best = mid
