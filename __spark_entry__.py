@@ -819,6 +819,45 @@ def q_transcript_latency(spark, sf_dir):
     )
 
 
+def q_transcript_tool_lengths(spark, sf_dir):
+    """North-star letter: per-TOOL text-length quantiles on the
+    transcript table (uncompressed exact oracle; ~90 turns per tool)."""
+    from gr_tdigest_spark.operators import tdigest_agg
+    import gr_tdigest_spark.functions as Fn
+
+    t = _transcript_table(spark).where(F.col("tool").isNotNull())
+    src = t.withColumn("len", F.length("text").cast("double"))
+    dg = tdigest_agg(src, ["tool"], "len", **UNCOMPRESSED)
+    return dg.select(
+        "tool",
+        Fn.tdigest_quantile("tdigest", Q1).alias("q_len"),
+        Fn.tdigest_count("tdigest").alias("n"),
+    )
+
+
+def q_transcript_conv_counts(spark, sf_dir):
+    """North-star letter: distinct conv_id per role via HLL, reported
+    as a within-±1.04/√m bound check (the oracle emits the expected
+    booleans, same pattern as hll_bound)."""
+    from gr_tdigest_spark.operators.companions import hll_agg, hll_estimate
+
+    t = _transcript_table(spark)
+    est = hll_agg(t, ["role"], "conv_id", p=14).select(
+        "role", hll_estimate("hll").alias("est")
+    )
+    exact = t.groupBy("role").agg(
+        F.countDistinct("conv_id").alias("exact")
+    )
+    bound = 5 * (1.04 / (2 ** 14) ** 0.5)
+    return est.join(exact, "role").select(
+        "role",
+        (
+            F.abs(F.col("est") - F.col("exact"))
+            <= F.greatest(F.lit(bound) * F.col("exact"), F.lit(3.0))
+        ).alias("within_bound"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # contract
 # --------------------------------------------------------------------- #
@@ -882,6 +921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "lang_id": q_lang_id,
         "transcript_latency": q_transcript_latency,
+        "transcript_tool_lengths": q_transcript_tool_lengths,
+        "transcript_conv_counts": q_transcript_conv_counts,
     }
 
 
@@ -1378,6 +1419,24 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(latency_s, 0.953171) AS p95_latency,
                    count(latency_s)::DOUBLE AS n_turns
             FROM lat WHERE latency_s IS NOT NULL GROUP BY role
+            """
+        ),
+        "transcript_tool_lengths": (
+            f"""
+            SELECT tool,
+                   quantile_disc(len(text)::DOUBLE, {Q1}) AS q_len,
+                   count(*)::DOUBLE AS n
+            FROM read_parquet(
+              '{_TRANSCRIPT_ORACLE_PATH}/*.parquet')
+            WHERE tool IS NOT NULL GROUP BY tool
+            """
+        ),
+        "transcript_conv_counts": (
+            f"""
+            SELECT role, TRUE AS within_bound
+            FROM read_parquet(
+              '{_TRANSCRIPT_ORACLE_PATH}/*.parquet')
+            GROUP BY role
             """
         ),
     }
