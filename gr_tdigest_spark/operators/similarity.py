@@ -27,6 +27,8 @@ __all__ = [
     "cosine_topk",
     "lsh_bucket_topk",
     "embedding_near_dup_pairs",
+    "build_ann_index",
+    "ann_index_topk",
 ]
 
 # Above these sizes the inline-literal Catalyst expressions stop being
@@ -212,3 +214,69 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def build_ann_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 16,
+    seed: int = 23,
+) -> None:
+    """Persist an LSH-bucketed ANN index: rows written PARTITIONED BY
+    their hyperplane bucket, planes persisted alongside. This is the
+    100 TB shape the inline `lsh_bucket_topk` approximates: queries
+    touch only the probed buckets' files via parquet partition pruning
+    (`PartitionFilters` in the scan), so query cost scales with bucket
+    selectivity, not corpus size."""
+    import pandas as pd
+
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = df.withColumn("bucket", _bucket_expr(F.col(vec_col), planes))
+    b.write.partitionBy("bucket").mode("overwrite").parquet(path)
+    spark = df.sparkSession
+    ppdf = pd.DataFrame({
+        "plane_id": np.arange(n_planes, dtype=np.int64),
+        "vec": list(planes),
+    })
+    spark.createDataFrame(
+        ppdf, schema="plane_id long, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}_planes")
+
+
+def ann_index_topk(
+    spark,
+    path: str,
+    query: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Top-k against a persisted ANN index: compute the query's probe
+    buckets from the stored planes, scan ONLY those partitions
+    (partition pruning), exact cosine rank inside them."""
+    rows = sorted(
+        spark.read.parquet(f"{path}_planes").collect(),
+        key=lambda r: r["plane_id"],
+    )
+    planes = np.asarray([list(r["vec"]) for r in rows], dtype=np.float64)
+    n_planes = planes.shape[0]
+    q = np.asarray(query, dtype=np.float64)
+    qbits = int(sum(
+        (1 << i) for i, p in enumerate(planes) if p @ q >= 0
+    ))
+    probe = {qbits}
+    if multiprobe >= 1:
+        for i in range(n_planes):
+            probe.add(qbits ^ (1 << i))
+    if multiprobe >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probe.add(qbits ^ (1 << i) ^ (1 << j))
+    pruned = spark.read.parquet(path).where(
+        F.col("bucket").isin(sorted(probe))
+    )
+    return cosine_topk(pruned, query, k, vec_col, id_col)

@@ -675,3 +675,53 @@ class TestNearDupClusters:
             for r in near_dup_clusters(pairs, max_iter=50).collect()
         }
         assert set(got.values()) == {0} and len(got) == n
+
+
+class TestAnnIndex:
+    def test_index_query_matches_inline_and_prunes(self, spark, tmp_path):
+        """Persisted bucket-partitioned ANN index returns the same
+        top-k as the inline operator, and the probe scan shows parquet
+        PARTITION pruning (PartitionFilters on bucket)."""
+        import io
+        import numpy as np
+        import pandas as pd
+        from contextlib import redirect_stdout
+        from gr_tdigest_spark.operators.similarity import (
+            ann_index_topk, build_ann_index, lsh_bucket_topk,
+        )
+
+        rng = np.random.default_rng(21)
+        n, dim = 300, 768
+        base = rng.standard_normal((12, dim))
+        M = (base[rng.integers(0, 12, n)]
+             + 0.2 * rng.standard_normal((n, dim))).astype(np.float32)
+        df = spark.createDataFrame(
+            pd.DataFrame({
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": list(M),
+            }),
+            schema="vec_id long, embedding array<float>",
+        )
+        path = str(tmp_path / "annidx")
+        build_ann_index(df, path, n_planes=16, seed=23)
+        q = M[0].astype(np.float64)
+
+        got = [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in ann_index_topk(spark, path, q, k=5,
+                                    multiprobe=2).collect()
+        ]
+        ref = [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in lsh_bucket_topk(df, q, k=5, n_planes=16, seed=23,
+                                     multiprobe=2).collect()
+        ]
+        assert got == ref and len(got) > 0
+
+        # pruning evidence: the index scan carries PartitionFilters
+        plan = io.StringIO()
+        with redirect_stdout(plan):
+            ann_index_topk(spark, path, q, k=5,
+                           multiprobe=2).explain("formatted")
+        txt = plan.getvalue()
+        assert "PartitionFilters" in txt and "bucket" in txt
