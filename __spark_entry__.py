@@ -585,20 +585,29 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_text_stats(spark, sf_dir):
-    from gr_tdigest_spark.operators.text import with_text_stats
+    """Integer-only text statistics per language.
 
-    d = with_text_stats(_docs(spark, sf_dir), "text")
-    # punct rate = one division of exact integer sums — avg(double ratio)
-    # would tie-break differently between Spark and DuckDB at the 6th
-    # decimal because doubles sum in different orders
+    Round-2 verdict: the rounded-double ratio (Spark HALF_UP BigDecimal
+    vs DuckDB double rounding) and ``\\s``-class tokenization (Java
+    ``\\s`` includes ``\\x0B``, RE2's does not) are cross-engine tie
+    hazards. So: exact integer sums only, and tokens are counted as
+    maximal runs of the explicit ASCII class ``[^ \\t\\n\\r\\f]+`` —
+    identical semantics in Java regex and RE2, and immune to
+    trailing-empty-split differences.
+    """
+    t = F.col("text")
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        F.regexp_count(t, F.lit(r"[^ \t\n\r\f]+")).alias("n_tok"),
+        F.length(t).alias("n_chars"),
+        F.length(
+            F.regexp_replace(t, r"[^.,;:!?'\"()\[\]-]", "")
+        ).alias("n_punct"),
+    )
     return d.groupBy("lang").agg(
-        F.sum("n_tokens").alias("tot_tokens"),
+        F.sum("n_tok").alias("tot_tokens"),
         F.sum("n_chars").alias("tot_chars"),
-        F.round(
-            F.sum("n_punct").cast("double")
-            / F.sum(F.greatest(F.col("n_chars"), F.lit(1))),
-            6,
-        ).alias("punct_per_char"),
+        F.sum("n_punct").alias("tot_punct"),
     )
 
 
@@ -1164,14 +1173,11 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": (
             """
             SELECT lang,
-                   sum(CASE WHEN len(trim(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(lower(text)),
-                                                       '\\s+')) END)
+                   sum(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')))
                      AS tot_tokens,
                    sum(len(text)) AS tot_chars,
-                   round(sum(len(regexp_replace(text,
-                       '[^.,;:!?''"()\\[\\]-]', '', 'g')))::DOUBLE /
-                       sum(greatest(len(text), 1)), 6) AS punct_per_char
+                   sum(len(regexp_replace(text,
+                       '[^.,;:!?''"()\\[\\]-]', '', 'g'))) AS tot_punct
             FROM documents GROUP BY lang
             """
         ),

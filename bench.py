@@ -140,7 +140,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(json.dumps({
+    line = json.dumps({
         "metric": "sketch_suite_wall",
         "methodology": "best-of-2 per query (steady state)",
         "value": total,
@@ -151,13 +151,30 @@ def main() -> None:
         "rows_per_sec": round(li_rows / timings["q1_tdigest_group"], 1),
         "turns_per_sec": round(turns_per_sec, 1),
         "cpus": cpus,
-    }))
-    # flush the JSON line and let AQE/exchange threads settle before the
-    # JVM teardown — otherwise a harmless RejectedExecutionException race
-    # pollutes the bench transcript
+    })
+
+    # durable copy first: survives any amount of teardown noise
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH.json"), "w") as fh:
+        fh.write(line + "\n")
+
+    # JVM teardown at local[32] can spew RejectedExecutionException stack
+    # traces (AQE exchange threads racing the executor pool shutdown) on
+    # fd 2, which the py4j-launched JVM shares with this process. If the
+    # harness merges 2>&1 that spam drowns the metric line out of a
+    # captured tail — so: silence fd 2, stop the JVM, let its threads
+    # drain, and ONLY THEN print the metric line as the very last stdout.
     sys.stdout.flush()
-    time.sleep(1.0)
-    spark.stop()
+    sys.stderr.flush()
+    devnull = os.open(os.devnull, os.O_WRONLY)
+    os.dup2(devnull, 2)
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    time.sleep(1.5)
+    print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
