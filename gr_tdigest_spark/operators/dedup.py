@@ -102,10 +102,17 @@ def lsh_candidate_pairs(
     id_col: str,
     sig_col: str = "minhash",
     bands: int = 16,
+    max_bucket_size: Optional[int] = 10_000,
 ) -> DataFrame:
     """Band the signatures and self-join within (band, bucket) — the
     standard LSH candidate generation. Output: (a, b) id pairs, a < b,
-    deduplicated."""
+    deduplicated.
+
+    ``max_bucket_size`` bounds the self-join fan-out: buckets above the
+    cap are sub-split by a secondary id hash (see operators.skew), so a
+    degenerate boilerplate bucket of size B costs
+    O(B · max_bucket_size) pairs instead of O(B²). Pass ``None`` to
+    disable (exact LSH semantics)."""
     n_hashes_col = F.size(F.col(sig_col))
     rows_per_band = F.floor(n_hashes_col / bands)
     banded = sigs.where(F.col(sig_col).isNotNull()).select(
@@ -123,6 +130,11 @@ def lsh_candidate_pairs(
             )
         ).alias("__band", "__bucket"),
     )
+    from gr_tdigest_spark.operators.skew import subsplit_oversized_buckets
+
+    banded = subsplit_oversized_buckets(
+        banded, ["__band", "__bucket"], "__id", max_bucket_size
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -130,6 +142,7 @@ def lsh_candidate_pairs(
             right,
             (F.col("l.__band") == F.col("r.__band"))
             & (F.col("l.__bucket") == F.col("r.__bucket"))
+            & (F.col("l.__sub") == F.col("r.__sub"))
             & (F.col("l.__id") < F.col("r.__id")),
         )
         .select(F.col("l.__id").alias("a"), F.col("r.__id").alias("b"))
@@ -188,10 +201,13 @@ def near_dup_pairs_minhash(
     shingle_k: int = 5,
     bands: int = 16,
     threshold: float = 0.8,
+    max_bucket_size: Optional[int] = 10_000,
 ) -> DataFrame:
     """Full MinHash→LSH→verify near-duplicate pipeline."""
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
-    cands = lsh_candidate_pairs(sigs, id_col, bands=bands)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, bands=bands, max_bucket_size=max_bucket_size
+    )
     return ngram_jaccard_pairs(
         cands, df, id_col, text_col, shingle_k, threshold
     )
@@ -202,12 +218,17 @@ def simhash_near_dups(
     id_col: str,
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket_size: Optional[int] = 10_000,
 ) -> DataFrame:
     """Simhash near-dup candidates: split the 64-bit simhash into
     (max_hamming+1) blocks — any pair within the distance budget shares
     at least one exact block (pigeonhole), so the join is block-bucketed,
     never all-pairs. Verified with exact hamming distance (JVM-side
-    bit_count)."""
+    bit_count).
+
+    ``max_bucket_size`` sub-splits degenerate blocks (boilerplate text
+    sharing a block value) to bound join fan-out; ``None`` disables."""
+    from gr_tdigest_spark.operators.skew import subsplit_oversized_buckets
     from gr_tdigest_spark.operators.text import with_simhash
 
     blocks = max_hamming + 1
@@ -225,12 +246,16 @@ def simhash_near_dups(
             ])
         ).alias("__blk", "__val"),
     )
+    banded = subsplit_oversized_buckets(
+        banded, ["__blk", "__val"], "__id", max_bucket_size
+    )
     l, r = banded.alias("l"), banded.alias("r")
     cands = (
         l.join(
             r,
             (F.col("l.__blk") == F.col("r.__blk"))
             & (F.col("l.__val") == F.col("r.__val"))
+            & (F.col("l.__sub") == F.col("r.__sub"))
             & (F.col("l.__id") < F.col("r.__id")),
         )
         .select(

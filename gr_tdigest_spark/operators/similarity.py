@@ -179,11 +179,17 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 10,
     seed: int = 23,
+    max_bucket_size: Optional[int] = 10_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: bucket with random hyperplanes,
     self-join within buckets, verify with exact cosine ≥ threshold.
     (High-cosine pairs land in the same bucket with probability
-    (1 − θ/π)^n_planes — pair recall is tunable via n_planes.)"""
+    (1 − θ/π)^n_planes — pair recall is tunable via n_planes.)
+
+    ``max_bucket_size`` sub-splits degenerate buckets (mass-duplicated
+    embeddings) to bound the self-join; ``None`` disables."""
+    from gr_tdigest_spark.operators.skew import subsplit_oversized_buckets
+
     sample_dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(sample_dim, n_planes, seed)
     b = df.select(
@@ -191,10 +197,12 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("__v"),
         _bucket_expr(F.col(vec_col), planes).alias("__bucket"),
     )
+    b = subsplit_oversized_buckets(b, ["__bucket"], "__id", max_bucket_size)
     l, r = b.alias("l"), b.alias("r")
     pairs = l.join(
         r,
         (F.col("l.__bucket") == F.col("r.__bucket"))
+        & (F.col("l.__sub") == F.col("r.__sub"))
         & (F.col("l.__id") < F.col("r.__id")),
     )
     dot = F.aggregate(

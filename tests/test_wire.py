@@ -158,3 +158,114 @@ def test_v1_half_weight_rounds_away_from_zero():
     blob = wire.encode(td, version=1)
     back = wire.decode(blob)
     assert sorted(back.weights64.tolist()) == [2.0, 3.0]
+
+
+class TestGoldenWireBytes:
+    """Cross-implementation golden-byte pins.
+
+    These blobs are HAND-ASSEMBLED field by field from the reference
+    wire format specification (wire.rs:5-46 header tables,
+    wire.rs:453-555 v1/v2 encode, wire.rs:558-623 v3 encode,
+    wire.rs:346-376 scale/policy code tables, wire.rs:396-403 kind
+    codes, wire.rs:415-430 v3 CRC32 with a zeroed checksum slot) —
+    NOT produced by our own encoder. A self-consistent but
+    layout-divergent codec would round-trip every other test in this
+    file and still fail here.
+
+    Canonical digest: values [0,1,2,3], max_size=100, scale=k2
+    (code 2), policy=use (code 1, pin 0) → four atomic centroids
+    (kind 0) with unit weights; total_weight=4.0, min=0.0, max=3.0,
+    data_sum=6.0.
+    """
+
+    MEANS = [0.0, 1.0, 2.0, 3.0]
+
+    @staticmethod
+    def _canonical(precision="f64"):
+        return TDigest.from_values(
+            [0.0, 1.0, 2.0, 3.0], max_size=100, scale="k2", policy="use",
+            precision=precision,
+        )
+
+    def _v12_header(self, version):
+        # wire.rs:5-16: magic, version, scale, policy, pin, max_size u64,
+        # total_weight (v1 u64 / v2 f64), min f64, max f64, count u64,
+        # data_sum f64 — all little-endian, 56 bytes.
+        h = b"TDIG" + bytes([version, 2, 1, 0])
+        h += struct.pack("<Q", 100)
+        h += struct.pack("<Q", 4) if version == 1 else struct.pack("<d", 4.0)
+        h += struct.pack("<d", 0.0) + struct.pack("<d", 3.0)
+        h += struct.pack("<Q", 4) + struct.pack("<d", 6.0)
+        assert len(h) == 56
+        return h
+
+    def test_golden_v1_f64(self):
+        # wire.rs:18-20: v1 payload = mean(f64) + weight(u64)
+        golden = self._v12_header(1) + b"".join(
+            struct.pack("<d", m) + struct.pack("<Q", 1) for m in self.MEANS
+        )
+        td = self._canonical()
+        assert encode(td, version=1) == golden
+        back = decode(golden)
+        assert back.means.tolist() == self.MEANS
+        assert back.weights64.tolist() == [1.0] * 4
+
+    def test_golden_v2_f64(self):
+        # wire.rs:22-24: v2 payload = mean(f64) + weight(f64) + kind(u8)
+        golden = self._v12_header(2) + b"".join(
+            struct.pack("<d", m) + struct.pack("<d", 1.0) + b"\x00"
+            for m in self.MEANS
+        )
+        td = self._canonical()
+        assert encode(td, version=2) == golden
+        back = decode(golden)
+        assert back.means.tolist() == self.MEANS
+        assert back.count == 4.0 and back.sum == 6.0
+
+    def test_golden_v2_f32(self):
+        # f32 stride: mean(f32) + weight(f64) + kind(u8) = 13 bytes
+        h = b"TDIG" + bytes([2, 2, 1, 0]) + struct.pack("<Q", 100)
+        h += struct.pack("<d", 4.0) + struct.pack("<d", 0.0)
+        h += struct.pack("<d", 3.0) + struct.pack("<Q", 4)
+        h += struct.pack("<d", 6.0)
+        golden = h + b"".join(
+            struct.pack("<f", m) + struct.pack("<d", 1.0) + b"\x00"
+            for m in self.MEANS
+        )
+        td = self._canonical(precision="f32")
+        assert encode(td, version=2) == golden
+        assert wire_precision(golden) == "f32"
+
+    def _v3_blob(self, precision_code, payload):
+        import zlib
+
+        # wire.rs:26-42: 64-byte v3 header; checksum slot zeroed for CRC
+        h = b"TDIG" + bytes([3, 0x01, 64, precision_code, 2, 1, 0, 0])
+        h += struct.pack("<Q", 100) + struct.pack("<d", 4.0)
+        h += struct.pack("<d", 0.0) + struct.pack("<d", 3.0)
+        h += struct.pack("<Q", 4) + struct.pack("<d", 6.0)
+        blob_zeroed = h + struct.pack("<I", 0) + payload
+        crc = zlib.crc32(blob_zeroed)  # crc32fast == IEEE/zlib CRC-32
+        return blob_zeroed[:60] + struct.pack("<I", crc) + blob_zeroed[64:]
+
+    def test_golden_v3_f64(self):
+        payload = b"".join(
+            struct.pack("<d", m) + struct.pack("<d", 1.0) + b"\x00"
+            for m in self.MEANS
+        )
+        golden = self._v3_blob(2, payload)
+        td = self._canonical()
+        assert encode(td, version=3) == golden
+        back = decode(golden)
+        assert back.means.tolist() == self.MEANS
+        assert back.max_size == 100
+
+    def test_golden_v3_f32(self):
+        payload = b"".join(
+            struct.pack("<f", m) + struct.pack("<d", 1.0) + b"\x00"
+            for m in self.MEANS
+        )
+        golden = self._v3_blob(1, payload)
+        td = self._canonical(precision="f32")
+        assert encode(td, version=3) == golden
+        assert decode(golden).means.tolist() == self.MEANS
