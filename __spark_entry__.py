@@ -126,6 +126,22 @@ def q_td_median(spark, sf_dir):
     )
 
 
+def q_td_summary(spark, sf_dir):
+    """Contract for the one-line summary render (polars_expr.rs:420-443
+    analogue): a deterministic 101-value integer-valued dataset (odd N,
+    all values distinct → uncompressed digest keeps every atomic, p50
+    at non-integer q·N equals quantile_disc, %g prints integers
+    exactly) lets DuckDB assemble the identical string."""
+    from gr_tdigest_spark.operators import tdigest_agg
+    import gr_tdigest_spark.functions as Fn
+
+    df = spark.range(1, 102).select(
+        ((F.col("id") * F.col("id")) % 9973).cast("double").alias("x")
+    )
+    dg = tdigest_agg(df, None, "x", **UNCOMPRESSED)
+    return dg.select(Fn.tdigest_summary("tdigest").alias("summary"))
+
+
 def q_td_trimmed_mean(spark, sf_dir):
     from gr_tdigest_spark.operators import tdigest_agg
     import gr_tdigest_spark.functions as Fn
@@ -895,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_cdf_probe": q_td_cdf_probe,
         "td_stats": q_td_stats,
         "td_median": q_td_median,
+        "td_summary": q_td_summary,
         "td_trimmed_mean": q_td_trimmed_mean,
         "td_merge_rollup": q_td_merge_rollup,
         "td_weighted": q_td_weighted,
@@ -974,6 +991,24 @@ def oracle_sql() -> dict[str, str]:
         "td_median": (
             "SELECT l_returnflag, l_linestatus, "
             f"median(l_extendedprice) AS median_price {_GROUPED}"
+        ),
+        "td_summary": (
+            """
+            WITH v AS (
+              SELECT ((i*i) % 9973)::DOUBLE AS x FROM range(1, 102) t(i)
+            ), s AS (
+              SELECT count(*)::DOUBLE AS n, min(x) AS mn, max(x) AS mx,
+                     quantile_disc(x, 0.5) AS p50
+              FROM v
+            )
+            SELECT 'TDigest(n=' || printf('%g', n)
+                || ', k=20000, min=' || printf('%g', mn)
+                || ', p50=' || printf('%g', p50)
+                || ', max=' || printf('%g', mx)
+                || ', centroids=101, scale=k2, policy=off, f64)'
+              AS summary
+            FROM s
+            """
         ),
         "td_trimmed_mean": (
             """

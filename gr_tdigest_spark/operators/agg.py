@@ -811,7 +811,14 @@ def tdigest_agg(
 ) -> DataFrame:
     """Grouped t-digest build — the Spark analogue of
     ``df.group_by(g).agg(tdigest(x))`` (reference README.md:36-45,
-    polars_expr.rs:247-250)."""
+    polars_expr.rs:247-250).
+
+    ``precision='auto'`` infers the digest precision from the value
+    column's Spark type (FloatType → f32, else f64), mirroring the
+    reference's Polars input-dtype rule (polars_expr.rs:522-544)."""
+    precision = validation.resolve_auto_precision(
+        precision, df.schema[value_col].dataType
+    )
     spec = TDigestSpec(
         max_size=max_size, scale=scale, policy=policy,
         pin_per_side=pin_per_side, precision=precision, on_invalid=on_invalid,

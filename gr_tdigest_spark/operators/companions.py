@@ -28,7 +28,8 @@ from gr_tdigest_spark.sketches.kll import KLL
 __all__ = [
     "HLLSpec", "CMSSpec", "BloomSpec", "KLLSpec",
     "hll_agg", "cms_agg", "bloom_agg", "kll_agg",
-    "hll_estimate", "cms_estimate", "bloom_contains",
+    "hll_estimate", "hll_intersect_estimate", "cms_estimate",
+    "bloom_contains",
     "kll_quantile", "kll_rank", "kll_count", "cms_topk",
     "bloom_filter_rows",
 ]
@@ -165,6 +166,33 @@ def hll_estimate(col) -> Column:
         )
 
     return _e(col)
+
+
+def hll_intersect_estimate(col_a, col_b) -> Column:
+    """Inclusion–exclusion intersection estimator over two HLL columns:
+    ``|A∩B| ≈ est(A) + est(B) − est(A∪B)`` (union = register-wise max —
+    exact for HLL), clamped at 0.
+
+    CAVEAT (SURVEY §2.8): unlike the union, the intersection has no
+    bounded relative error — each term carries ±1.04/√m of ITS OWN
+    cardinality, so the absolute error scales with |A∪B|. A small
+    intersection of two large sets can be estimated as 0 (after the
+    clamp) or off by multiples of itself. Use for intersections that
+    are a non-trivial fraction of the union; for rare-overlap joins use
+    Bloom semi-filters instead."""
+
+    @F.pandas_udf(DoubleType())
+    def _ix(a_blobs: pd.Series, b_blobs: pd.Series) -> pd.Series:
+        out = np.full(len(a_blobs), np.nan)
+        for i, (ab, bb) in enumerate(zip(a_blobs, b_blobs)):
+            if ab is None or bb is None:
+                continue
+            ha, hb = HLL.from_bytes(bytes(ab)), HLL.from_bytes(bytes(bb))
+            est = ha.estimate() + hb.estimate() - ha.merge(hb).estimate()
+            out[i] = max(est, 0.0)
+        return pd.Series(out)
+
+    return _ix(col_a, col_b)
 
 
 def cms_estimate(col, candidates: Sequence) -> Column:
@@ -326,6 +354,7 @@ def cms_topk(
     width: int = 1 << 16,
     seed: int = 7,
     out_col: str = "est_count",
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """Heavy-hitter top-k per group — fully distributed, no driver
     round-trip (the reference exposes CMS estimates only; the north_rule
@@ -349,16 +378,23 @@ def cms_topk(
     top-k are heavy in most partitions. Estimates are CMS upper bounds
     (ε = e/width, δ = e^−depth).
 
-    Memory bound: the sketch table is collected and broadcast, i.e.
-    n_groups × depth × width × 8 bytes on the driver and each executor
-    — size ``width`` (or pre-partition the group space) accordingly;
-    heavy-hitter queries are per-group, so n_groups is typically small
-    (the 10^12-row dimension is the VALUE space, which never leaves the
-    sketch).
+    Memory bound: with ``strategy='broadcast'`` (default) the sketch
+    table is collected and broadcast, i.e. n_groups × depth × width ×
+    8 bytes on the driver and each executor — size ``width`` (or
+    pre-partition the group space) accordingly; heavy-hitter queries
+    are per-group, so n_groups is typically small (the 10^12-row
+    dimension is the VALUE space, which never leaves the sketch).
+
+    ``strategy='cogroup'`` is the fallback when n_groups × sketch size
+    exceeds driver memory: candidates ⋈ sketches via cogroup (same
+    shape as with_group_cdf's), each blob crossing the wire once per
+    group with no driver hop. Grouped queries only — the global
+    (keys=None) sketch table is one row, where broadcast always wins.
     """
-    from pyspark.sql.window import Window
     from pyspark.sql.types import StructField, StructType
 
+    if strategy not in ("broadcast", "cogroup"):
+        raise ValueError("strategy must be 'broadcast' or 'cogroup'")
     key_cols = list(keys) if keys else []
     m = m or max(4 * k, 64)
     src = df.select(*dict.fromkeys(key_cols + [col]))
@@ -371,6 +407,31 @@ def cms_topk(
 
     sketch = cms_agg(df, key_cols or None, col, depth=depth, width=width,
                      seed=seed)
+
+    if strategy == "cogroup" and key_cols:
+        est_schema = StructType(
+            [cand.schema[c] for c in key_cols]
+            + [cand.schema[col], StructField(out_col, LongType(), True)]
+        )
+
+        def attach(c_pdf: pd.DataFrame, s_pdf: pd.DataFrame) -> pd.DataFrame:
+            res = c_pdf.copy()
+            if len(s_pdf) and len(c_pdf):
+                sk = CMS.from_bytes(bytes(s_pdf["cms"].iloc[0]))
+                res[out_col] = sk.estimate(
+                    c_pdf[col].to_numpy()
+                ).astype(np.int64)
+            else:
+                res[out_col] = np.int64(0)
+            return res
+
+        est = (
+            cand.groupBy(*key_cols)
+            .cogroup(sketch.groupBy(*key_cols))
+            .applyInPandas(attach, schema=est_schema)
+        )
+        return _rank_topk(est, key_cols, col, out_col, k)
+
     # the CMS blob is ~depth·width·8 bytes (MBs at useful widths) — a
     # broadcast JOIN would ship it once per candidate row through Arrow.
     # Ship the tiny sketch TABLE once per executor as a Spark broadcast
@@ -415,6 +476,14 @@ def cms_topk(
     est = cand.select(
         *key_cols, col, _est(*key_cols, col).alias(out_col)
     )
+    return _rank_topk(est, key_cols, col, out_col, k)
+
+
+def _rank_topk(est, key_cols, col, out_col, k):
+    """top-k by (estimate desc, value): TakeOrderedAndProject globally,
+    window rank over the (sketch-sized) candidate set per group."""
+    from pyspark.sql.window import Window
+
     if key_cols:
         w = Window.partitionBy(*key_cols).orderBy(
             F.desc(out_col), F.col(col)

@@ -97,6 +97,19 @@ def coerce_precision(precision) -> str:
     )
 
 
+def resolve_auto_precision(precision, spark_dtype) -> str:
+    """Input-dtype precision inference for the aggregate surface,
+    mirroring the reference's Polars rule (polars_expr.rs:522-544,
+    65-77): a 32-bit float value column yields an f32 digest, anything
+    else f64. ``precision`` values other than 'auto' pass through
+    :func:`coerce_precision` unchanged."""
+    if precision is not None and str(precision).strip().lower() == "auto":
+        from pyspark.sql.types import FloatType
+
+        return "f32" if isinstance(spark_dtype, FloatType) else "f64"
+    return coerce_precision(precision)
+
+
 def validate_quantile_probe(q: float) -> float:
     """Strict probe check (reference frontends.rs:152-160)."""
     q = float(q)

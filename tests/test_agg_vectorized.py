@@ -188,3 +188,45 @@ class TestColumnarBlobPath:
         assert k == [(1,)]
         from gr_tdigest_spark.sketches import wire
         assert wire.decode(blobs[0]).count == 2.0
+
+
+class TestAutoPrecision:
+    """precision='auto' infers digest precision from the value column's
+    Spark type, mirroring the reference Polars input-dtype rule
+    (polars_expr.rs:522-544, 65-77): FloatType -> f32, else f64."""
+
+    def test_float_column_yields_f32(self, spark):
+        from pyspark.sql import functions as F
+        from gr_tdigest_spark.operators import tdigest_agg
+        from gr_tdigest_spark.sketches import wire
+
+        df = spark.range(200).select(
+            (F.col("id") % 4).alias("g"),
+            F.col("id").cast("float").alias("x"),
+        )
+        out = tdigest_agg(df, ["g"], "x", max_size=100, precision="auto")
+        blobs = [r["tdigest"] for r in out.collect()]
+        assert blobs and all(
+            wire.wire_precision(bytes(b)) == "f32" for b in blobs
+        )
+
+    def test_double_and_int_columns_yield_f64(self, spark):
+        from pyspark.sql import functions as F
+        from gr_tdigest_spark.operators import tdigest_agg
+        from gr_tdigest_spark.sketches import wire
+
+        for cast in ("double", "int"):
+            df = spark.range(100).select(
+                F.lit(0).alias("g"), F.col("id").cast(cast).alias("x")
+            )
+            out = tdigest_agg(df, ["g"], "x", max_size=100, precision="auto")
+            b = bytes(out.collect()[0]["tdigest"])
+            assert wire.wire_precision(b) == "f64", cast
+
+    def test_explicit_precision_still_strict(self):
+        import pytest
+        from gr_tdigest_spark import validation
+
+        assert validation.coerce_precision("f32") == "f32"
+        with pytest.raises(ValueError):
+            validation.coerce_precision("auto")  # only the agg surface resolves it

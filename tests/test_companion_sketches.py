@@ -336,3 +336,116 @@ class TestBloomSemiFilter:
         n_in = bloom_filter_rows(li, "l_orderkey", bl).count()
         n_out = bloom_filter_rows(li, "l_orderkey", bl, negate=True).count()
         assert n_in + n_out == li.count()
+
+
+class TestCmsTopKCogroup:
+    """strategy='cogroup' (driver-memory-free fallback) must agree with
+    the default broadcast path row for row."""
+
+    def test_cogroup_equals_broadcast(self, spark, sf_dir):
+        from gr_tdigest_spark.operators.companions import cms_topk
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        kw = dict(k=4, m=64, width=1 << 14)
+        bc = sorted(
+            tuple(r)
+            for r in cms_topk(ev, ["event_type"], "user_id", **kw).collect()
+        )
+        cg = sorted(
+            tuple(r)
+            for r in cms_topk(
+                ev, ["event_type"], "user_id", strategy="cogroup", **kw
+            ).collect()
+        )
+        assert bc == cg and len(bc) > 0
+
+    def test_cogroup_grouped_matches_exact(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+        from gr_tdigest_spark.operators.companions import cms_topk
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        got = [
+            (r["event_type"], r["user_id"])
+            for r in cms_topk(
+                ev, ["event_type"], "user_id", k=3, m=512, width=1 << 16,
+                strategy="cogroup",
+            ).select("event_type", "user_id").collect()
+        ]
+        exp = [
+            (r["event_type"], r["user_id"])
+            for r in ev.groupBy("event_type", "user_id")
+            .agg(F.count("*").alias("n"))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("event_type").orderBy(
+                        F.desc("n"), "user_id"
+                    )
+                ),
+            )
+            .where(F.col("rk") <= 3)
+            .select("event_type", "user_id")
+            .collect()
+        ]
+        assert sorted(got) == sorted(exp)
+
+    def test_invalid_strategy_raises(self, spark, sf_dir):
+        import pytest
+        from gr_tdigest_spark.operators.companions import cms_topk
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        with pytest.raises(ValueError, match="strategy"):
+            cms_topk(ev, ["event_type"], "user_id", k=3, strategy="nope")
+
+
+class TestHLLIntersect:
+    """Inclusion–exclusion intersection estimator (SURVEY §2.8): bound
+    check vs exact intersection counts, plus the documented caveat that
+    the absolute error scales with the union size."""
+
+    def test_intersection_within_bound(self, spark):
+        from pyspark.sql import functions as F
+        from gr_tdigest_spark.operators.companions import (
+            hll_agg, hll_intersect_estimate,
+        )
+
+        # A = [0, 60k), B = [40k, 100k) → exact intersection 20k,
+        # union 100k. p=14 → m=16384, σ = 1.04/√m ≈ 0.81%; the
+        # intersection combines three estimates, each with error
+        # relative to its own cardinality — allow 5σ of the UNION.
+        a = spark.range(0, 60_000).select(F.col("id").alias("v"))
+        b = spark.range(40_000, 100_000).select(F.col("id").alias("v"))
+        ha = hll_agg(a, None, "v", p=14).select(
+            F.col("hll").alias("hll_a")
+        )
+        hb = hll_agg(b, None, "v", p=14).select(
+            F.col("hll").alias("hll_b")
+        )
+        est = (
+            ha.crossJoin(hb)
+            .select(
+                hll_intersect_estimate("hll_a", "hll_b").alias("ix")
+            )
+            .collect()[0]["ix"]
+        )
+        sigma = 1.04 / (16384 ** 0.5)
+        assert abs(est - 20_000) <= 5 * sigma * 100_000
+
+    def test_disjoint_clamped_nonnegative(self, spark):
+        from pyspark.sql import functions as F
+        from gr_tdigest_spark.operators.companions import (
+            hll_agg, hll_intersect_estimate,
+        )
+
+        a = spark.range(0, 5_000).select(F.col("id").alias("v"))
+        b = spark.range(1_000_000, 1_005_000).select(F.col("id").alias("v"))
+        ha = hll_agg(a, None, "v", p=12).select(F.col("hll").alias("hll_a"))
+        hb = hll_agg(b, None, "v", p=12).select(F.col("hll").alias("hll_b"))
+        est = (
+            ha.crossJoin(hb)
+            .select(hll_intersect_estimate("hll_a", "hll_b").alias("ix"))
+            .collect()[0]["ix"]
+        )
+        sigma = 1.04 / (4096 ** 0.5)
+        assert 0.0 <= est <= 5 * sigma * 10_000
