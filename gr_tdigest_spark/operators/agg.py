@@ -357,21 +357,30 @@ class TDigestSpec(SketchSpec):
                 continue
             n_distinct = r1 - r0
             g0, g1 = group_bounds[gi], group_bounds[gi + 1]
+            # sequential sum over RUN weights — identical operands and
+            # association to the columnar path's reduceat counts
             total_w = (
-                float(np.sum(w_all[g0:g1])) if sw is not None
-                else float(g1 - g0)
+                float(np.add.reduceat(run_weights[r0:r1], [0])[0])
+                if sw is not None else float(g1 - g0)
             )
             if (
                 total_w < no_merge_factor * self.max_size
                 and n_distinct <= self.max_size
                 and (sw is None or bool(np.all(run_weights[r0:r1] >= 1.0)))
             ):
-                # same ∑w·mean association as kernel _normalize (np.dot)
+                # ∑w·mean via np.add.reduceat — the SAME strictly
+                # sequential association build_blobs_from_codes uses
+                # (np.dot/np.add.reduce are pairwise/BLAS-ordered), so
+                # the two partial paths emit bit-identical data_sum
+                # headers and tdigest_sum cannot depend on which path a
+                # partition happened to take (r2 advice)
                 td = self._pile_digest(
                     run_means[r0:r1].copy(),
                     run_weights[r0:r1].copy(),
                     total_w,
-                    float(np.dot(run_means[r0:r1], run_weights[r0:r1])),
+                    float(np.add.reduceat(
+                        run_means[r0:r1] * run_weights[r0:r1], [0]
+                    )[0]),
                 )
             else:
                 td = self._empty()

@@ -298,24 +298,35 @@ def kll_count(col) -> Column:
 # ------------------------------------------------------------------ #
 
 def _candidate_tracker(key_cols, col, m: int, cap_factor: int = 8):
-    """mapInPandas per-partition candidate tracker (SpaceSaving-style
-    bounded memory): keeps at most ``m·cap_factor`` counted values per
-    group, pruning the smallest when the cap is exceeded, and emits the
-    local top-m values per group. Any value with true partition count
-    above (partition rows)/(m·cap_factor) survives pruning, so global
-    heavy hitters are always emitted by at least one partition."""
+    """mapInPandas per-partition candidate tracker with SpaceSaving
+    semantics: at most ``m·cap_factor`` counted values per group; when
+    the cap is exceeded the smallest are evicted and the group's
+    eviction FLOOR rises to the largest evicted count, and any value
+    (re-)entering afterwards starts at ``floor + c``. That preserves
+    the SpaceSaving overestimate invariant — a stored count is always
+    ≥ the value's true count within the partition — so a value can
+    never be silently forgotten by eviction and re-arrival (r2 advice):
+    every value whose true partition count exceeds the final floor is
+    present at the end, and the local top-m emission therefore contains
+    every true partition heavy hitter above that bound. Stored counts
+    are candidate-discovery artifacts only; the CMS re-estimate
+    downstream supplies the reported counts."""
     cap = m * cap_factor
 
     def run(batches):
         counts: dict = {}  # key_tuple -> {value: count}
+        floors: dict = {}  # key_tuple -> max evicted count
 
         def bump(key, vc_items):
             d = counts.setdefault(key, {})
+            f = floors.get(key, 0)
             for v, c in vc_items:
-                d[v] = d.get(v, 0) + int(c)
+                prev = d.get(v)
+                d[v] = (f + int(c)) if prev is None else (prev + int(c))
             if len(d) > cap:
-                top = sorted(d.items(), key=lambda t: -t[1])[:cap]
-                counts[key] = dict(top)
+                ranked = sorted(d.items(), key=lambda t: -t[1])
+                floors[key] = max(f, ranked[cap][1])
+                counts[key] = dict(ranked[:cap])
 
         for pdf in batches:
             sub = pdf.dropna(subset=[col])

@@ -300,6 +300,7 @@ def near_dup_clusters(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -330,4 +331,17 @@ def near_dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # silently returning would split one connected component into
+        # several clusters (r2 advice) — surface it instead
+        import warnings
+
+        warnings.warn(
+            f"near_dup_clusters did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); a component "
+            "with diameter > max_iter is split across clusters. "
+            "Raise max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster"))

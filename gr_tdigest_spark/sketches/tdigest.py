@@ -143,8 +143,12 @@ def _normalize(
     starts = np.concatenate(([0], np.flatnonzero(d > 0) + 1))
     run_means = means[starts]
     run_weights = np.add.reduceat(weights, starts)
-    total_w = float(np.sum(run_weights))
-    total_mw = float(np.dot(run_means, run_weights))
+    # strictly sequential (reduceat) association for count/sum — the
+    # single canonical ordering shared with both distributed partial
+    # paths (agg.py build_from_codes / build_blobs_from_codes), so the
+    # data_sum header never depends on which code path built the blob
+    total_w = float(np.add.reduceat(run_weights, [0])[0])
+    total_mw = float(np.add.reduceat(run_means * run_weights, [0])[0])
     out_w = _coerce_pile_weights(run_weights)
     kinds = np.zeros(run_means.size, dtype=np.uint8)  # all atomic
     return (
@@ -541,8 +545,9 @@ class TDigest:
         other.means = vals
         other.weights = ws
         other.kinds = np.zeros(vals.size, dtype=np.uint8)
-        other.sum = float(np.dot(vals, ws))
-        other.count = float(np.sum(ws))
+        # sequential association (see _compress preamble note)
+        other.sum = float(np.add.reduceat(vals * ws, [0])[0])
+        other.count = float(np.add.reduceat(ws, [0])[0])
         other.min = float(vals[0])
         other.max = float(vals[-1])
         other._store()

@@ -104,12 +104,11 @@ def encode(td: TDigest, version: int = 3) -> bytes:
         head += bytes([version, scale_code, policy_code, pin])
         head += struct.pack("<Q", td.max_size)
         if version == 1:
-            # round-half-away-from-zero, matching Rust f64::round in the
-            # reference v1 encoder (np.round is half-to-even; fractional
-            # .5 weights from scale_weights would differ). Weights are
-            # non-negative so floor(w + 0.5) suffices.
-            w_u64 = np.floor(weights + 0.5).astype(np.uint64)
-            head += struct.pack("<Q", int(np.sum(w_u64)))
+            w_u64 = _v1_weight_u64(weights)
+            # saturating total, matching the reference's saturating_add
+            # (np.sum would wrap on u64 overflow)
+            total = min(int(w_u64.astype(object).sum()), U64_MAX)
+            head += struct.pack("<Q", total)
         else:
             head += struct.pack("<d", td.count)
         head += struct.pack("<d", td.min)
@@ -142,6 +141,26 @@ def encode(td: TDigest, version: int = 3) -> bytes:
     return bytes(blob)
 
 
+U64_MAX = 2 ** 64 - 1
+_U64_MAX_AS_F64 = float(2 ** 64)  # u64::MAX rounds UP to 2^64 as f64
+
+
+def _v1_weight_u64(weights: np.ndarray) -> np.ndarray:
+    """Integerize v1 weights exactly like the reference (wire.rs:484-496):
+    Rust ``f64::round`` (half away from zero — NOT ``floor(w+0.5)``,
+    which pulls 0.49999999999999994 up to 1 and odd integers ≥ 2^52 up
+    to w+1 because ``w+0.5`` itself rounds), then saturate at u64::MAX
+    instead of letting the numpy cast wrap."""
+    frac_half = weights - np.floor(weights) == 0.5
+    r = np.where(frac_half, np.ceil(weights), np.round(weights))
+    r = np.where(r <= 0.0, 0.0, r)
+    over = r >= _U64_MAX_AS_F64
+    out = np.empty(r.shape, dtype=np.uint64)
+    out[over] = np.uint64(U64_MAX)
+    out[~over] = r[~over].astype(np.uint64)
+    return out
+
+
 def _encode_payload(
     version: int, precision: str, means: np.ndarray, weights: np.ndarray,
     kinds: np.ndarray,
@@ -156,7 +175,7 @@ def _encode_payload(
     view = buf.reshape(n, stride)
     view[:, :msz] = means.astype(mdt).view(np.uint8).reshape(n, msz)
     if version == 1:
-        w_u64 = np.floor(weights + 0.5).astype("<u8")
+        w_u64 = _v1_weight_u64(weights).astype("<u8")
         view[:, msz:msz + 8] = w_u64.view(np.uint8).reshape(n, 8)
     else:
         view[:, msz:msz + 8] = weights.astype("<f8").view(np.uint8).reshape(n, 8)

@@ -15,6 +15,8 @@ catalog is exercised instead; its v1 tables reject V2 ``append``/
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.utils import AnalysisException
 
@@ -23,23 +25,46 @@ __all__ = [
     "table_exists",
 ]
 
+_TABLE_ID = re.compile(r"^\w+(\.\w+)+$")
+_FILE_SUFFIXES = (".parquet", ".csv", ".json", ".orc")
+
 
 def is_table_ref(ref: str) -> bool:
-    """Path if it has a separator or a file suffix; table id otherwise."""
-    return "/" not in ref and "\\" not in ref and not ref.lower().endswith(
-        (".parquet", ".csv", ".json", ".orc")
-    )
+    """Catalog-table id only when unambiguous: an explicit ``table:``
+    prefix, or a DOTTED identifier (``db.tbl`` / ``cat.db.tbl``) without
+    a file suffix. Everything else — including a bare relative name like
+    ``my_ckpt``, previously a valid filesystem path — stays a path, so a
+    checkpoint dir never silently routes to the warehouse."""
+    if ref.startswith("table:"):
+        return True
+    if ref.lower().endswith(_FILE_SUFFIXES):
+        return False
+    return bool(_TABLE_ID.match(ref))
+
+
+def _table_id(ref: str) -> str:
+    """Strip the ``table:`` prefix and validate the identifier (the ref
+    is later interpolated into SQL, so reject anything but ``\\w``/dots)."""
+    name = ref[len("table:"):] if ref.startswith("table:") else ref
+    if not re.match(r"^\w+(\.\w+)*$", name):
+        raise ValueError(f"invalid catalog table identifier: {ref!r}")
+    return name
+
+
+def _quoted(ref: str) -> str:
+    """Backtick-quote each dotted part for SQL statements."""
+    return ".".join(f"`{p}`" for p in _table_id(ref).split("."))
 
 
 def read_table(spark: SparkSession, ref: str) -> DataFrame:
     if is_table_ref(ref):
-        return spark.read.table(ref)
+        return spark.read.table(_table_id(ref))
     return spark.read.parquet(ref)
 
 
 def table_exists(spark: SparkSession, ref: str) -> bool:
     if is_table_ref(ref):
-        return spark.catalog.tableExists(ref)
+        return spark.catalog.tableExists(_table_id(ref))
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(ref)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -52,28 +77,29 @@ def write_table(df: DataFrame, ref: str, mode: str = "append") -> None:
     if not is_table_ref(ref):
         df.write.mode(mode).parquet(ref)
         return
+    table = _table_id(ref)
     spark = df.sparkSession
     if mode == "overwrite":
         try:
-            df.writeTo(ref).using("parquet").createOrReplace()
+            df.writeTo(table).using("parquet").createOrReplace()
         except AnalysisException:
-            df.write.mode("overwrite").saveAsTable(ref)
+            df.write.mode("overwrite").saveAsTable(table)
         return
     if mode == "append":
-        if not spark.catalog.tableExists(ref):
-            df.writeTo(ref).using("parquet").create()
+        if not spark.catalog.tableExists(table):
+            df.writeTo(table).using("parquet").create()
             return
         try:
-            df.writeTo(ref).append()
+            df.writeTo(table).append()
         except AnalysisException:
-            df.write.mode("append").saveAsTable(ref)
+            df.write.mode("append").saveAsTable(table)
         return
     raise ValueError("mode must be 'append' or 'overwrite'")
 
 
 def drop_table(spark: SparkSession, ref: str) -> None:
     if is_table_ref(ref):
-        spark.sql(f"DROP TABLE IF EXISTS {ref}")
+        spark.sql(f"DROP TABLE IF EXISTS {_quoted(ref)}")
         return
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(ref)

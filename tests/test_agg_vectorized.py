@@ -144,17 +144,10 @@ class TestColumnarBlobPath:
         from gr_tdigest_spark.sketches import wire
         bmap = dict(zip(k2, blobs))
         for key, st in states.items():
-            a, b = wire.encode(st, 3), bmap[key]
-            if a == b:
-                continue
-            ta, tb = wire.decode(a), wire.decode(b)
-            assert np.array_equal(ta.means, tb.means), key
-            assert np.array_equal(ta.weights, tb.weights), key
-            assert np.array_equal(ta.kinds, tb.kinds), key
-            assert ta.count == tb.count and ta.min == tb.min, key
-            assert ta.max == tb.max, key
-            # sum may differ at ulp (np.dot vs reduceat ordering)
-            assert abs(ta.sum - tb.sum) <= 1e-12 * max(abs(ta.sum), 1.0)
+            # byte-identical: both paths use the same sequential
+            # ∑w·mean association (r2 advice — partition-layout
+            # independence of the data_sum header)
+            assert wire.encode(st, 3) == bmap[key], key
 
     def test_f64_unit(self):
         self._compare("f64", False, 1)

@@ -165,6 +165,37 @@ class TestCatalogTableCheckpoint:
 
         assert is_table_ref("db.tbl") and is_table_ref("cat.db.tbl")
         assert not is_table_ref("/a/b") and not is_table_ref("x.parquet")
+        # a bare relative name is a PATH (a checkpoint dir must never
+        # silently route to the warehouse); table: prefix forces table
+        assert not is_table_ref("my_ckpt")
+        assert is_table_ref("table:my_ckpt")
+        assert not is_table_ref("db.tbl.parquet")
+
+    def test_table_prefix_and_quoting(self, spark):
+        import pytest
+        from gr_tdigest_spark.sources.tables import (
+            drop_table, read_table, table_exists, write_table,
+        )
+        import pandas as pd
+
+        df = spark.createDataFrame(pd.DataFrame({"a": [7]}))
+        ref = "table:gr_prefix_test"
+        drop_table(spark, ref)
+        try:
+            write_table(df, ref, mode="overwrite")
+            assert table_exists(spark, ref)
+            assert read_table(spark, ref).count() == 1
+        finally:
+            drop_table(spark, ref)
+        # the ref reaches SQL, so non-identifier chars must be rejected
+        with pytest.raises(ValueError, match="identifier"):
+            drop_table(spark, "table:x; DROP TABLE y")
+
+    def test_adapter_modes_table_and_path(self, spark, tmp_path):
+        import pandas as pd
+        from gr_tdigest_spark.sources.tables import (
+            drop_table, read_table, table_exists, write_table,
+        )
 
         df = spark.createDataFrame(pd.DataFrame({"a": [1, 2]}))
         ref = "default.gr_adapter_test"

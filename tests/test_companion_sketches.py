@@ -449,3 +449,49 @@ class TestHLLIntersect:
         )
         sigma = 1.04 / (4096 ** 0.5)
         assert 0.0 <= est <= 5 * sigma * 10_000
+
+
+class TestCandidateTrackerSpaceSaving:
+    """Eviction must carry a SpaceSaving floor: a heavy value arriving
+    interleaved with bursts of one-off fillers (each burst large enough
+    to evict it) must still be emitted — with a plain reset-on-evict
+    tracker its count restarts at 1 every round and it loses."""
+
+    @staticmethod
+    def _drive(batches, m, cap_factor):
+        import pandas as pd
+        from gr_tdigest_spark.operators.companions import _candidate_tracker
+
+        run = _candidate_tracker([], "v", m, cap_factor=cap_factor)
+        out = list(run(pd.DataFrame({"v": b}) for b in batches))
+        assert len(out) <= 1
+        return set(out[0]["v"]) if out else set()
+
+    def test_reentry_starts_at_floor(self):
+        # cap = 4·1 = 4. Batch 1 evicts X at count 6 (floor → 6);
+        # batch 2 re-adds X×3. With the SpaceSaving offset X re-enters
+        # at 6+3=9 and displaces D(7); with reset-on-evict it would
+        # re-enter at 3 and be evicted again, silently forgetting its
+        # accumulated count.
+        batches = [
+            ["A"] * 10 + ["B"] * 9 + ["C"] * 8 + ["D"] * 7 + ["X"] * 6,
+            ["X"] * 3,
+        ]
+        emitted = self._drive(batches, m=4, cap_factor=1)
+        assert "X" in emitted
+
+    def test_overestimate_invariant(self):
+        """Stored counts are ≥ true counts — check via emission of every
+        value whose true count exceeds the floor in a random stream."""
+        import collections
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        vals = [f"v{i}" for i in rng.integers(0, 200, 5000)]
+        vals += ["HH"] * 400  # one clear heavy hitter
+        rng.shuffle(vals)
+        true = collections.Counter(vals)
+        batches = [vals[i:i + 500] for i in range(0, len(vals), 500)]
+        emitted = self._drive(batches, m=8, cap_factor=8)
+        assert "HH" in emitted
+        assert true["HH"] == 400

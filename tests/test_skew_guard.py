@@ -110,3 +110,26 @@ class TestSubsplit:
         rows = oversized_buckets(banded, ["bucket"], 100).collect()
         assert len(rows) == 1
         assert rows[0]["bucket"] == 7 and rows[0]["bucket_size"] == 500
+
+
+def test_near_dup_clusters_warns_when_unconverged(spark):
+    """A path graph of diameter 12 with max_iter=2 cannot converge —
+    the caller must be told (r2 advice: silent split otherwise)."""
+    import warnings
+
+    from gr_tdigest_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a long, b long"
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        near_dup_clusters(pairs, max_iter=2).collect()
+    assert any("did not converge" in str(w.message) for w in rec)
+
+    # and a converged run stays silent
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = near_dup_clusters(pairs, max_iter=50).collect()
+    assert not any("did not converge" in str(w.message) for w in rec)
+    assert {r["cluster"] for r in out} == {0}

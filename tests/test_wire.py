@@ -269,3 +269,33 @@ class TestGoldenWireBytes:
         td = self._canonical(precision="f32")
         assert encode(td, version=3) == golden
         assert decode(golden).means.tolist() == self.MEANS
+
+
+class TestV1WeightEdges:
+    """v1 integerization must match Rust f64::round + u64 clamp
+    (wire.rs:484-496), not floor(w+0.5) — r2 advice."""
+
+    def test_sub_half_epsilon_rounds_down(self):
+        from gr_tdigest_spark.sketches.wire import _v1_weight_u64
+
+        w = np.array([0.49999999999999994])  # < 0.5; floor(w+0.5) gives 1
+        assert _v1_weight_u64(w).tolist() == [0]
+
+    def test_huge_odd_integers_unchanged(self):
+        from gr_tdigest_spark.sketches.wire import _v1_weight_u64
+
+        w = np.array([float(2 ** 52 + 1)])  # w+0.5 rounds to w+1
+        assert _v1_weight_u64(w).tolist() == [2 ** 52 + 1]
+
+    def test_overflow_saturates(self):
+        from gr_tdigest_spark.sketches.wire import U64_MAX, _v1_weight_u64
+
+        w = np.array([1e300, float(2 ** 64), 5.0])
+        got = _v1_weight_u64(w).tolist()
+        assert got == [U64_MAX, U64_MAX, 5]
+
+    def test_half_rounds_away(self):
+        from gr_tdigest_spark.sketches.wire import _v1_weight_u64
+
+        w = np.array([0.5, 1.5, 2.5, 3.5])
+        assert _v1_weight_u64(w).tolist() == [1, 2, 3, 4]
