@@ -492,6 +492,56 @@ def q_hll_bound(spark, sf_dir):
     )
 
 
+def q_hll_intersect(spark, sf_dir):
+    """Inclusion–exclusion HLL intersection (SURVEY §2.8): for every
+    event-type pair, the estimate must sit within the documented bound
+    (3 estimates, each ±1.04/√m of its own cardinality — tolerance is
+    3·5σ of the exact UNION, floor 3). At these cardinalities (≪ m)
+    HLL is in its linear-counting regime, so the check is tight."""
+    from gr_tdigest_spark.operators.companions import (
+        hll_agg, hll_intersect_estimate,
+    )
+
+    ev = _ev(spark, sf_dir)
+    h = hll_agg(ev, ["event_type"], "user_id", p=14)
+    a = h.select(F.col("event_type").alias("et_a"), F.col("hll").alias("ha"))
+    b = h.select(F.col("event_type").alias("et_b"), F.col("hll").alias("hb"))
+    est = a.join(b, F.col("et_a") < F.col("et_b")).select(
+        "et_a", "et_b", hll_intersect_estimate("ha", "hb").alias("est")
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    inter = (
+        du.select(F.col("event_type").alias("et_a"), "user_id")
+        .join(du.select(F.col("event_type").alias("et_b"), "user_id"),
+              "user_id")
+        .where(F.col("et_a") < F.col("et_b"))
+        .groupBy("et_a", "et_b")
+        .agg(F.countDistinct("user_id").alias("exact_inter"))
+    )
+    per_type = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    sigma = 1.04 / (2 ** 14) ** 0.5
+    return (
+        est.join(inter, ["et_a", "et_b"])
+        .join(per_type.select(F.col("event_type").alias("et_a"),
+                              F.col("n_users").alias("na")), "et_a")
+        .join(per_type.select(F.col("event_type").alias("et_b"),
+                              F.col("n_users").alias("nb")), "et_b")
+        .select(
+            "et_a", "et_b",
+            (
+                F.abs(F.col("est") - F.col("exact_inter"))
+                <= F.greatest(
+                    F.lit(3 * 5 * sigma)
+                    * (F.col("na") + F.col("nb") - F.col("exact_inter")),
+                    F.lit(3.0),
+                )
+            ).alias("within_bound"),
+        )
+    )
+
+
 def q_cms_topk(spark, sf_dir):
     """Global heavy-hitter top-k — fully distributed (per-partition
     candidate tracking + broadcast CMS re-estimation), no driver-side
@@ -929,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_sql": q_td_sql,
         "sketch_rollup_consistency": q_sketch_rollup_consistency,
         "hll_bound": q_hll_bound,
+        "hll_intersect": q_hll_intersect,
         "cms_topk": q_cms_topk,
         "hh_topk_tools": q_hh_topk_tools,
         "hh_topk_users": q_hh_topk_users,
@@ -1142,6 +1193,13 @@ def oracle_sql() -> dict[str, str]:
         "hll_bound": (
             "SELECT event_type, TRUE AS within_bound "
             "FROM events GROUP BY event_type"
+        ),
+        "hll_intersect": (
+            "SELECT a.event_type AS et_a, b.event_type AS et_b, "
+            "TRUE AS within_bound "
+            "FROM (SELECT DISTINCT event_type FROM events) a "
+            "JOIN (SELECT DISTINCT event_type FROM events) b "
+            "ON a.event_type < b.event_type"
         ),
         "cms_topk": (
             "SELECT event_type, count(*) AS est_count FROM events "
