@@ -91,30 +91,6 @@ def q_to_k(q, d: float, family: str, n: float):
     raise ValueError(f"unknown scale family: {family!r}")
 
 
-def _q_to_k_scalar(q: float, d: float, family: str, n: float) -> float:
-    """Scalar q→k on pure ``math`` — the greedy cluster loop evaluates
-    k(q_left) once per cluster and numpy scalar ufuncs cost ~12 µs each,
-    which dominates the stage-4 cap search otherwise."""
-    eps = 1e-15
-    qq = eps if q < eps else (1.0 - eps if q > 1.0 - eps else q)
-    if family == "k2":
-        return (d / (4.0 * _LN2)) * math.log(qq / (1.0 - qq))
-    if family == "quad":
-        r = math.sqrt(qq * 0.5) if qq < 0.5 else 1.0 - math.sqrt((1.0 - qq) * 0.5)
-        return d * r
-    if family == "k1":
-        s = math.asin(max(-1.0, min(1.0, 2.0 * qq - 1.0)))
-        return (d / (2.0 * math.pi)) * s
-    if family == "k2norm":
-        factor = d / (math.log(n / d) * 4.0 + 24.0)
-        return factor * math.log(qq / (1.0 - qq))
-    if family == "k3":
-        a = math.log(1.0 / (1.0 - qq))
-        b = math.log(1.0 / qq)
-        return (d / 4.0) * math.log(max(a / b, eps))
-    raise ValueError(f"unknown scale family: {family!r}")
-
-
 def _coerce_pile_weights(weights: np.ndarray) -> np.ndarray:
     """``new_singleton_f64`` coerces weight<=1 to exactly 1 (centroids.rs:102-108)."""
     return np.where(weights <= 1.0, 1.0, weights)
@@ -162,34 +138,70 @@ def _normalize(
     )
 
 
-def _klimit_boundaries(
-    weights: np.ndarray, d: float, family: str, tol: float,
+def _k_scale_factor(d: float, family: str, n: float) -> float:
+    """Every scale family factors as k(q, d) = f(d) · g(q) with g
+    independent of d (scale.rs:43-82) — f is this scalar."""
+    if family == "quad":
+        return d
+    if family == "k1":
+        return d / (2.0 * math.pi)
+    if family == "k2":
+        return d / (4.0 * _LN2)
+    if family == "k2norm":
+        return d / (math.log(n / d) * 4.0 + 24.0)
+    if family == "k3":
+        return d / 4.0
+    raise ValueError(f"unknown scale family: {family!r}")
+
+
+def _g_of_q(q: np.ndarray, family: str) -> np.ndarray:
+    """The d-independent part g(q) of the scale mapping (vectorized)."""
+    eps = 1e-15
+    qq = np.clip(q, eps, 1.0 - eps)
+    if family == "quad":
+        return np.where(
+            qq < 0.5, np.sqrt(qq * 0.5), 1.0 - np.sqrt((1.0 - qq) * 0.5)
+        )
+    if family == "k1":
+        return np.arcsin(np.clip(2.0 * qq - 1.0, -1.0, 1.0))
+    if family in ("k2", "k2norm"):
+        return np.log(qq / (1.0 - qq))
+    if family == "k3":
+        a = np.log(1.0 / (1.0 - qq))
+        b = np.log(1.0 / qq)
+        return np.log(np.maximum(a / b, eps))
+    raise ValueError(f"unknown scale family: {family!r}")
+
+
+def _prepare_g(weights: np.ndarray, family: str):
+    """One-time per (weights, family) precomputation for the greedy
+    clusterer: (g list at inclusive prefixes, g at q=0, total weight).
+    Shared across every cap-search probe — the probes then cost
+    O(clusters · log n) bisects with NO transcendental calls."""
+    total = float(np.sum(weights))
+    cum = np.cumsum(weights)
+    g = np.asarray(_g_of_q(cum / total, family), dtype=np.float64)
+    g0 = float(_g_of_q(np.asarray([0.0]), family)[0])
+    # plain-list bisect beats per-cluster np.searchsorted scalar calls
+    # ~10× (same comparisons, no ufunc dispatch)
+    return g.tolist(), g0, total
+
+
+def _greedy_starts(
+    gl: list, g0: float, m: int, limit: float,
     max_starts: Optional[int] = None,
 ) -> np.ndarray:
-    """Stage 3 cluster boundaries (reference compressor.rs:297-361).
-
-    Returns the array of cluster start indices. The greedy rule "absorb
-    while k(q_right) − k(q_left) ≤ 1 + tol, first element of a cluster
-    unconditional" is evaluated with a precomputed monotone k(prefix)
-    array and searchsorted jumps — O(clusters · log n).
+    """Greedy k-limit walk over precomputed g prefixes: absorb while
+    g(q_right) − g(q_left) ≤ limit (= (1+tol)/f(d)), first element of a
+    cluster unconditional. q_left of each next cluster is exactly the
+    previous cluster's inclusive end prefix, so k_left is a LOOKUP
+    (gl[e]) — zero per-cluster transcendentals (compressor.rs:297-361).
     """
     from bisect import bisect_right
 
-    m = weights.size
-    total = float(np.sum(weights))
-    n = float(m)
-    cum = np.cumsum(weights)
-    k_right = np.asarray(q_to_k(cum / total, d, family, n), dtype=np.float64)
-    # plain-list bisect beats per-cluster np.searchsorted scalar calls
-    # ~10× (same comparisons, no ufunc dispatch); values are identical
-    # python floats so the boundaries are byte-for-byte the same
-    kr = k_right.tolist()
-    cl = cum.tolist()
-
     starts = []
     s = 0
-    c_acc = 0.0
-    limit = 1.0 + tol
+    k_left = g0
     while s < m:
         starts.append(s)
         if max_starts is not None and len(starts) > max_starts:
@@ -197,14 +209,25 @@ def _klimit_boundaries(
             # max_starts?") — the exact count past the cap is irrelevant,
             # so stop scanning; callers compare .size > max_starts
             break
-        k_left = _q_to_k_scalar(c_acc / total, d, family, n)
-        # last index whose inclusive-prefix k fits under the limit
-        e = bisect_right(kr, k_left + limit) - 1
+        # last index whose inclusive-prefix g fits under the limit
+        e = bisect_right(gl, k_left + limit) - 1
         if e < s:
             e = s
-        c_acc = cl[e]
+        k_left = gl[e]
         s = e + 1
     return np.asarray(starts, dtype=np.int64)
+
+
+def _klimit_boundaries(
+    weights: np.ndarray, d: float, family: str, tol: float,
+    max_starts: Optional[int] = None,
+) -> np.ndarray:
+    """Stage 3 cluster boundaries (reference compressor.rs:297-361)."""
+    m = weights.size
+    n = float(m)
+    gl, g0, _ = _prepare_g(weights, family)
+    limit = (1.0 + tol) / _k_scale_factor(d, family, n)
+    return _greedy_starts(gl, g0, m, limit, max_starts)
 
 
 def _cluster_reduce(
@@ -320,15 +343,23 @@ def _cap_core(
         return (
             np.empty(0), np.empty(0), np.empty(0, dtype=np.uint8),
         )
+    # the g prefixes are d-independent: pay the O(n) transcendental pass
+    # ONCE, then every probe is O(clusters · log n) bisects
+    m = weights.size
+    n = float(m)
+    gl, g0, _ = _prepare_g(weights, family)
+
+    def probe_starts(dd, max_starts=None):
+        limit = (1.0 + KLIMIT_TOL) / _k_scale_factor(dd, family, n)
+        return _greedy_starts(gl, g0, m, limit, max_starts)
+
     lo = CAP_SEARCH_LO
     hi = max(d, CAP_SEARCH_LO)
     best = lo
     found = False
     for _ in range(CAP_SEARCH_ITERS):
         mid = 0.5 * (lo + hi)
-        n_mid = _klimit_boundaries(
-            weights, mid, family, KLIMIT_TOL, max_starts=core_cap
-        ).size
+        n_mid = probe_starts(mid, max_starts=core_cap).size
         if n_mid <= core_cap:
             found = True
             best = mid
@@ -336,11 +367,15 @@ def _cap_core(
         else:
             hi = mid
     tuned = best if found else CAP_SEARCH_LO
-    out = _klimit_merge(means, weights, kinds, tuned, family, KLIMIT_TOL)
+
+    def merge_at(dd):
+        return _cluster_reduce(means, weights, kinds, probe_starts(dd))
+
+    out = merge_at(tuned)
     guard = 0
     while out[0].size > core_cap and guard < CAP_FALLBACK_ITERS:
         tuned *= 0.95
-        out = _klimit_merge(means, weights, kinds, tuned, family, KLIMIT_TOL)
+        out = merge_at(tuned)
         guard += 1
     if out[0].size > core_cap:
         return _bucketize_equal_weight(means, weights, core_cap)
