@@ -817,6 +817,7 @@ def tdigest_agg(
     on_invalid: str = "error",
     out_col: str = "tdigest",
     salt_buckets: Optional[int] = None,
+    pre_aggregate: bool = False,
 ) -> DataFrame:
     """Grouped t-digest build — the Spark analogue of
     ``df.group_by(g).agg(tdigest(x))`` (reference README.md:36-45,
@@ -824,7 +825,19 @@ def tdigest_agg(
 
     ``precision='auto'`` infers the digest precision from the value
     column's Spark type (FloatType → f32, else f64), mirroring the
-    reference's Polars input-dtype rule (polars_expr.rs:522-544)."""
+    reference's Polars input-dtype rule (polars_expr.rs:522-544).
+
+    ``pre_aggregate=True`` first collapses rows to exact (keys, value)
+    piles JVM-side — ``groupBy(keys, value).count()`` (or
+    ``sum(weight)``), a whole-stage-codegen hash aggregate with
+    map-side combine — and builds the digest from the WEIGHTED piles.
+    Only distinct values per group ever cross the Arrow boundary to
+    Python, so on discrete metrics (text lengths, latency ms, token
+    counts) the Python-side row volume drops by orders of magnitude;
+    under digest capacity the result is bit-identical to the row path
+    (the kernel coalesces to the same piles). The wrong choice for
+    near-unique continuous values, where it adds a full-width shuffle
+    for nothing — hence opt-in."""
     precision = validation.resolve_auto_precision(
         precision, df.schema[value_col].dataType
     )
@@ -832,6 +845,16 @@ def tdigest_agg(
         max_size=max_size, scale=scale, policy=policy,
         pin_per_side=pin_per_side, precision=precision, on_invalid=on_invalid,
     )
+    if pre_aggregate:
+        grp = list(keys) if keys else []
+        w_expr = (
+            F.sum(F.col(weight_col)) if weight_col is not None
+            else F.count("*").cast("double")
+        )
+        df = df.groupBy(*grp, F.col(value_col)).agg(
+            w_expr.alias("__pile_w")
+        )
+        weight_col = "__pile_w"
     return sketch_agg(
         df, keys, value_col, spec,
         weight_col=weight_col, out_col=out_col, salt_buckets=salt_buckets,

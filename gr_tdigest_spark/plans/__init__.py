@@ -20,6 +20,13 @@ SKETCH_CONFS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # sketch pipelines are execution-heavy (hash aggregates, sorts) and
+    # their cached tables are incidental — don't let a big persisted
+    # text table starve 32 concurrent hash-agg tasks of the protected
+    # storage half (observed: SparkOutOfMemoryError in
+    # UnsafeFixedWidthAggregationMap with a 26 GB cached transcript
+    # table at the default storageFraction=0.5)
+    "spark.memory.storageFraction": "0.3",
 }
 
 
@@ -41,7 +48,7 @@ def get_spark(
         SparkSession.builder.appName(app)
         .master(f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
     for k, v in SKETCH_CONFS.items():
         b = b.config(k, v)

@@ -223,3 +223,87 @@ class TestAutoPrecision:
         assert validation.coerce_precision("f32") == "f32"
         with pytest.raises(ValueError):
             validation.coerce_precision("auto")  # only the agg surface resolves it
+
+
+class TestPileGroupByPreAggregate:
+    """pre_aggregate=True: JVM groupBy(keys, value) piles feed the
+    weighted builder — only distinct values cross Arrow. Under digest
+    capacity the result must be BYTE-identical to the row path (the
+    kernel coalesces rows to the same piles)."""
+
+    def test_uncompressed_byte_equal(self, spark, sf_dir):
+        from gr_tdigest_spark.operators import tdigest_agg
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        kw = dict(max_size=20000, policy="off")
+        a = {
+            r["l_returnflag"]: bytes(r["tdigest"])
+            for r in tdigest_agg(
+                li, ["l_returnflag"], "l_quantity", **kw
+            ).collect()
+        }
+        b = {
+            r["l_returnflag"]: bytes(r["tdigest"])
+            for r in tdigest_agg(
+                li, ["l_returnflag"], "l_quantity", pre_aggregate=True, **kw
+            ).collect()
+        }
+        assert a == b and len(a) == 3
+
+    def test_weighted_input_composes(self, spark, sf_dir):
+        """With an explicit weight column the piles carry sum(weight):
+        equal to the weighted row path in uncompressed mode."""
+        from pyspark.sql import functions as F
+        from gr_tdigest_spark.operators import tdigest_agg
+        import gr_tdigest_spark.functions as Fn
+
+        li = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .withColumn("w", (F.col("l_linenumber") % 3 + 1).cast("double"))
+        )
+        kw = dict(max_size=20000, policy="off")
+        a = tdigest_agg(
+            li, ["l_returnflag"], "l_quantity", weight_col="w", **kw
+        ).select("l_returnflag", Fn.tdigest_quantile("tdigest", 0.37),
+                 Fn.tdigest_count("tdigest")).collect()
+        b = tdigest_agg(
+            li, ["l_returnflag"], "l_quantity", weight_col="w",
+            pre_aggregate=True, **kw
+        ).select("l_returnflag", Fn.tdigest_quantile("tdigest", 0.37),
+                 Fn.tdigest_count("tdigest")).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_compressed_quantiles_match(self, spark, sf_dir):
+        from gr_tdigest_spark.operators import tdigest_agg
+        import gr_tdigest_spark.functions as Fn
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        qa = {
+            r[0]: r[1]
+            for r in tdigest_agg(li, ["l_returnflag"], "l_extendedprice",
+                                 max_size=200)
+            .select("l_returnflag", Fn.tdigest_quantile("tdigest", 0.5))
+            .collect()
+        }
+        qb = {
+            r[0]: r[1]
+            for r in tdigest_agg(li, ["l_returnflag"], "l_extendedprice",
+                                 max_size=200, pre_aggregate=True)
+            .select("l_returnflag", Fn.tdigest_quantile("tdigest", 0.5))
+            .collect()
+        }
+        for k in qa:
+            assert abs(qa[k] - qb[k]) / qa[k] < 0.01, k
+
+    def test_invalid_values_still_raise(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+        from gr_tdigest_spark.operators import tdigest_agg
+
+        df = spark.range(10).select(
+            F.lit("g").alias("g"),
+            F.when(F.col("id") == 5, float("nan"))
+            .otherwise(F.col("id").cast("double")).alias("x"),
+        )
+        with pytest.raises(Exception, match="NaN|not allowed"):
+            tdigest_agg(df, ["g"], "x", pre_aggregate=True).collect()
