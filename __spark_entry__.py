@@ -126,6 +126,24 @@ def q_td_median(spark, sf_dir):
     )
 
 
+def q_td_pileagg(spark, sf_dir):
+    """The JVM pile pre-aggregation plan (groupBy(keys, value) piles →
+    weighted digest build; only distinct values cross Arrow) must
+    produce the same digests as the row path — same quantile oracle as
+    td_quantile_group, built through the scale path."""
+    from gr_tdigest_spark.operators import tdigest_agg
+    import gr_tdigest_spark.functions as Fn
+
+    dg = tdigest_agg(
+        _li(spark, sf_dir), ["l_returnflag", "l_linestatus"],
+        "l_extendedprice", pre_aggregate=True, **UNCOMPRESSED,
+    )
+    return dg.select(
+        "l_returnflag", "l_linestatus",
+        Fn.tdigest_quantile("tdigest", Q1).alias("q_price"),
+    )
+
+
 def q_td_summary(spark, sf_dir):
     """Contract for the one-line summary render (polars_expr.rs:420-443
     analogue): a deterministic 101-value integer-valued dataset (odd N,
@@ -962,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_stats": q_td_stats,
         "td_median": q_td_median,
         "td_summary": q_td_summary,
+        "td_pileagg": q_td_pileagg,
         "td_trimmed_mean": q_td_trimmed_mean,
         "td_merge_rollup": q_td_merge_rollup,
         "td_weighted": q_td_weighted,
@@ -1014,6 +1033,10 @@ def oracle_sql() -> dict[str, str]:
     _ensure_emb768_fixture()
     return {
         "td_quantile_group": (
+            f"SELECT l_returnflag, l_linestatus, "
+            f"quantile_disc(l_extendedprice, {Q1}) AS q_price {_GROUPED}"
+        ),
+        "td_pileagg": (
             f"SELECT l_returnflag, l_linestatus, "
             f"quantile_disc(l_extendedprice, {Q1}) AS q_price {_GROUPED}"
         ),

@@ -725,3 +725,113 @@ class TestAnnIndex:
                            multiprobe=2).explain("formatted")
         txt = plan.getvalue()
         assert "PartitionFilters" in txt and "bucket" in txt
+
+
+class TestRealMultimodalDecoders:
+    """PPM (P6) and WAV (PCM16) are decoded for real — struct/numpy
+    only, no external codecs — and the features are genuine functions
+    of the pixels/samples, not payload hashes."""
+
+    @staticmethod
+    def _ppm(w, h, rgb):
+        import numpy as np
+
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[:, :, 0], img[:, :, 1], img[:, :, 2] = rgb
+        return b"P6\n# comment\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+    @staticmethod
+    def _wav(samples_i16, rate=8000, channels=1):
+        import struct
+
+        data = samples_i16.astype("<i2").tobytes()
+        byte_rate = rate * channels * 2
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                    byte_rate, channels * 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    def test_ppm_solid_color_grid_means(self, spark):
+        import numpy as np
+        from gr_tdigest_spark.operators.multimodal import (
+            decode_image_features,
+        )
+
+        red = self._ppm(8, 8, (200, 0, 0))
+        blue = self._ppm(8, 8, (0, 0, 200))
+        df = spark.createDataFrame(
+            [(1, bytearray(red)), (2, bytearray(blue))],
+            "media_id long, payload binary",
+        )
+        out = {
+            r["media_id"]: np.asarray(r["features"])
+            for r in decode_image_features(df, stub_mode="strict").collect()
+        }
+        # solid red: every grid cell mean = (200,0,0) → after L2 norm the
+        # R slots are equal and G/B are exactly 0
+        r = out[1].reshape(-1, 3)
+        assert np.all(r[:, 0] > 0) and np.all(r[:, 1:] == 0.0)
+        b = out[2].reshape(-1, 3)
+        assert np.all(b[:, 2] > 0) and np.all(b[:, :2] == 0.0)
+
+    def test_ppm_spatial_structure(self, spark):
+        """A half-black/half-white image must yield different grid cells
+        — a payload-hash fake could never do that."""
+        import numpy as np
+        from gr_tdigest_spark.operators.multimodal import (
+            _decode_ppm, _ppm_grid_features,
+        )
+
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        img[:, 4:, :] = 255
+        payload = b"P6\n8 8\n255\n" + img.tobytes()
+        back = _decode_ppm(payload)
+        assert np.array_equal(back, img)
+        feats = _ppm_grid_features(back).reshape(4, 4, 3)
+        assert np.all(feats[:, :2, :] == 0.0) and np.all(feats[:, 2:, :] > 0)
+
+    def test_wav_energy_localization(self, spark):
+        """Silence then a loud tone: energy must sit in the later RMS
+        bins; stereo payloads fold to mono."""
+        import numpy as np
+        from gr_tdigest_spark.operators.multimodal import (
+            decode_audio_features,
+        )
+
+        n = 8000
+        s = np.zeros(n)
+        t = np.arange(n // 2) / 8000.0
+        s[n // 2:] = 0.8 * np.sin(2 * np.pi * 440 * t)
+        mono = self._wav((s * 32767).astype(np.int16))
+        stereo_raw = np.repeat((s * 32767).astype(np.int16), 2)
+        stereo = self._wav(stereo_raw, channels=2)
+        df = spark.createDataFrame(
+            [(1, bytearray(mono)), (2, bytearray(stereo))],
+            "media_id long, payload binary",
+        )
+        out = {
+            r["media_id"]: np.asarray(r["features"])
+            for r in decode_audio_features(df, stub_mode="strict").collect()
+        }
+        for mid in (1, 2):
+            rms = out[mid][:16]
+            assert np.all(rms[:8] == 0.0) and np.all(rms[8:] > 0.0), mid
+        # stereo fold == mono (identical channels)
+        assert np.allclose(out[1], out[2], atol=1e-6)
+
+    def test_strict_still_raises_for_compressed(self, spark):
+        import pytest
+        from gr_tdigest_spark.operators.multimodal import (
+            decode_audio_features, decode_image_features,
+        )
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\xff\xd8\xff JPEG-ish garbage"))],
+            "media_id long, payload binary",
+        )
+        with pytest.raises(Exception, match="NotImplementedError|decode"):
+            decode_image_features(df, stub_mode="strict").collect()
+        with pytest.raises(Exception, match="NotImplementedError|decode"):
+            decode_audio_features(df, stub_mode="strict").collect()
