@@ -112,3 +112,72 @@ def test_kll_weight_preservation_under_merge(vals):
     assert m.n == len(arr)
     q = m.quantile([0.0, 0.5, 1.0])
     assert arr.min() <= q[0] <= q[1] <= q[2] <= arr.max()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+                  allow_infinity=False),
+        min_size=1, max_size=300,
+    ),
+    dup=st.integers(min_value=1, max_value=5),
+)
+def test_pile_build_equals_row_build(vals, dup):
+    """Weighted build from exact (value, count) piles must equal the
+    row build — the kernel contract behind tdigest_agg(pre_aggregate):
+    byte-identical under capacity, identical quantiles compressed."""
+    from gr_tdigest_spark.sketches import wire
+
+    arr = np.repeat(np.asarray(vals, dtype=np.float64), dup)
+    uniq, counts = np.unique(arr, return_counts=True)
+    # under capacity: byte-identical blobs
+    a = TDigest.from_values(np.sort(arr), max_size=20000, policy="off")
+    b = TDigest.from_weighted(uniq, counts.astype(float),
+                              max_size=20000, policy="off")
+    assert wire.encode(a, 3) == wire.encode(b, 3)
+    # compressed: same count/min/max, quantiles within accuracy noise
+    ca = TDigest.from_values(arr, max_size=50)
+    cb = TDigest.from_weighted(uniq, counts.astype(float), max_size=50)
+    assert ca.count == cb.count and ca.min == cb.min and ca.max == cb.max
+    spread = max(ca.max - ca.min, 1e-9)
+    for q in (0.1, 0.5, 0.9):
+        assert abs(ca.quantile(q) - cb.quantile(q)) <= 0.2 * spread
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    weights=st.lists(
+        st.floats(min_value=0.01, max_value=1e4, allow_nan=False,
+                  allow_infinity=False),
+        min_size=1, max_size=250,
+    ),
+    d=st.floats(min_value=2.0, max_value=2000.0),
+    family=st.sampled_from(["quad", "k1", "k2", "k3", "k2norm"]),
+)
+def test_greedy_starts_matches_bruteforce(weights, d, family):
+    """The factored f(d)·g(q) greedy walk must produce exactly the
+    clusters of the direct definition: scan left-to-right, absorb while
+    k(q_right) − k(q_left) ≤ (1+tol), first element unconditional."""
+    from gr_tdigest_spark.sketches.tdigest import (
+        KLIMIT_TOL, _k_scale_factor, _g_of_q, _klimit_boundaries,
+    )
+
+    w = np.asarray(weights, dtype=np.float64)
+    got = _klimit_boundaries(w, d, family, KLIMIT_TOL).tolist()
+
+    # brute force on the same g/f factorization, no bisect
+    m = w.size
+    f = _k_scale_factor(d, family, float(m))
+    limit = (1.0 + KLIMIT_TOL) / f
+    g = _g_of_q(np.cumsum(w) / float(np.sum(w)), family).tolist()
+    g0 = float(_g_of_q(np.asarray([0.0]), family)[0])
+    starts, s, k_left = [], 0, g0
+    while s < m:
+        starts.append(s)
+        e = s  # first element of a cluster is unconditional
+        while e + 1 < m and g[e + 1] <= k_left + limit:
+            e += 1
+        k_left = g[e]
+        s = e + 1
+    assert got == starts
