@@ -92,6 +92,34 @@ class CMSSpec(_KernelSpec):
     def _new(self):
         return CMS(self.depth, self.width, self.seed)
 
+    def clean_values(self, values, weights=None):
+        """Weight-aware cleaning: CMS accepts (value, count) piles from
+        the pre-aggregated plan — keep the weights aligned with the
+        null/NaN filter."""
+        arr = np.asarray(values)
+        if arr.dtype == object:
+            mask = np.array(
+                [v is not None and v == v for v in arr], dtype=bool
+            )
+        elif arr.dtype.kind == "f":
+            mask = ~np.isnan(arr)
+        else:
+            mask = None
+        if mask is not None:
+            arr = arr[mask]
+            if weights is not None:
+                weights = np.asarray(weights)[mask]
+        return arr, (None if weights is None else np.asarray(weights))
+
+    def build_state(self, values, weights=None):
+        sk = self._new()
+        if values.size:
+            if weights is not None:
+                sk.add(values, counts=weights.astype(np.int64))
+            else:
+                sk.add(values)
+        return sk
+
 
 class BloomSpec(_KernelSpec):
     name = "bloom"
@@ -124,24 +152,51 @@ class KLLSpec(_KernelSpec):
 # ------------------------------------------------------------------ #
 
 def hll_agg(df: DataFrame, keys, col: str, p: int = 14, out_col: str = "hll",
-            salt_buckets: Optional[int] = None) -> DataFrame:
-    """Distinct-count sketch per group (oracle: countDistinct ±1.04/√m)."""
+            salt_buckets: Optional[int] = None,
+            pre_aggregate: bool = False) -> DataFrame:
+    """Distinct-count sketch per group (oracle: countDistinct ±1.04/√m).
+
+    ``pre_aggregate=True``: JVM ``distinct()`` first — HLL registers
+    are invariant under duplicates, so the result is identical while
+    only distinct values cross Arrow (the scale plan for skewed
+    repeated values, e.g. conv_id over 10^12 turns)."""
+    if pre_aggregate:
+        df = df.select(*(list(keys) if keys else []), col).distinct()
     return sketch_agg(df, keys, col, HLLSpec(p), out_col=out_col,
                       salt_buckets=salt_buckets)
 
 
 def cms_agg(df: DataFrame, keys, col: str, depth: int = 5, width: int = 8192,
             seed: int = 7, out_col: str = "cms",
-            salt_buckets: Optional[int] = None) -> DataFrame:
-    """Heavy-hitter count sketch per group (ε=e/width, δ=e^−depth)."""
-    return sketch_agg(df, keys, col, CMSSpec(depth, width, seed),
+            salt_buckets: Optional[int] = None,
+            pre_aggregate: bool = False) -> DataFrame:
+    """Heavy-hitter count sketch per group (ε=e/width, δ=e^−depth).
+
+    ``pre_aggregate=True``: JVM ``groupBy(keys, value).count()`` piles
+    feed weighted CMS adds — identical tables (counter addition is
+    exact), only distinct values cross Arrow."""
+    spec = CMSSpec(depth, width, seed)
+    if pre_aggregate:
+        grp = list(keys) if keys else []
+        df = df.groupBy(*grp, F.col(col)).agg(
+            F.count("*").alias("__pile_w")
+        )
+        return sketch_agg(df, keys, col, spec, weight_col="__pile_w",
+                          out_col=out_col, salt_buckets=salt_buckets)
+    return sketch_agg(df, keys, col, spec,
                       out_col=out_col, salt_buckets=salt_buckets)
 
 
 def bloom_agg(df: DataFrame, keys, col: str, m_bits: int = 1 << 20,
               k: int = 7, seed: int = 11, out_col: str = "bloom",
-              salt_buckets: Optional[int] = None) -> DataFrame:
-    """Membership filter per group (FPR (1−e^{−kn/m})^k, no false negatives)."""
+              salt_buckets: Optional[int] = None,
+              pre_aggregate: bool = False) -> DataFrame:
+    """Membership filter per group (FPR (1−e^{−kn/m})^k, no false negatives).
+
+    ``pre_aggregate=True``: JVM ``distinct()`` first — Bloom words are
+    invariant under duplicates (identical filters, fewer Arrow rows)."""
+    if pre_aggregate:
+        df = df.select(*(list(keys) if keys else []), col).distinct()
     return sketch_agg(df, keys, col, BloomSpec(m_bits, k, seed),
                       out_col=out_col, salt_buckets=salt_buckets)
 

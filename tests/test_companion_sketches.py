@@ -495,3 +495,60 @@ class TestCandidateTrackerSpaceSaving:
         emitted = self._drive(batches, m=8, cap_factor=8)
         assert "HH" in emitted
         assert true["HH"] == 400
+
+
+class TestCompanionPreAggregate:
+    """pre_aggregate plans must be EXACTLY equal to the row paths:
+    HLL registers and Bloom words are duplicate-invariant; CMS counter
+    addition from (value, count) piles is exact."""
+
+    def test_hll_identical_blobs(self, spark, sf_dir):
+        from gr_tdigest_spark.operators.companions import hll_agg
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        a = {
+            r["event_type"]: bytes(r["hll"])
+            for r in hll_agg(ev, ["event_type"], "user_id", p=12).collect()
+        }
+        b = {
+            r["event_type"]: bytes(r["hll"])
+            for r in hll_agg(ev, ["event_type"], "user_id", p=12,
+                             pre_aggregate=True).collect()
+        }
+        assert a == b and len(a) > 0
+
+    def test_cms_identical_tables(self, spark, sf_dir):
+        import numpy as np
+        from gr_tdigest_spark.operators.companions import cms_agg
+        from gr_tdigest_spark.sketches.cms import CMS
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        a = {
+            r["event_type"]: CMS.from_bytes(bytes(r["cms"]))
+            for r in cms_agg(ev, ["event_type"], "user_id").collect()
+        }
+        b = {
+            r["event_type"]: CMS.from_bytes(bytes(r["cms"]))
+            for r in cms_agg(ev, ["event_type"], "user_id",
+                             pre_aggregate=True).collect()
+        }
+        assert set(a) == set(b) and len(a) > 0
+        for k in a:
+            np.testing.assert_array_equal(a[k].table, b[k].table)
+            assert a[k].total == b[k].total
+
+    def test_bloom_identical_words(self, spark, sf_dir):
+        import numpy as np
+        from gr_tdigest_spark.operators.companions import bloom_agg
+        from gr_tdigest_spark.sketches.bloom import BloomFilter
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        a = BloomFilter.from_bytes(bytes(
+            bloom_agg(ev, None, "user_id", m_bits=1 << 14)
+            .collect()[0]["bloom"]
+        ))
+        b = BloomFilter.from_bytes(bytes(
+            bloom_agg(ev, None, "user_id", m_bits=1 << 14,
+                      pre_aggregate=True).collect()[0]["bloom"]
+        ))
+        np.testing.assert_array_equal(a.words, b.words)

@@ -47,9 +47,12 @@ spark = get_spark(app=f"scale-{cores}", cores=cores, shuffle_partitions=cores)
 spark.sparkContext.setLogLevel("ERROR")
 t = spark.read.parquet(path)
 
+pile = os.environ.get("SPARK_GRAFT_SCALE_PILE", "") == "1"
+
 def job():
     src = t.select("role", F.length("text").cast("double").alias("len"))
-    dg = tdigest_agg(src, ["role"], "len", max_size=1000)
+    dg = tdigest_agg(src, ["role"], "len", max_size=1000,
+                     pre_aggregate=pile)
     return dg.select(
         "role", Fn.tdigest_quantile("tdigest", 0.5).alias("p50"),
         Fn.tdigest_quantile("tdigest", 0.99).alias("p99"),
