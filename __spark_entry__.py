@@ -560,6 +560,106 @@ def q_hll_intersect(spark, sf_dir):
     )
 
 
+def q_minhash_jaccard(spark, sf_dir):
+    """MinHash set-similarity between groups: per-l_returnflag signature
+    over the l_orderkey SET, pairwise Jaccard from the 3-row sketch
+    table only (the fact table is touched once, for the signatures).
+    Exact inter/union counts pin the arithmetic; the estimate must sit
+    within 5σ of Binomial(k, J)/k (floor 0.02 for the degenerate
+    ends). k=512 → σ = sqrt(J(1−J)/512) ≤ 2.2%."""
+    from gr_tdigest_spark.operators.companions import (
+        minhash_agg, minhash_jaccard,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    mh = minhash_agg(li, ["l_returnflag"], "l_orderkey", k=512)
+    a = mh.select(F.col("l_returnflag").alias("fa"),
+                  F.col("minhash").alias("ma"))
+    b = mh.select(F.col("l_returnflag").alias("fb"),
+                  F.col("minhash").alias("mb"))
+    est = a.join(b, F.col("fa") < F.col("fb")).select(
+        "fa", "fb", minhash_jaccard("ma", "mb").alias("est")
+    )
+    ds = li.select("l_returnflag", "l_orderkey").distinct()
+    da = ds.select(F.col("l_returnflag").alias("fa"),
+                   F.col("l_orderkey").alias("ka"))
+    db = ds.select(F.col("l_returnflag").alias("fb"),
+                   F.col("l_orderkey").alias("kb"))
+    inter = (
+        da.join(db, (F.col("fa") < F.col("fb"))
+                & (F.col("ka") == F.col("kb")))
+        .groupBy("fa", "fb").agg(F.count("*").alias("exact_inter"))
+    )
+    sizes = ds.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_keys")
+    )
+    return (
+        est.join(inter, ["fa", "fb"])
+        .join(sizes.select(F.col("l_returnflag").alias("fa"),
+                           F.col("n_keys").alias("na")), "fa")
+        .join(sizes.select(F.col("l_returnflag").alias("fb"),
+                           F.col("n_keys").alias("nb")), "fb")
+        .withColumn(
+            "exact_union",
+            F.col("na") + F.col("nb") - F.col("exact_inter"),
+        )
+        .withColumn("j", F.col("exact_inter") / F.col("exact_union"))
+        .select(
+            "fa", "fb", "exact_inter", "exact_union",
+            (
+                F.abs(F.col("est") - F.col("j"))
+                <= F.greatest(
+                    F.lit(5.0)
+                    * F.sqrt(F.col("j") * (1 - F.col("j")) / F.lit(512.0)),
+                    F.lit(0.02),
+                )
+            ).alias("within_bound"),
+        )
+        .orderBy("fa", "fb")
+    )
+
+
+def q_cms_join_size(spark, sf_dir):
+    """Join-size estimation from two independent sketches (CMS inner
+    product): |orders ⋈ customer on custkey| costed WITHOUT shuffling
+    either table — the 100 TB use is join planning from sketch blobs.
+    Lower bound is deterministic (est ≥ exact: collisions only add);
+    upper bound ε·N_a·N_b holds w.p. ≥ 1−e^−depth."""
+    from gr_tdigest_spark.operators.companions import (
+        cms_agg, cms_inner_product,
+    )
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    depth, width = 7, 1 << 16
+    sa = cms_agg(od, None, "o_custkey", depth=depth, width=width)
+    sb = cms_agg(cu, None, "c_custkey", depth=depth, width=width)
+    # cms_agg names both out cols "cms"; disambiguate via rename
+    sa2 = sa.select(F.col("cms").alias("cms_a"))
+    sb2 = sb.select(F.col("cms").alias("cms_b"))
+    est = sa2.crossJoin(sb2).select(
+        cms_inner_product("cms_a", "cms_b").alias("est")
+    )
+    exact = od.join(
+        cu, od["o_custkey"] == cu["c_custkey"]
+    ).agg(F.count("*").alias("exact_join"))
+    na = od.agg(F.count("o_custkey").alias("na"))
+    nb = cu.agg(F.count("c_custkey").alias("nb"))
+    eps = 2.718281828459045 / width
+    return (
+        est.crossJoin(exact).crossJoin(na).crossJoin(nb)
+        .select(
+            "exact_join",
+            (F.col("est") >= F.col("exact_join")).alias("lower_ok"),
+            (
+                F.col("est")
+                <= F.col("exact_join")
+                + F.lit(eps) * F.col("na") * F.col("nb")
+            ).alias("upper_ok"),
+        )
+    )
+
+
 def q_cms_topk(spark, sf_dir):
     """Global heavy-hitter top-k — fully distributed (per-partition
     candidate tracking + broadcast CMS re-estimation), no driver-side
@@ -999,6 +1099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_rollup_consistency": q_sketch_rollup_consistency,
         "hll_bound": q_hll_bound,
         "hll_intersect": q_hll_intersect,
+        "minhash_jaccard": q_minhash_jaccard,
+        "cms_join_size": q_cms_join_size,
         "cms_topk": q_cms_topk,
         "hh_topk_tools": q_hh_topk_tools,
         "hh_topk_users": q_hh_topk_users,
@@ -1223,6 +1325,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT DISTINCT event_type FROM events) a "
             "JOIN (SELECT DISTINCT event_type FROM events) b "
             "ON a.event_type < b.event_type"
+        ),
+        "minhash_jaccard": (
+            """
+            WITH ds AS (
+              SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem
+            ), inter AS (
+              SELECT a.l_returnflag AS fa, b.l_returnflag AS fb,
+                     count(*) AS exact_inter
+              FROM ds a JOIN ds b
+                ON a.l_returnflag < b.l_returnflag
+               AND a.l_orderkey = b.l_orderkey
+              GROUP BY 1, 2
+            ), sizes AS (
+              SELECT l_returnflag, count(*) AS n_keys FROM ds GROUP BY 1
+            )
+            SELECT i.fa, i.fb, i.exact_inter,
+                   sa.n_keys + sb.n_keys - i.exact_inter AS exact_union,
+                   TRUE AS within_bound
+            FROM inter i
+            JOIN sizes sa ON sa.l_returnflag = i.fa
+            JOIN sizes sb ON sb.l_returnflag = i.fb
+            ORDER BY i.fa, i.fb
+            """
+        ),
+        "cms_join_size": (
+            "SELECT (SELECT count(*) FROM orders o JOIN customer c "
+            "ON o.o_custkey = c.c_custkey) AS exact_join, "
+            "TRUE AS lower_ok, TRUE AS upper_ok"
         ),
         "cms_topk": (
             "SELECT event_type, count(*) AS est_count FROM events "

@@ -24,12 +24,13 @@ from gr_tdigest_spark.sketches.bloom import BloomFilter
 from gr_tdigest_spark.sketches.cms import CMS
 from gr_tdigest_spark.sketches.hll import HLL
 from gr_tdigest_spark.sketches.kll import KLL
+from gr_tdigest_spark.sketches.minhash import MinHash
 
 __all__ = [
-    "HLLSpec", "CMSSpec", "BloomSpec", "KLLSpec",
-    "hll_agg", "cms_agg", "bloom_agg", "kll_agg",
+    "HLLSpec", "CMSSpec", "BloomSpec", "KLLSpec", "MinHashSpec",
+    "hll_agg", "cms_agg", "bloom_agg", "kll_agg", "minhash_agg",
     "hll_estimate", "hll_intersect_estimate", "cms_estimate",
-    "bloom_contains",
+    "bloom_contains", "minhash_jaccard", "cms_inner_product",
     "kll_quantile", "kll_rank", "kll_count", "cms_topk",
     "bloom_filter_rows",
 ]
@@ -132,6 +133,17 @@ class BloomSpec(_KernelSpec):
         return BloomFilter(self.m_bits, self.k, self.seed)
 
 
+class MinHashSpec(_KernelSpec):
+    name = "minhash"
+    kernel = MinHash
+
+    def __init__(self, k: int = 256, seed: int = 23):
+        self.k, self.seed = k, seed
+
+    def _new(self):
+        return MinHash(k=self.k, seed=self.seed)
+
+
 class KLLSpec(_KernelSpec):
     name = "kll"
     kernel = KLL
@@ -209,6 +221,26 @@ def kll_agg(df: DataFrame, keys, col: str, k: int = 200, seed: int = 17,
                       salt_buckets=salt_buckets)
 
 
+def minhash_agg(df: DataFrame, keys, col: str, k: int = 256,
+                seed: int = 23, out_col: str = "minhash",
+                salt_buckets: Optional[int] = None,
+                pre_aggregate: bool = False) -> DataFrame:
+    """MinHash set signature per group — answers pairwise Jaccard
+    similarity BETWEEN groups from sketch-sized state (e.g. "which
+    tools serve the same conversations" over 10^12 turns: each group's
+    element set collapses to k uint64s; the pairwise comparison then
+    touches only the n_groups-row sketch table, never the fact table).
+
+    ``pre_aggregate=True``: JVM ``distinct()`` first — signatures are
+    invariant under duplicates (slot min is idempotent), so the result
+    is identical while only distinct (group, element) pairs cross
+    Arrow; the scale plan when elements repeat heavily per group."""
+    if pre_aggregate:
+        df = df.select(*(list(keys) if keys else []), col).distinct()
+    return sketch_agg(df, keys, col, MinHashSpec(k, seed), out_col=out_col,
+                      salt_buckets=salt_buckets)
+
+
 # ------------------------------------------------------------------ #
 # query functions (pandas UDFs over the sketch blob columns)
 # ------------------------------------------------------------------ #
@@ -248,6 +280,48 @@ def hll_intersect_estimate(col_a, col_b) -> Column:
         return pd.Series(out)
 
     return _ix(col_a, col_b)
+
+
+def minhash_jaccard(col_a, col_b) -> Column:
+    """Estimated Jaccard similarity between two MinHash signature
+    columns: (# matching slots)/k — k·Ĵ ~ Binomial(k, J), std error
+    ≤ 1/(2√k). NULL if either side is NULL. Signatures must share
+    (k, seed); incompatible pairs raise (merge-compatibility contract,
+    same as every other sketch)."""
+
+    @F.pandas_udf(DoubleType())
+    def _j(a_blobs: pd.Series, b_blobs: pd.Series) -> pd.Series:
+        out = np.full(len(a_blobs), np.nan)
+        for i, (ab, bb) in enumerate(zip(a_blobs, b_blobs)):
+            if ab is None or bb is None:
+                continue
+            out[i] = MinHash.from_bytes(bytes(ab)).jaccard(
+                MinHash.from_bytes(bytes(bb))
+            )
+        return pd.Series(out)
+
+    return _j(col_a, col_b)
+
+
+def cms_inner_product(col_a, col_b) -> Column:
+    """Estimated inner product of two CMS-sketched frequency vectors —
+    for sketches built on each table's join key this is the equi-JOIN
+    SIZE estimate (a·b ≤ est ≤ a·b + ε·N_a·N_b w.p. ≥ 1−δ): the
+    100 TB use is costing a join between two fact tables from two
+    sketch blobs, without shuffling either side."""
+
+    @F.pandas_udf(DoubleType())
+    def _ip(a_blobs: pd.Series, b_blobs: pd.Series) -> pd.Series:
+        out = np.full(len(a_blobs), np.nan)
+        for i, (ab, bb) in enumerate(zip(a_blobs, b_blobs)):
+            if ab is None or bb is None:
+                continue
+            out[i] = float(CMS.from_bytes(bytes(ab)).inner_product(
+                CMS.from_bytes(bytes(bb))
+            ))
+        return pd.Series(out)
+
+    return _ip(col_a, col_b)
 
 
 def cms_estimate(col, candidates: Sequence) -> Column:

@@ -77,6 +77,35 @@ class CMS:
         )
         return ests
 
+    def inner_product(self, other: "CMS") -> int:
+        """Estimated inner product of the two sketched frequency vectors
+        (Cormode–Muthukrishnan §4.2): min over rows of the row-wise dot
+        product. For two tables sketched on their join keys this is the
+        equi-join SIZE estimate. Guarantee: a·b ≤ est ≤ a·b + ε·N_a·N_b
+        with probability ≥ 1−δ (ε = e/width, δ = e^−depth); the lower
+        bound is deterministic (counters are non-negative, so every
+        row's dot over-counts via collisions only)."""
+        if (self.depth, self.width, self.seed) != (
+            other.depth, other.width, other.seed,
+        ):
+            raise ValueError(
+                "CMS inner_product: incompatible (depth, width, seed)"
+            )
+        # int64 accumulation overflows when width·max_a·max_b ≥ 2^63
+        # (possible at 10^12-row totals); fall back to float64 there —
+        # the fp error is negligible against the ε·N_a·N_b bound
+        ma, mb = int(self.table.max()), int(other.table.max())
+        exact = ma * mb * self.width < (1 << 62)
+        dots = []
+        for r in range(self.depth):
+            a, b = self.table[r], other.table[r]
+            if exact:
+                dots.append(int(np.dot(a, b)))
+            else:
+                dots.append(int(np.dot(a.astype(np.float64),
+                                       b.astype(np.float64))))
+        return min(dots)
+
     def merge(self, other: "CMS") -> "CMS":
         if (self.depth, self.width, self.seed) != (
             other.depth, other.width, other.seed,

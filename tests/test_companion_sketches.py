@@ -552,3 +552,201 @@ class TestCompanionPreAggregate:
                       pre_aggregate=True).collect()[0]["bloom"]
         ))
         np.testing.assert_array_equal(a.words, b.words)
+
+
+class TestMinHash:
+    """MinHash signature kernel: Jaccard accuracy bound, exact-union
+    merge law, duplicate invariance, wire round-trip."""
+
+    @staticmethod
+    def _sets(overlap: float, n: int = 4000):
+        shared = int(n * overlap)
+        a = np.array([f"k-{i}" for i in range(n)], dtype=object)
+        b = np.array(
+            [f"k-{i}" for i in range(n - shared, 2 * n - shared)],
+            dtype=object,
+        )
+        true_j = shared / (2 * n - shared)
+        return a, b, true_j
+
+    @pytest.mark.parametrize("overlap", [0.0, 0.25, 0.5, 0.9, 1.0])
+    def test_jaccard_within_binomial_bound(self, overlap):
+        from gr_tdigest_spark.sketches.minhash import MinHash
+
+        a_vals, b_vals, true_j = self._sets(overlap)
+        a, b = MinHash(k=512), MinHash(k=512)
+        a.add(a_vals)
+        b.add(b_vals)
+        est = a.jaccard(b)
+        # 5σ of Binomial(k, J)/k, floor for the degenerate ends
+        bound = max(5 * (true_j * (1 - true_j) / 512) ** 0.5, 0.02)
+        assert abs(est - true_j) <= bound, (est, true_j, overlap)
+
+    def test_merge_is_exact_union_signature(self):
+        from gr_tdigest_spark.sketches.minhash import MinHash
+
+        a, b, whole = MinHash(), MinHash(), MinHash()
+        a.add(np.arange(3000))
+        b.add(np.arange(1500, 5000))
+        whole.add(np.arange(5000))
+        np.testing.assert_array_equal(a.merge(b).sig, whole.sig)
+        np.testing.assert_array_equal(a.merge(b).sig, b.merge(a).sig)
+        # identity + idempotence
+        np.testing.assert_array_equal(a.merge(MinHash()).sig, a.sig)
+        np.testing.assert_array_equal(a.merge(a).sig, a.sig)
+
+    def test_duplicates_dont_change_signature(self):
+        from gr_tdigest_spark.sketches.minhash import MinHash
+
+        a = MinHash(k=64)
+        a.add(np.array(["x", "y", "z"], dtype=object))
+        sig1 = a.sig.copy()
+        a.add(np.array(["z", "y", "x", "x"], dtype=object))
+        np.testing.assert_array_equal(a.sig, sig1)
+
+    def test_chunked_add_equals_single_add(self):
+        from gr_tdigest_spark.sketches import minhash as mh
+
+        a, b = mh.MinHash(k=32), mh.MinHash(k=32)
+        vals = np.arange(mh._CHUNK * 2 + 17)
+        a.add(vals)
+        for lo in range(0, vals.size, 100):
+            b.add(vals[lo:lo + 100])
+        np.testing.assert_array_equal(a.sig, b.sig)
+
+    def test_incompatible_raises(self):
+        from gr_tdigest_spark.sketches.minhash import MinHash
+
+        with pytest.raises(ValueError):
+            MinHash(k=64).merge(MinHash(k=128))
+        with pytest.raises(ValueError):
+            MinHash(seed=1).jaccard(MinHash(seed=2))
+
+    def test_wire_roundtrip(self):
+        from gr_tdigest_spark.sketches.minhash import MinHash
+
+        a = MinHash(k=128, seed=5)
+        a.add(np.arange(1000))
+        back = MinHash.from_bytes(a.to_bytes())
+        np.testing.assert_array_equal(back.sig, a.sig)
+        assert (back.k, back.seed, back.n_items) == (128, 5, 1000.0)
+        with pytest.raises(ValueError):
+            MinHash.from_bytes(b"XXXX" + a.to_bytes()[4:])
+
+    def test_empty_semantics(self):
+        from gr_tdigest_spark.sketches.minhash import MinHash
+
+        e = MinHash(k=32)
+        assert e.is_empty and e.jaccard(MinHash(k=32)) == 1.0
+        f = MinHash(k=32)
+        f.add(np.arange(100))
+        assert not f.is_empty
+        assert f.jaccard(e) == 0.0
+
+
+class TestCMSInnerProduct:
+    def test_upper_and_lower_bounds(self):
+        """a·b ≤ est ≤ a·b + ε·Na·Nb (lower bound deterministic)."""
+        rng = np.random.default_rng(3)
+        a_keys = rng.integers(0, 2000, size=50_000)
+        b_keys = rng.integers(1000, 3000, size=30_000)
+        a, b = CMS(depth=7, width=1 << 14), CMS(depth=7, width=1 << 14)
+        a.add(a_keys)
+        b.add(b_keys)
+        ca = np.bincount(a_keys, minlength=3000).astype(np.int64)
+        cb = np.bincount(b_keys, minlength=3000).astype(np.int64)
+        exact = int(np.dot(ca, cb))
+        est = a.inner_product(b)
+        assert est >= exact
+        assert est <= exact + a.epsilon * a.total * b.total
+
+    def test_disjoint_keys_small_estimate(self):
+        a, b = CMS(width=1 << 16), CMS(width=1 << 16)
+        a.add(np.arange(0, 5000))
+        b.add(np.arange(10_000, 15_000))
+        assert a.inner_product(b) <= a.epsilon * a.total * b.total
+
+    def test_overflow_guard_falls_back_to_float(self):
+        a = CMS(depth=2, width=8)
+        b = CMS(depth=2, width=8)
+        big = np.int64(1) << 40
+        a.table[:, 0] = big
+        b.table[:, 0] = big
+        a.total = b.total = float(big)
+        est = a.inner_product(b)
+        assert est == float(big) * float(big)  # no int64 wraparound
+
+    def test_incompatible_raises(self):
+        with pytest.raises(ValueError):
+            CMS(width=1024).inner_product(CMS(width=2048))
+
+
+class TestMinHashAgg:
+    def test_agg_equals_driver_build(self, spark, sf_dir):
+        from gr_tdigest_spark.operators.companions import minhash_agg
+        from gr_tdigest_spark.sketches.minhash import MinHash
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        rows = minhash_agg(
+            li, ["l_returnflag"], "l_orderkey", k=128
+        ).collect()
+        pdf = li.select("l_returnflag", "l_orderkey").toPandas()
+        for r in rows:
+            ref = MinHash(k=128)
+            vals = pdf.loc[
+                pdf["l_returnflag"] == r["l_returnflag"], "l_orderkey"
+            ].to_numpy()
+            ref.add(vals)
+            got = MinHash.from_bytes(bytes(r["minhash"]))
+            np.testing.assert_array_equal(got.sig, ref.sig)
+
+    def test_pre_aggregate_identical_signature(self, spark, sf_dir):
+        from gr_tdigest_spark.operators.companions import minhash_agg
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        base = {
+            r["l_returnflag"]: bytes(r["minhash"])
+            for r in minhash_agg(li, ["l_returnflag"], "l_suppkey").collect()
+        }
+        pre = {
+            r["l_returnflag"]: bytes(r["minhash"])
+            for r in minhash_agg(
+                li, ["l_returnflag"], "l_suppkey", pre_aggregate=True
+            ).collect()
+        }
+        # signatures (not headers: n_items differs by design) must agree
+        from gr_tdigest_spark.sketches.minhash import MinHash
+
+        assert base.keys() == pre.keys()
+        for k in base:
+            np.testing.assert_array_equal(
+                MinHash.from_bytes(base[k]).sig,
+                MinHash.from_bytes(pre[k]).sig,
+            )
+
+    def test_jaccard_column_matches_kernel(self, spark, sf_dir):
+        from gr_tdigest_spark.operators.companions import (
+            minhash_agg, minhash_jaccard,
+        )
+        from gr_tdigest_spark.sketches.minhash import MinHash
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        mh = minhash_agg(li, ["l_returnflag"], "l_orderkey", k=256)
+        a = mh.select(F.col("l_returnflag").alias("fa"),
+                      F.col("minhash").alias("ma"))
+        b = mh.select(F.col("l_returnflag").alias("fb"),
+                      F.col("minhash").alias("mb"))
+        got = {
+            (r["fa"], r["fb"]): r["j"]
+            for r in a.join(b, F.col("fa") < F.col("fb"))
+            .select("fa", "fb", minhash_jaccard("ma", "mb").alias("j"))
+            .collect()
+        }
+        blobs = {r["l_returnflag"]: bytes(r["minhash"])
+                 for r in mh.collect()}
+        for (fa, fb), j in got.items():
+            expect = MinHash.from_bytes(blobs[fa]).jaccard(
+                MinHash.from_bytes(blobs[fb])
+            )
+            assert j == expect
