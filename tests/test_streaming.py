@@ -178,3 +178,55 @@ def test_streaming_windowed_with_watermark(spark, tmp_path):
     assert got[w0] == (3.0, 30.0), got
     assert got[w1] == (2.0, 110.0), got
     assert got[w2] == (1.0, 200.0), got
+
+
+def test_streaming_minhash_matches_batch(spark, tmp_path):
+    """MinHash through the same generic streaming plan: streamed
+    signature equals the batch signature slot-for-slot (elementwise-min
+    monoid is order-insensitive, so the micro-batch fold is exact)."""
+    from gr_tdigest_spark.operators.companions import MinHashSpec, minhash_agg
+    from gr_tdigest_spark.sketches.minhash import MinHash
+    from gr_tdigest_spark.streaming import sketch_stream_agg
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    rng = np.random.default_rng(11)
+    schema = "g string, conv long"
+    rows = [
+        (f"g{k}", int(u))
+        for k, u in zip(rng.integers(0, 2, 600), rng.integers(0, 300, 600))
+    ]
+    spark.createDataFrame(rows[:300], schema).write.mode("append").parquet(src)
+    spark.createDataFrame(rows[300:], schema).write.mode("append").parquet(src)
+
+    collected = []
+
+    def sink(df, epoch_id):
+        collected.extend(df.collect())
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        sketch_stream_agg(stream, ["g"], "conv", MinHashSpec(k=128))
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    latest = {}
+    for r in collected:
+        latest[r["g"]] = r
+    batch = {
+        r["g"]: bytes(r["minhash"])
+        for r in minhash_agg(
+            spark.createDataFrame(rows, schema), ["g"], "conv", k=128
+        ).collect()
+    }
+    for g, blob in batch.items():
+        streamed = MinHash.from_bytes(bytes(latest[g]["minhash"]))
+        np.testing.assert_array_equal(
+            streamed.sig, MinHash.from_bytes(blob).sig
+        )
