@@ -619,6 +619,62 @@ def q_minhash_jaccard(spark, sf_dir):
     )
 
 
+_MINHASH_TOOLS = ["tool_00", "tool_01", "tool_02", "tool_49"]
+
+
+def q_minhash_tools(spark, sf_dir):
+    """North-star tie-in: which tools serve the same CONVERSATIONS —
+    per-tool MinHash signature over the conv_id set on the transcript
+    table, pairwise Jaccard from the (4-row) sketch table. At 10^12
+    turns the fact table is scanned once for signatures; the similarity
+    matrix never touches it. Exact inter/union pin the arithmetic; the
+    estimate must sit within 5σ of Binomial(k, J)/k (floor 0.02)."""
+    from gr_tdigest_spark.operators.companions import (
+        minhash_agg, minhash_jaccard,
+    )
+
+    t = _transcript_table(spark).where(F.col("tool").isin(_MINHASH_TOOLS))
+    mh = minhash_agg(t, ["tool"], "conv_id", k=512, pre_aggregate=True)
+    a = mh.select(F.col("tool").alias("ta"), F.col("minhash").alias("ma"))
+    b = mh.select(F.col("tool").alias("tb"), F.col("minhash").alias("mb"))
+    est = a.join(b, F.col("ta") < F.col("tb")).select(
+        "ta", "tb", minhash_jaccard("ma", "mb").alias("est")
+    )
+    ds = t.select("tool", "conv_id").distinct()
+    da = ds.select(F.col("tool").alias("ta"), F.col("conv_id").alias("ka"))
+    db = ds.select(F.col("tool").alias("tb"), F.col("conv_id").alias("kb"))
+    inter = (
+        da.join(db, (F.col("ta") < F.col("tb"))
+                & (F.col("ka") == F.col("kb")))
+        .groupBy("ta", "tb").agg(F.count("*").alias("exact_inter"))
+    )
+    sizes = ds.groupBy("tool").agg(F.count("*").alias("n_convs"))
+    return (
+        est.join(inter, ["ta", "tb"])
+        .join(sizes.select(F.col("tool").alias("ta"),
+                           F.col("n_convs").alias("na")), "ta")
+        .join(sizes.select(F.col("tool").alias("tb"),
+                           F.col("n_convs").alias("nb")), "tb")
+        .withColumn(
+            "exact_union",
+            F.col("na") + F.col("nb") - F.col("exact_inter"),
+        )
+        .withColumn("j", F.col("exact_inter") / F.col("exact_union"))
+        .select(
+            "ta", "tb", "exact_inter", "exact_union",
+            (
+                F.abs(F.col("est") - F.col("j"))
+                <= F.greatest(
+                    F.lit(5.0)
+                    * F.sqrt(F.col("j") * (1 - F.col("j")) / F.lit(512.0)),
+                    F.lit(0.02),
+                )
+            ).alias("within_bound"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
 def q_cms_join_size(spark, sf_dir):
     """Join-size estimation from two independent sketches (CMS inner
     product): |orders ⋈ customer on custkey| costed WITHOUT shuffling
@@ -1100,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_bound": q_hll_bound,
         "hll_intersect": q_hll_intersect,
         "minhash_jaccard": q_minhash_jaccard,
+        "minhash_tools": q_minhash_tools,
         "cms_join_size": q_cms_join_size,
         "cms_topk": q_cms_topk,
         "hh_topk_tools": q_hh_topk_tools,
@@ -1347,6 +1404,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.l_returnflag = i.fa
             JOIN sizes sb ON sb.l_returnflag = i.fb
             ORDER BY i.fa, i.fb
+            """
+        ),
+        "minhash_tools": (
+            f"""
+            WITH ds AS (
+              SELECT DISTINCT tool, conv_id
+              FROM read_parquet('{_TRANSCRIPT_ORACLE_PATH}/*.parquet')
+              WHERE tool IN ('tool_00', 'tool_01', 'tool_02', 'tool_49')
+            ), inter AS (
+              SELECT a.tool AS ta, b.tool AS tb, count(*) AS exact_inter
+              FROM ds a JOIN ds b
+                ON a.tool < b.tool AND a.conv_id = b.conv_id
+              GROUP BY 1, 2
+            ), sizes AS (
+              SELECT tool, count(*) AS n_convs FROM ds GROUP BY 1
+            )
+            SELECT i.ta, i.tb, i.exact_inter,
+                   sa.n_convs + sb.n_convs - i.exact_inter AS exact_union,
+                   TRUE AS within_bound
+            FROM inter i
+            JOIN sizes sa ON sa.tool = i.ta
+            JOIN sizes sb ON sb.tool = i.tb
+            ORDER BY i.ta, i.tb
             """
         ),
         "cms_join_size": (

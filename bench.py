@@ -117,6 +117,22 @@ def main() -> None:
                          width=1 << 16).collect(),
     )
 
+    from gr_tdigest_spark.operators.companions import (
+        minhash_agg, minhash_jaccard,
+    )
+
+    def run_minhash():
+        mh = minhash_agg(li, ["l_returnflag"], "l_orderkey", k=256)
+        a = mh.select(F.col("l_returnflag").alias("fa"),
+                      F.col("minhash").alias("ma"))
+        b = mh.select(F.col("l_returnflag").alias("fb"),
+                      F.col("minhash").alias("mb"))
+        a.join(b, F.col("fa") < F.col("fb")).select(
+            "fa", "fb", minhash_jaccard("ma", "mb").alias("j")
+        ).collect()
+
+    bench("q11_minhash_jaccard", run_minhash)
+
     # transcript sketch-build throughput (turns/sec), the BASELINE metric
     from gr_tdigest_spark.sources.transcripts import transcripts_df
 

@@ -31,6 +31,7 @@ __all__ = [
     "hll_agg", "cms_agg", "bloom_agg", "kll_agg", "minhash_agg",
     "hll_estimate", "hll_intersect_estimate", "cms_estimate",
     "bloom_contains", "minhash_jaccard", "cms_inner_product",
+    "minhash_hll_intersect_estimate",
     "kll_quantile", "kll_rank", "kll_count", "cms_topk",
     "bloom_filter_rows",
 ]
@@ -301,6 +302,40 @@ def minhash_jaccard(col_a, col_b) -> Column:
         return pd.Series(out)
 
     return _j(col_a, col_b)
+
+
+def minhash_hll_intersect_estimate(mh_a, mh_b, hll_a, hll_b) -> Column:
+    """Intersection-size estimator composing the two set sketches:
+    ``|A∩B| ≈ Ĵ(A,B) · |A∪B|`` with Ĵ from the MinHash signatures and
+    the union cardinality from the merged HLLs (register-wise max —
+    exact union semantics). All four sketches must be built over the
+    SAME two sets.
+
+    Why this beats HLL inclusion–exclusion (``hll_intersect_estimate``)
+    for small overlaps: I–E's absolute error is ~1.04/√m of EACH
+    operand's cardinality regardless of the overlap, so a small
+    intersection of two large sets drowns in it. Here the error is
+    ≈ |A∪B|·(σ_J + J·1.04/√m) with σ_J = sqrt(J(1−J)/k) — it SHRINKS
+    with J, so rare overlaps stay resolvable (SURVEY §2.8 caveat
+    addressed by composition rather than by a bigger m)."""
+
+    @F.pandas_udf(DoubleType())
+    def _ix(ma: pd.Series, mb: pd.Series,
+            ha: pd.Series, hb: pd.Series) -> pd.Series:
+        out = np.full(len(ma), np.nan)
+        for i, (a, b, u, v) in enumerate(zip(ma, mb, ha, hb)):
+            if a is None or b is None or u is None or v is None:
+                continue
+            j = MinHash.from_bytes(bytes(a)).jaccard(
+                MinHash.from_bytes(bytes(b))
+            )
+            union = HLL.from_bytes(bytes(u)).merge(
+                HLL.from_bytes(bytes(v))
+            ).estimate()
+            out[i] = j * union
+        return pd.Series(out)
+
+    return _ix(mh_a, mh_b, hll_a, hll_b)
 
 
 def cms_inner_product(col_a, col_b) -> Column:

@@ -750,3 +750,77 @@ class TestMinHashAgg:
                 MinHash.from_bytes(blobs[fb])
             )
             assert j == expect
+
+
+class TestMinHashHLLIntersect:
+    """Composed |A∩B| ≈ Ĵ·|A∪B| estimator: must resolve a small
+    intersection of two large sets far better than HLL
+    inclusion–exclusion (whose error ignores the overlap size)."""
+
+    def test_small_overlap_resolved(self):
+        from gr_tdigest_spark.sketches.hll import HLL
+        from gr_tdigest_spark.sketches.minhash import MinHash
+
+        n, shared = 100_000, 3_000
+        a_vals = np.arange(n)
+        b_vals = np.arange(n - shared, 2 * n - shared)
+        true_inter = shared
+        union = 2 * n - shared
+        j = true_inter / union
+
+        ma, mb = MinHash(k=4096), MinHash(k=4096)
+        ma.add(a_vals)
+        mb.add(b_vals)
+        ha, hb = HLL(p=14), HLL(p=14)
+        ha.add(a_vals)
+        hb.add(b_vals)
+
+        est = ma.jaccard(mb) * ha.merge(hb).estimate()
+        sigma_j = (j * (1 - j) / 4096) ** 0.5
+        sigma_h = 1.04 / (2 ** 14) ** 0.5
+        bound = 5 * union * (sigma_j + j * sigma_h)
+        assert abs(est - true_inter) <= bound, (est, true_inter, bound)
+        # and the composed estimate is no worse than inclusion–exclusion's
+        # THEORETICAL 1σ floor on these cardinalities — the whole point
+        ie_floor = sigma_h * union
+        assert abs(est - true_inter) <= ie_floor, (est, true_inter)
+
+    def test_column_function_matches_kernel(self, spark, sf_dir):
+        from gr_tdigest_spark.operators.companions import (
+            hll_agg, minhash_agg, minhash_hll_intersect_estimate,
+        )
+        from gr_tdigest_spark.sketches.hll import HLL
+        from gr_tdigest_spark.sketches.minhash import MinHash
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        mh = minhash_agg(li, ["l_returnflag"], "l_orderkey", k=128)
+        hl = hll_agg(li, ["l_returnflag"], "l_orderkey", p=12)
+        joined = mh.join(hl, "l_returnflag")
+        a = joined.select(F.col("l_returnflag").alias("fa"),
+                          F.col("minhash").alias("ma"),
+                          F.col("hll").alias("ha"))
+        b = joined.select(F.col("l_returnflag").alias("fb"),
+                          F.col("minhash").alias("mb"),
+                          F.col("hll").alias("hb"))
+        got = {
+            (r["fa"], r["fb"]): r["est"]
+            for r in a.join(b, F.col("fa") < F.col("fb")).select(
+                "fa", "fb",
+                minhash_hll_intersect_estimate(
+                    "ma", "mb", "ha", "hb"
+                ).alias("est"),
+            ).collect()
+        }
+        mh_blobs = {r["l_returnflag"]: bytes(r["minhash"])
+                    for r in mh.collect()}
+        hl_blobs = {r["l_returnflag"]: bytes(r["hll"])
+                    for r in hl.collect()}
+        for (fa, fb), est in got.items():
+            j = MinHash.from_bytes(mh_blobs[fa]).jaccard(
+                MinHash.from_bytes(mh_blobs[fb])
+            )
+            u = HLL.from_bytes(hl_blobs[fa]).merge(
+                HLL.from_bytes(hl_blobs[fb])
+            ).estimate()
+            assert est == j * u
