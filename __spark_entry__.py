@@ -572,7 +572,9 @@ def q_minhash_jaccard(spark, sf_dir):
     )
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    mh = minhash_agg(li, ["l_returnflag"], "l_orderkey", k=512)
+    # persist the sketch-sized table: the pairwise self-join would
+    # otherwise recompute the build (i.e. rescan the fact table) per side
+    mh = minhash_agg(li, ["l_returnflag"], "l_orderkey", k=512).persist()
     a = mh.select(F.col("l_returnflag").alias("fa"),
                   F.col("minhash").alias("ma"))
     b = mh.select(F.col("l_returnflag").alias("fb"),
@@ -634,7 +636,9 @@ def q_minhash_tools(spark, sf_dir):
     )
 
     t = _transcript_table(spark).where(F.col("tool").isin(_MINHASH_TOOLS))
-    mh = minhash_agg(t, ["tool"], "conv_id", k=512, pre_aggregate=True)
+    # persist: the pairwise self-join must not rebuild the signatures
+    mh = minhash_agg(t, ["tool"], "conv_id", k=512,
+                     pre_aggregate=True).persist()
     a = mh.select(F.col("tool").alias("ta"), F.col("minhash").alias("ma"))
     b = mh.select(F.col("tool").alias("tb"), F.col("minhash").alias("mb"))
     est = a.join(b, F.col("ta") < F.col("tb")).select(

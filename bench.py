@@ -122,7 +122,9 @@ def main() -> None:
     )
 
     def run_minhash():
-        mh = minhash_agg(li, ["l_returnflag"], "l_orderkey", k=256)
+        # persist the sketch-sized table so the pairwise self-join does
+        # not rebuild the signatures (rescan the fact table) per side
+        mh = minhash_agg(li, ["l_returnflag"], "l_orderkey", k=256).persist()
         a = mh.select(F.col("l_returnflag").alias("fa"),
                       F.col("minhash").alias("ma"))
         b = mh.select(F.col("l_returnflag").alias("fb"),
@@ -130,6 +132,7 @@ def main() -> None:
         a.join(b, F.col("fa") < F.col("fb")).select(
             "fa", "fb", minhash_jaccard("ma", "mb").alias("j")
         ).collect()
+        mh.unpersist()
 
     bench("q11_minhash_jaccard", run_minhash)
 
