@@ -103,3 +103,62 @@ class TestQueryPlans:
         out = dedup_exact(docs, "doc_id", "text")
         plan = _optimized(out)
         assert "LeftSemi" in plan
+
+
+class TestAQESkewJoin:
+    def test_skewed_join_is_split_by_aqe(self, spark):
+        """north_rule: 'AQE skew handling made explicit for hot
+        conversations'. A hot-key fact-fact join must show AQE's skew
+        split in the FINAL adaptive plan (SortMergeJoin(skew=true)).
+        Production knobs (SKETCH_CONFS enables skewJoin; thresholds
+        here are shrunk to test scale): when a downstream stage masks
+        the skew decision, forceOptimizeSkewedJoin opts into the split
+        even if it adds a shuffle — the right trade at 100 TB where one
+        hot conversation would otherwise pin a single reduce task."""
+        saved = {}
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+                "10k",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        }
+        for k, v in confs.items():
+            saved[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
+        try:
+            left = spark.range(0, 300_000).select(
+                F.when(F.col("id") < 280_000, F.lit("hot"))
+                .otherwise((F.col("id") % 50).cast("string")).alias("k"),
+                F.col("id").alias("v"),
+            )
+            right = (
+                spark.range(0, 2_000).select(
+                    (F.col("id") % 60).cast("string").alias("k"),
+                    F.col("id").alias("w"),
+                )
+                .union(spark.range(0, 200).select(
+                    F.lit("hot").alias("k"), F.col("id").alias("w")))
+            )
+            cnt = left.join(right, "k").groupBy().count()
+            rows = cnt.collect()[0][0]
+            plan = cnt._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in plan
+            assert "skew=true" in plan, plan
+            # the split preserves results: same count with skew
+            # optimization off
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+            try:
+                rows_noskew = (
+                    left.join(right, "k").groupBy().count().collect()[0][0]
+                )
+            finally:
+                spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+            assert rows == rows_noskew and rows > 0
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
