@@ -181,3 +181,30 @@ def test_greedy_starts_matches_bruteforce(weights, d, family):
         k_left = g[e]
         s = e + 1
     assert got == starts
+
+
+@given(
+    data=st.lists(st.integers(min_value=0, max_value=500),
+                  min_size=0, max_size=300),
+    split=st.integers(min_value=0, max_value=300),
+)
+def test_minhash_merge_associative_idempotent_exact_state(data, split):
+    """MinHash merge is associative, commutative, and idempotent with
+    the empty signature as identity — and sig(A∪B) == min(sigA, sigB)
+    exactly, so any shard split yields the whole-set signature."""
+    from gr_tdigest_spark.sketches.minhash import MinHash
+
+    split = min(split, len(data))
+    a, b, whole = MinHash(k=64), MinHash(k=64), MinHash(k=64)
+    arr = np.asarray(data, dtype=np.int64)
+    if split:
+        a.add(arr[:split])
+    if len(data) - split:
+        b.add(arr[split:])
+    if len(data):
+        whole.add(arr)
+    ab, ba = a.merge(b), b.merge(a)
+    np.testing.assert_array_equal(ab.sig, whole.sig)
+    np.testing.assert_array_equal(ab.sig, ba.sig)
+    np.testing.assert_array_equal(ab.merge(ab).sig, ab.sig)
+    np.testing.assert_array_equal(ab.merge(MinHash(k=64)).sig, ab.sig)
