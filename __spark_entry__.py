@@ -439,6 +439,55 @@ def q_td_cube(spark, sf_dir):
     )
 
 
+def q_hll_cube(spark, sf_dir):
+    """Grouping sets over ANY mergeable sketch (generic
+    `merge_sketches`): fine per-(flag, status) HLLs cube-merge into
+    every grouping set without rescanning facts — the sketch-world
+    OLAP subtotal. Estimates must sit within 5σ of 1.04/√m of the
+    exact distinct count per grouping set."""
+    from gr_tdigest_spark.operators.companions import (
+        HLLSpec, hll_agg, hll_estimate, merge_sketches,
+    )
+
+    li = _li(spark, sf_dir)
+    fine = hll_agg(li, ["l_returnflag", "l_linestatus"], "l_orderkey", p=14)
+    cube = fine.cube("l_returnflag", "l_linestatus").agg(
+        merge_sketches("hll", HLLSpec(p=14)).alias("hll")
+    )
+    est = cube.select(
+        "l_returnflag", "l_linestatus", hll_estimate("hll").alias("est")
+    )
+    exact = li.cube("l_returnflag", "l_linestatus").agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    bound = 5 * (1.04 / (2 ** 14) ** 0.5)
+    ex = exact.select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        "exact_distinct",
+    )
+    return (
+        # null-safe equality: cube subtotal rows carry NULL keys, which
+        # plain join equality would silently drop
+        est.join(
+            ex,
+            est["l_returnflag"].eqNullSafe(ex["rf"])
+            & est["l_linestatus"].eqNullSafe(ex["ls"]),
+            "inner",
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "exact_distinct",
+            (
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                <= F.greatest(
+                    F.lit(bound) * F.col("exact_distinct"), F.lit(3.0)
+                )
+            ).alias("within_bound"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def q_sketch_rollup_consistency(spark, sf_dir):
     """Merge associativity of the companion sketches on Spark: per-group
     sketches merged == sketch built directly on everything (exact state
@@ -1157,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_over_group": q_td_over_group,
         "td_sql": q_td_sql,
         "sketch_rollup_consistency": q_sketch_rollup_consistency,
+        "hll_cube": q_hll_cube,
         "hll_bound": q_hll_bound,
         "hll_intersect": q_hll_intersect,
         "minhash_jaccard": q_minhash_jaccard,
@@ -1375,6 +1425,13 @@ def oracle_sql() -> dict[str, str]:
         "sketch_rollup_consistency": (
             "SELECT unnest(['hll','cms','bloom']) AS sketch, "
             "TRUE AS merged_equals_direct"
+        ),
+        "hll_cube": (
+            "SELECT l_returnflag, l_linestatus, "
+            "count(DISTINCT l_orderkey) AS exact_distinct, "
+            "TRUE AS within_bound "
+            "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) "
+            "ORDER BY l_returnflag, l_linestatus"
         ),
         "hll_bound": (
             "SELECT event_type, TRUE AS within_bound "

@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     BooleanType,
     DoubleType,
     LongType,
@@ -31,7 +32,7 @@ __all__ = [
     "hll_agg", "cms_agg", "bloom_agg", "kll_agg", "minhash_agg",
     "hll_estimate", "hll_intersect_estimate", "cms_estimate",
     "bloom_contains", "minhash_jaccard", "cms_inner_product",
-    "minhash_hll_intersect_estimate",
+    "minhash_hll_intersect_estimate", "merge_sketches",
     "kll_quantile", "kll_rank", "kll_count", "cms_topk",
     "bloom_filter_rows",
 ]
@@ -281,6 +282,32 @@ def hll_intersect_estimate(col_a, col_b) -> Column:
         return pd.Series(out)
 
     return _ix(col_a, col_b)
+
+
+def merge_sketches(col, spec: SketchSpec) -> Column:
+    """Grouped-aggregate merge of ANY sketch blob column — the generic
+    analogue of ``functions.merge_tdigests``. Usable anywhere Spark
+    accepts an aggregate expression: ``groupBy``, ``cube``, ``rollup``,
+    grouping sets, window frames — so a fine-grained sketch table
+    (e.g. per-(role, tool) HLLs) rolls up to every coarser grouping by
+    merging blobs, never rescanning facts. That is the 100 TB shape
+    for OLAP-style subtotals: facts are read once at the finest grain;
+    the cube is computed entirely on sketch-sized rows.
+
+    NULL blobs are skipped; an all-NULL (or empty) group yields NULL.
+    Merge-compatibility is enforced by the kernels (mismatched configs
+    raise, same contract as every other surface)."""
+
+    @F.pandas_udf(BinaryType())
+    def _merge(blobs: pd.Series) -> Optional[bytes]:
+        states = [
+            spec.blob_to_state(bytes(b)) for b in blobs if b is not None
+        ]
+        if not states:
+            return None
+        return spec.state_to_blob(spec.merge_many(states))
+
+    return _merge(col)
 
 
 def minhash_jaccard(col_a, col_b) -> Column:

@@ -22,16 +22,27 @@ def merge_sketch_tables(
     tables: Sequence[DataFrame],
     keys: Sequence[str],
     col: str = "tdigest",
+    spec=None,
 ) -> DataFrame:
-    """Union N digest tables and merge per key — the table-level
+    """Union N sketch tables and merge per key — the table-level
     ``merge_many`` (frontends.rs:480-491). Strict config/precision
-    checks apply inside the merge (frontends.rs:432-478)."""
+    checks apply inside the merge (frontends.rs:432-478).
+
+    Default merges t-digest blobs; pass any ``SketchSpec`` (HLLSpec,
+    CMSSpec, BloomSpec, KLLSpec, MinHashSpec) to merge that kind
+    instead via the generic ``companions.merge_sketches``."""
     out = tables[0]
     for t in tables[1:]:
         out = out.unionByName(t)
+    if spec is None:
+        agg = Fn.merge_tdigests(col).alias(col)
+    else:
+        from gr_tdigest_spark.operators.companions import merge_sketches
+
+        agg = merge_sketches(col, spec).alias(col)
     if keys:
-        return out.groupBy(*keys).agg(Fn.merge_tdigests(col).alias(col))
-    return out.agg(Fn.merge_tdigests(col).alias(col))
+        return out.groupBy(*keys).agg(agg)
+    return out.agg(agg)
 
 
 def add_values(

@@ -824,3 +824,53 @@ class TestMinHashHLLIntersect:
                 HLL.from_bytes(hl_blobs[fb])
             ).estimate()
             assert est == j * u
+
+
+class TestGenericSketchMerge:
+    def test_merge_sketch_tables_with_spec(self, spark, sf_dir):
+        """rollup.merge_sketch_tables(spec=...) merges ANY sketch kind:
+        two per-group MinHash tables union+merge to the whole-set
+        signature, exactly."""
+        from gr_tdigest_spark.operators.companions import (
+            MinHashSpec, minhash_agg,
+        )
+        from gr_tdigest_spark.operators.rollup import merge_sketch_tables
+        from gr_tdigest_spark.sketches.minhash import MinHash
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        lo = li.where(F.col("l_orderkey") % 2 == 0)
+        hi = li.where(F.col("l_orderkey") % 2 == 1)
+        t1 = minhash_agg(lo, ["l_returnflag"], "l_orderkey", k=64)
+        t2 = minhash_agg(hi, ["l_returnflag"], "l_orderkey", k=64)
+        merged = merge_sketch_tables(
+            [t1, t2], ["l_returnflag"], col="minhash", spec=MinHashSpec(k=64)
+        )
+        whole = {
+            r["l_returnflag"]: bytes(r["minhash"])
+            for r in minhash_agg(li, ["l_returnflag"], "l_orderkey",
+                                 k=64).collect()
+        }
+        for r in merged.collect():
+            np.testing.assert_array_equal(
+                MinHash.from_bytes(bytes(r["minhash"])).sig,
+                MinHash.from_bytes(whole[r["l_returnflag"]]).sig,
+            )
+
+    def test_merge_sketches_all_null_group_yields_null(self, spark):
+        from gr_tdigest_spark.operators.companions import (
+            HLLSpec, merge_sketches,
+        )
+        from pyspark.sql.types import (
+            BinaryType, StringType, StructField, StructType,
+        )
+
+        df = spark.createDataFrame(
+            [("a", None), ("a", None)],
+            StructType([StructField("g", StringType()),
+                        StructField("hll", BinaryType())]),
+        )
+        rows = df.groupBy("g").agg(
+            merge_sketches("hll", HLLSpec(p=10)).alias("hll")
+        ).collect()
+        assert rows[0]["hll"] is None
