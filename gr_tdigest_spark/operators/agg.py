@@ -743,6 +743,19 @@ def sketch_agg(
     ))
     src = df.select(*proj)  # column pruning reaches the scan
 
+    # Specs that SKIP null values (all hash-family companions) get the
+    # null filter pushed into the JVM. Semantically identical to their
+    # Python-side filtering, but load-bearing for correctness: Arrow
+    # hands a nullable int64 column to pandas as float64 ONLY in batches
+    # that contain a null, so the same value would hash as int64 in one
+    # partition and float64 in another — partition-layout-dependent
+    # sketches. With the JVM filter every batch arrives in the column's
+    # native dtype. (t-digest keeps nulls flowing to Python: its
+    # on_invalid='error' contract must RAISE on them, and its values
+    # are cast to float64 anyway.)
+    if getattr(spec, "skips_null_values", False):
+        src = src.where(F.col(value_col).isNotNull())
+
     # Partial-build cost is dominated by a fixed per-(flush, group) term
     # (pile coalescing + k-limit cap search), so many small partitions
     # anti-scale. Run the partial stage at ~1 partition per core: fewer,

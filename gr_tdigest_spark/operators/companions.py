@@ -51,9 +51,13 @@ def _to_numpy(values: np.ndarray) -> np.ndarray:
 
 class _KernelSpec(SketchSpec):
     """Shared shape for the companion kernels: state IS the kernel object
-    (all four expose ``merge``/``to_bytes``/``from_bytes``)."""
+    (all five expose ``merge``/``to_bytes``/``from_bytes``)."""
 
     kernel = None  # class with .from_bytes
+    # nulls are SKIPPED (not errors) for the hash-family sketches;
+    # sketch_agg uses this to push the null filter into the JVM so
+    # pandas batch dtypes never flip int64→float64 on nullable columns
+    skips_null_values = True
 
     def _new(self):
         raise NotImplementedError
@@ -83,6 +87,85 @@ class HLLSpec(_KernelSpec):
 
     def _new(self):
         return HLL(p=self.p)
+
+    def merge_states(self, a, b):
+        # partial states may be SparseHLL (vectorized builder below);
+        # register max is commutative, so normalize either side
+        from gr_tdigest_spark.sketches.hll import SparseHLL
+
+        if isinstance(a, SparseHLL):
+            return a.merge(b)
+        if isinstance(b, SparseHLL):
+            return b.merge(a)
+        return a.merge(b)
+
+    def build_groups(self, pdf, key_cols, value_col, weight_col):
+        """Vectorized multi-group build (the HLL analogue of the
+        t-digest columnar partial): ONE hash pass over the whole batch,
+        one sort, reduceat-max per (group, register) run — no per-group
+        numpy-call overhead and no dense 2^p array per group (SparseHLL
+        states). At 150k single-digit-row groups this is the difference
+        between a ~20 s and a ~2 s partial stage."""
+        from gr_tdigest_spark.operators.agg import _canon_key_tuple
+        from gr_tdigest_spark.sketches.hashing import hash64
+        from gr_tdigest_spark.sketches.hll import SparseHLL, idx_rank
+
+        arr = np.asarray(pdf[value_col].to_numpy())
+        if arr.dtype == object:
+            mask = np.array(
+                [v is not None and v == v for v in arr], dtype=bool
+            )
+        elif arr.dtype.kind == "f":
+            mask = ~np.isnan(arr)
+        else:
+            mask = None
+        if not key_cols:
+            v = arr if mask is None else arr[mask]
+            if not v.size:
+                return {}
+            st = self._new()
+            st.add(v)
+            return {(): st}
+        if mask is not None:
+            if not mask.any():
+                return {}
+            key_arrays = [pdf[k].to_numpy()[mask] for k in key_cols]
+            arr = arr[mask]
+        else:
+            key_arrays = [pdf[k].to_numpy() for k in key_cols]
+        if len(key_cols) == 1:
+            codes, uniq = pd.factorize(
+                pd.Series(key_arrays[0]), use_na_sentinel=False
+            )
+            keys_by_gid = [_canon_key_tuple((u,)) for u in uniq]
+        else:
+            codes, uniq = pd.factorize(
+                pd.MultiIndex.from_arrays(key_arrays),
+                use_na_sentinel=False,
+            )
+            keys_by_gid = [_canon_key_tuple(tuple(u)) for u in uniq]
+        idx, rank = idx_rank(hash64(arr), self.p)
+        m = 1 << self.p
+        combined = codes.astype(np.int64) * m + idx
+        order = np.argsort(combined, kind="stable")
+        comb_s = combined[order]
+        rank_s = rank[order]
+        starts = np.flatnonzero(
+            np.r_[True, comb_s[1:] != comb_s[:-1]]
+        )
+        max_rank = np.maximum.reduceat(rank_s, starts)
+        ukeys = comb_s[starts]
+        gcodes = ukeys // m
+        ridx = ukeys % m
+        gstarts = np.flatnonzero(np.r_[True, gcodes[1:] != gcodes[:-1]])
+        bounds = np.append(gstarts, gcodes.size)
+        out = {}
+        for i in range(gstarts.size):
+            lo, hi = bounds[i], bounds[i + 1]
+            out[keys_by_gid[gcodes[lo]]] = SparseHLL(
+                self.p, ridx[lo:hi], max_rank[lo:hi]
+            )
+        return out
 
 
 class CMSSpec(_KernelSpec):

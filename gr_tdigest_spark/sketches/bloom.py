@@ -92,26 +92,70 @@ class BloomFilter:
         return (1.0 - math.exp(-self.k * self.n_added / self.m_bits)) ** self.k
 
     # ---------------- wire ----------------
+    #
+    # v1 dense: header + m_bits/8 word bytes
+    # v2 sparse: header + u32 n_set + u32 set-bit positions
+    #
+    # to_bytes picks whichever is smaller (sparse only when m_bits fits
+    # u32 indices). Same scale rationale as the HLL sparse mode: a
+    # nearly-empty per-group filter's shuffle partial is ~4 B per set
+    # bit, not a fixed m_bits/8 (128 KB at the 2^20 default).
+
+    _HEAD = "<BQIqq"
 
     def to_bytes(self) -> bytes:
-        head = _MAGIC + struct.pack(
-            "<BQIqq", 1, self.m_bits, self.k, self.seed, self.n_added
+        # popcount without numpy>=2's bitwise_count: unpackbits on the
+        # little-endian byte view (m_bits/8 temp bytes — 128 KB default)
+        bits = np.unpackbits(
+            self.words.astype("<u8").view(np.uint8), bitorder="little"
         )
-        return head + self.words.astype("<u8").tobytes()
+        n_set = int(bits.sum())
+        if self.m_bits < (1 << 32) and 4 + 4 * n_set < self.m_bits // 8:
+            pos = np.flatnonzero(bits).astype("<u4")
+            return (
+                _MAGIC
+                + struct.pack(self._HEAD, 2, self.m_bits, self.k,
+                              self.seed, self.n_added)
+                + struct.pack("<I", pos.size)
+                + pos.tobytes()
+            )
+        return (
+            _MAGIC
+            + struct.pack(self._HEAD, 1, self.m_bits, self.k,
+                          self.seed, self.n_added)
+            + self.words.astype("<u8").tobytes()
+        )
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "BloomFilter":
         blob = bytes(blob)
         if blob[:4] != _MAGIC:
             raise ValueError("invalid GSBF magic")
-        version, m_bits, k, seed, n_added = struct.unpack_from("<BQIqq", blob, 4)
-        if version != 1:
-            raise ValueError(f"unsupported GSBF version {version}")
-        off = 4 + struct.calcsize("<BQIqq")
-        words = np.frombuffer(blob, dtype="<u8", offset=off)
-        if words.size != m_bits // 64:
-            raise ValueError("GSBF payload length mismatch")
-        return cls(int(m_bits), int(k), int(seed), words.copy(), int(n_added))
+        version, m_bits, k, seed, n_added = struct.unpack_from(
+            cls._HEAD, blob, 4
+        )
+        off = 4 + struct.calcsize(cls._HEAD)
+        if version == 1:
+            words = np.frombuffer(blob, dtype="<u8", offset=off)
+            if words.size != m_bits // 64:
+                raise ValueError("GSBF payload length mismatch")
+            return cls(int(m_bits), int(k), int(seed), words.copy(),
+                       int(n_added))
+        if version == 2:
+            (n_set,) = struct.unpack_from("<I", blob, off)
+            pos = np.frombuffer(
+                blob, dtype="<u4", offset=off + 4, count=n_set
+            )
+            if len(blob) != off + 4 + 4 * n_set:
+                raise ValueError("GSBF sparse payload length mismatch")
+            if n_set and int(pos.max()) >= m_bits:
+                raise ValueError("GSBF sparse bit position out of range")
+            words = np.zeros(m_bits // 64, dtype=np.uint64)
+            w = (pos >> np.uint32(6)).astype(np.int64)
+            b = np.uint64(1) << pos.astype(np.uint64) % np.uint64(64)
+            np.bitwise_or.at(words, w, b)
+            return cls(int(m_bits), int(k), int(seed), words, int(n_added))
+        raise ValueError(f"unsupported GSBF version {version}")
 
     def __reduce__(self):
         return (BloomFilter.from_bytes, (self.to_bytes(),))

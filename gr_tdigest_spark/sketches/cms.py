@@ -117,10 +117,33 @@ class CMS:
         )
 
     # ---------------- wire ----------------
+    #
+    # v1 dense: header + depth·width i64 counters
+    # v2 sparse: header + u32 nnz + u32 flat indices + i64 counts
+    #
+    # to_bytes picks whichever is smaller (sparse only when depth·width
+    # fits u32 indices). A group with d distinct values touches at most
+    # depth·d counters, so small-group partials shuffle ~12 B per
+    # touched counter instead of a fixed depth·width·8 (320 KB at the
+    # 5×8192 default) — the scale lever for per-conversation sketches.
+
+    _HEAD = "<BIIqd"
 
     def to_bytes(self) -> bytes:
+        flat = self.table.reshape(-1)
+        nz = np.flatnonzero(flat)
+        cells = self.depth * self.width
+        if cells < (1 << 32) and 4 + 12 * nz.size < 8 * cells:
+            return (
+                _MAGIC
+                + struct.pack(self._HEAD, 2, self.depth, self.width,
+                              self.seed, self.total)
+                + struct.pack("<I", nz.size)
+                + nz.astype("<u4").tobytes()
+                + flat[nz].astype("<i8").tobytes()
+            )
         head = _MAGIC + struct.pack(
-            "<BIIqd", 1, self.depth, self.width, self.seed, self.total
+            self._HEAD, 1, self.depth, self.width, self.seed, self.total
         )
         return head + self.table.astype("<i8").tobytes()
 
@@ -129,14 +152,32 @@ class CMS:
         blob = bytes(blob)
         if blob[:4] != _MAGIC:
             raise ValueError("invalid GSCM magic")
-        version, depth, width, seed, total = struct.unpack_from("<BIIqd", blob, 4)
-        if version != 1:
-            raise ValueError(f"unsupported GSCM version {version}")
-        off = 4 + struct.calcsize("<BIIqd")
-        table = np.frombuffer(blob, dtype="<i8", offset=off)
-        if table.size != depth * width:
-            raise ValueError("GSCM payload length mismatch")
-        return cls(depth, width, seed, table.reshape(depth, width).copy(), total)
+        version, depth, width, seed, total = struct.unpack_from(
+            cls._HEAD, blob, 4
+        )
+        off = 4 + struct.calcsize(cls._HEAD)
+        if version == 1:
+            table = np.frombuffer(blob, dtype="<i8", offset=off)
+            if table.size != depth * width:
+                raise ValueError("GSCM payload length mismatch")
+            return cls(depth, width, seed,
+                       table.reshape(depth, width).copy(), total)
+        if version == 2:
+            (nnz,) = struct.unpack_from("<I", blob, off)
+            off += 4
+            if len(blob) != off + 12 * nnz:
+                raise ValueError("GSCM sparse payload length mismatch")
+            idx = np.frombuffer(blob, dtype="<u4", offset=off, count=nnz)
+            vals = np.frombuffer(
+                blob, dtype="<i8", offset=off + 4 * nnz, count=nnz
+            )
+            if nnz and int(idx.max()) >= depth * width:
+                raise ValueError("GSCM sparse index out of range")
+            flat = np.zeros(depth * width, dtype=np.int64)
+            flat[idx.astype(np.int64)] = vals
+            return cls(depth, width, seed,
+                       flat.reshape(depth, width), total)
+        raise ValueError(f"unsupported GSCM version {version}")
 
     def __reduce__(self):
         return (CMS.from_bytes, (self.to_bytes(),))

@@ -874,3 +874,184 @@ class TestGenericSketchMerge:
             merge_sketches("hll", HLLSpec(p=10)).alias("hll")
         ).collect()
         assert rows[0]["hll"] is None
+
+
+class TestSparseWire:
+    """Sparse (v2) wire modes auto-selected for small sketches: the
+    shuffle lever for high-cardinality groupings — a per-conversation
+    partial costs bytes per TOUCHED register/bit/counter, not the
+    fixed dense size. Decode must be state-exact in both modes."""
+
+    def test_hll_sparse_roundtrip_and_size(self):
+        h = HLL(p=14)
+        h.add(np.arange(20))
+        blob = h.to_bytes()
+        assert len(blob) < 200  # dense would be 6 + 16384
+        back = HLL.from_bytes(blob)
+        np.testing.assert_array_equal(back.registers, h.registers)
+        # big sketch stays dense
+        h2 = HLL(p=10)
+        h2.add(np.arange(50_000))
+        blob2 = h2.to_bytes()
+        assert len(blob2) == 6 + 1024
+        np.testing.assert_array_equal(
+            HLL.from_bytes(blob2).registers, h2.registers
+        )
+
+    def test_bloom_sparse_roundtrip_and_size(self):
+        b = BloomFilter(m_bits=1 << 20, k=7)
+        b.add(np.arange(10))
+        blob = b.to_bytes()
+        assert len(blob) < 400  # dense would be ~128 KB
+        back = BloomFilter.from_bytes(blob)
+        np.testing.assert_array_equal(back.words, b.words)
+        assert back.n_added == b.n_added
+        assert bool(back.contains(np.arange(10)).all())
+        b2 = BloomFilter(m_bits=1 << 14, k=4)
+        b2.add(np.arange(20_000))
+        blob2 = b2.to_bytes()
+        np.testing.assert_array_equal(
+            BloomFilter.from_bytes(blob2).words, b2.words
+        )
+
+    def test_cms_sparse_roundtrip_and_size(self):
+        c = CMS(depth=5, width=8192)
+        c.add(np.array(["x", "y", "z"], dtype=object), counts=[7, 2, 9])
+        blob = c.to_bytes()
+        assert len(blob) < 400  # dense would be ~320 KB
+        back = CMS.from_bytes(blob)
+        np.testing.assert_array_equal(back.table, c.table)
+        assert back.total == c.total
+        c2 = CMS(depth=3, width=64)
+        c2.add(np.arange(5_000))
+        blob2 = c2.to_bytes()
+        np.testing.assert_array_equal(CMS.from_bytes(blob2).table, c2.table)
+
+    def test_sparse_dense_merge_interoperate(self):
+        """A sparse-decoded partial merges with a dense-decoded one —
+        exactly the mixed case small+large shuffle partials hit."""
+        small, big = HLL(p=12), HLL(p=12)
+        small.add(np.arange(5))
+        big.add(np.arange(30_000))
+        s2 = HLL.from_bytes(small.to_bytes())   # sparse path
+        b2 = HLL.from_bytes(big.to_bytes())     # dense path
+        whole = HLL(p=12)
+        whole.add(np.arange(30_000))  # superset of both
+        np.testing.assert_array_equal(
+            s2.merge(b2).registers, big.merge(small).registers
+        )
+
+    def test_truncated_sparse_raises(self):
+        h = HLL(p=14)
+        h.add(np.arange(10))
+        blob = h.to_bytes()
+        with pytest.raises(ValueError):
+            HLL.from_bytes(blob[:-3])
+        c = CMS()
+        c.add(np.array(["a"], dtype=object))
+        with pytest.raises(ValueError):
+            CMS.from_bytes(c.to_bytes()[:-5])
+        b = BloomFilter()
+        b.add(np.arange(3))
+        with pytest.raises(ValueError):
+            BloomFilter.from_bytes(b.to_bytes()[:-2])
+
+
+class TestVectorizedHLLBuild:
+    """HLLSpec.build_groups (one hash pass + sort + reduceat-max with
+    SparseHLL states) must be blob-exact vs the kernel's per-group
+    build, including multi-key grouping, null keys, and null values."""
+
+    def test_agg_equals_driver_build(self, spark, sf_dir):
+        from gr_tdigest_spark.operators.companions import hll_agg
+        from gr_tdigest_spark.sketches.hll import HLL
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        rows = hll_agg(li, ["l_returnflag", "l_linestatus"],
+                       "l_orderkey", p=12).collect()
+        pdf = li.select(
+            "l_returnflag", "l_linestatus", "l_orderkey"
+        ).toPandas()
+        assert len(rows) > 1
+        for r in rows:
+            ref = HLL(p=12)
+            sel = (pdf["l_returnflag"] == r["l_returnflag"]) & (
+                pdf["l_linestatus"] == r["l_linestatus"]
+            )
+            ref.add(pdf.loc[sel, "l_orderkey"].to_numpy())
+            got = HLL.from_bytes(bytes(r["hll"]))
+            np.testing.assert_array_equal(got.registers, ref.registers)
+
+    def test_null_values_skipped_null_keys_grouped(self, spark):
+        from pyspark.sql import functions as F
+        from gr_tdigest_spark.operators.companions import hll_agg
+        from gr_tdigest_spark.sketches.hll import HLL
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", None), ("a", 2), (None, 3), (None, 3),
+             ("b", None)],
+            "g string, v int",
+        ).withColumn("v", F.col("v").cast("long"))
+        rows = {r["g"]: r["hll"] for r in
+                hll_agg(df, ["g"], "v", p=10).collect()}
+        # "b" had only null values -> no state emitted for it
+        assert set(rows) == {"a", None}
+        # the JVM-side null filter (skips_null_values) means batches
+        # arrive in the column's NATIVE int64 dtype — never the
+        # partition-dependent float64 that nullable batches used to get
+        ra = HLL(p=10)
+        ra.add(np.array([1, 2], dtype=np.int64))
+        np.testing.assert_array_equal(
+            HLL.from_bytes(bytes(rows["a"])).registers, ra.registers
+        )
+        rn = HLL(p=10)
+        rn.add(np.array([3], dtype=np.int64))
+        np.testing.assert_array_equal(
+            HLL.from_bytes(bytes(rows[None])).registers, rn.registers
+        )
+
+    def test_sparse_state_blob_equals_dense_blob(self):
+        from gr_tdigest_spark.sketches.hashing import hash64
+        from gr_tdigest_spark.sketches.hll import HLL, SparseHLL, idx_rank
+
+        vals = np.arange(40)
+        dense = HLL(p=14)
+        dense.add(vals)
+        idx, rank = idx_rank(hash64(vals), 14)
+        order = np.argsort(idx, kind="stable")
+        idx_s, rank_s = idx[order], rank[order]
+        starts = np.flatnonzero(np.r_[True, idx_s[1:] != idx_s[:-1]])
+        sp = SparseHLL(14, idx_s[starts],
+                       np.maximum.reduceat(rank_s, starts))
+        assert sp.to_bytes() == dense.to_bytes()
+        big = np.arange(200_000)  # dense encoding regime
+        d2 = HLL(p=10)
+        d2.add(big)
+        i2, r2 = idx_rank(hash64(big), 10)
+        o = np.argsort(i2, kind="stable")
+        i2s, r2s = i2[o], r2[o]
+        st = np.flatnonzero(np.r_[True, i2s[1:] != i2s[:-1]])
+        sp2 = SparseHLL(10, i2s[st], np.maximum.reduceat(r2s, st))
+        assert sp2.to_bytes() == d2.to_bytes()
+
+    def test_blobs_independent_of_partition_layout(self, spark):
+        """Regression: nullable int64 columns used to hash as float64 in
+        null-containing batches only, making sketches depend on the
+        partition layout. The JVM-side null filter makes every layout
+        produce identical blobs."""
+        from pyspark.sql import functions as F
+        from gr_tdigest_spark.operators.companions import hll_agg
+
+        rows = [("g%d" % (i % 3), i if i % 7 else None)
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "g string, v long")
+
+        def blobs(d):
+            return {
+                r["g"]: bytes(r["hll"])
+                for r in hll_agg(d, ["g"], "v", p=10).collect()
+            }
+
+        base = blobs(df.repartition(1))
+        for n in (2, 6, 13):
+            assert blobs(df.repartition(n)) == base, n
