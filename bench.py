@@ -136,6 +136,15 @@ def main() -> None:
 
     bench("q11_minhash_jaccard", run_minhash)
 
+    # high-cardinality distinct-count: one HLL per l_orderkey (~150k
+    # groups at sf0.1) — exercises the vectorized multi-group builder
+    # + sparse partial wire (dense partials would be ~2.4 GB of shuffle)
+    bench(
+        "q12_hll_highkey",
+        lambda: hll_agg(li, ["l_orderkey"], "l_partkey", p=14)
+        .agg(F.count("*")).collect(),
+    )
+
     # transcript sketch-build throughput (turns/sec), the BASELINE metric
     from gr_tdigest_spark.sources.transcripts import transcripts_df
 
