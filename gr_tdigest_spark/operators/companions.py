@@ -72,10 +72,70 @@ class _KernelSpec(SketchSpec):
         return sk
 
     def merge_states(self, a, b):
+        # partial states may be Sparse* (vectorized builders below);
+        # every companion merge is commutative (max/add/or/min), so
+        # either side may normalize
+        if hasattr(a, "to_dense"):
+            return a.merge(b)
+        if hasattr(b, "to_dense"):
+            return b.merge(a)
         return a.merge(b)
 
     def blob_to_state(self, blob: bytes):
         return self.kernel.from_bytes(blob)
+
+
+def _factorize_groups(pdf, key_cols, value_col, weight_col=None):
+    """Shared front half of the vectorized multi-group builders:
+    null/NaN-mask the value column, factorize the key tuple, and return
+    ``(codes, keys_by_gid, values, weights)`` — or None when nothing
+    survives. codes are int64 group ids aligned with values."""
+    from gr_tdigest_spark.operators.agg import _canon_key_tuple
+
+    arr = np.asarray(pdf[value_col].to_numpy())
+    ws = (
+        np.asarray(pdf[weight_col].to_numpy())
+        if weight_col is not None else None
+    )
+    if arr.dtype == object:
+        mask = np.array([v is not None and v == v for v in arr], dtype=bool)
+    elif arr.dtype.kind == "f":
+        mask = ~np.isnan(arr)
+    else:
+        mask = None
+    if mask is not None:
+        if not mask.any():
+            return None
+        arr = arr[mask]
+        if ws is not None:
+            ws = ws[mask]
+    if not arr.size:
+        return None
+    if not key_cols:
+        return (
+            np.zeros(arr.size, dtype=np.int64), [()], arr, ws
+        )
+    key_arrays = [
+        (pdf[k].to_numpy() if mask is None else pdf[k].to_numpy()[mask])
+        for k in key_cols
+    ]
+    if len(key_cols) == 1:
+        codes, uniq = pd.factorize(
+            pd.Series(key_arrays[0]), use_na_sentinel=False
+        )
+        keys_by_gid = [_canon_key_tuple((u,)) for u in uniq]
+    else:
+        codes, uniq = pd.factorize(
+            pd.MultiIndex.from_arrays(key_arrays), use_na_sentinel=False
+        )
+        keys_by_gid = [_canon_key_tuple(tuple(u)) for u in uniq]
+    return codes.astype(np.int64), keys_by_gid, arr, ws
+
+
+def _group_bounds(gcodes: np.ndarray):
+    """Run boundaries over a sorted group-code array."""
+    gstarts = np.flatnonzero(np.r_[True, gcodes[1:] != gcodes[:-1]])
+    return gstarts, np.append(gstarts, gcodes.size)
 
 
 class HLLSpec(_KernelSpec):
@@ -88,17 +148,6 @@ class HLLSpec(_KernelSpec):
     def _new(self):
         return HLL(p=self.p)
 
-    def merge_states(self, a, b):
-        # partial states may be SparseHLL (vectorized builder below);
-        # register max is commutative, so normalize either side
-        from gr_tdigest_spark.sketches.hll import SparseHLL
-
-        if isinstance(a, SparseHLL):
-            return a.merge(b)
-        if isinstance(b, SparseHLL):
-            return b.merge(a)
-        return a.merge(b)
-
     def build_groups(self, pdf, key_cols, value_col, weight_col):
         """Vectorized multi-group build (the HLL analogue of the
         t-digest columnar partial): ONE hash pass over the whole batch,
@@ -106,59 +155,25 @@ class HLLSpec(_KernelSpec):
         numpy-call overhead and no dense 2^p array per group (SparseHLL
         states). At 150k single-digit-row groups this is the difference
         between a ~20 s and a ~2 s partial stage."""
-        from gr_tdigest_spark.operators.agg import _canon_key_tuple
         from gr_tdigest_spark.sketches.hashing import hash64
         from gr_tdigest_spark.sketches.hll import SparseHLL, idx_rank
 
-        arr = np.asarray(pdf[value_col].to_numpy())
-        if arr.dtype == object:
-            mask = np.array(
-                [v is not None and v == v for v in arr], dtype=bool
-            )
-        elif arr.dtype.kind == "f":
-            mask = ~np.isnan(arr)
-        else:
-            mask = None
-        if not key_cols:
-            v = arr if mask is None else arr[mask]
-            if not v.size:
-                return {}
-            st = self._new()
-            st.add(v)
-            return {(): st}
-        if mask is not None:
-            if not mask.any():
-                return {}
-            key_arrays = [pdf[k].to_numpy()[mask] for k in key_cols]
-            arr = arr[mask]
-        else:
-            key_arrays = [pdf[k].to_numpy() for k in key_cols]
-        if len(key_cols) == 1:
-            codes, uniq = pd.factorize(
-                pd.Series(key_arrays[0]), use_na_sentinel=False
-            )
-            keys_by_gid = [_canon_key_tuple((u,)) for u in uniq]
-        else:
-            codes, uniq = pd.factorize(
-                pd.MultiIndex.from_arrays(key_arrays),
-                use_na_sentinel=False,
-            )
-            keys_by_gid = [_canon_key_tuple(tuple(u)) for u in uniq]
+        fac = _factorize_groups(pdf, key_cols, value_col)
+        if fac is None:
+            return {}
+        codes, keys_by_gid, arr, _ = fac
         idx, rank = idx_rank(hash64(arr), self.p)
         m = 1 << self.p
-        combined = codes.astype(np.int64) * m + idx
+        combined = codes * m + idx
         order = np.argsort(combined, kind="stable")
         comb_s = combined[order]
         rank_s = rank[order]
-        starts = np.flatnonzero(
-            np.r_[True, comb_s[1:] != comb_s[:-1]]
-        )
+        starts = np.flatnonzero(np.r_[True, comb_s[1:] != comb_s[:-1]])
         max_rank = np.maximum.reduceat(rank_s, starts)
         ukeys = comb_s[starts]
         gcodes = ukeys // m
         ridx = ukeys % m
-        gstarts = np.flatnonzero(np.r_[True, gcodes[1:] != gcodes[:-1]])
-        bounds = np.append(gstarts, gcodes.size)
+        gstarts, bounds = _group_bounds(gcodes)
         out = {}
         for i in range(gstarts.size):
             lo, hi = bounds[i], bounds[i + 1]
@@ -206,6 +221,52 @@ class CMSSpec(_KernelSpec):
                 sk.add(values)
         return sk
 
+    def build_groups(self, pdf, key_cols, value_col, weight_col):
+        """Vectorized multi-group build: one depth×n column pass, one
+        sort of (group, cell) keys, reduceat-sum of (pile) weights,
+        SparseCMS states — the pre_aggregate pile path and the raw-row
+        path both route through it."""
+        from gr_tdigest_spark.sketches.cms import SparseCMS
+
+        fac = _factorize_groups(pdf, key_cols, value_col, weight_col)
+        if fac is None:
+            return {}
+        codes, keys_by_gid, arr, ws = fac
+        w = (
+            np.ones(arr.size, dtype=np.int64) if ws is None
+            else np.asarray(ws).astype(np.int64)
+        )
+        cols = self._new()._cols(arr)  # depth × n int64 column indices
+        cells = self.depth * self.width
+        cell = (
+            np.arange(self.depth, dtype=np.int64)[:, None] * self.width
+            + cols
+        )
+        combined = (codes[None, :] * cells + cell).ravel()
+        w_rep = np.broadcast_to(w, (self.depth, arr.size)).ravel()
+        order = np.argsort(combined, kind="stable")
+        comb_s = combined[order]
+        w_s = w_rep[order]
+        starts = np.flatnonzero(np.r_[True, comb_s[1:] != comb_s[:-1]])
+        sums = np.add.reduceat(w_s, starts)
+        ucells = comb_s[starts]
+        gcodes = ucells // cells
+        cidx = ucells % cells
+        totals = np.bincount(
+            codes, weights=w.astype(np.float64),
+            minlength=len(keys_by_gid),
+        )
+        gstarts, bounds = _group_bounds(gcodes)
+        out = {}
+        for i in range(gstarts.size):
+            lo, hi = bounds[i], bounds[i + 1]
+            g = int(gcodes[lo])
+            out[keys_by_gid[g]] = SparseCMS(
+                self.depth, self.width, self.seed,
+                cidx[lo:hi], sums[lo:hi], float(totals[g]),
+            )
+        return out
+
 
 class BloomSpec(_KernelSpec):
     name = "bloom"
@@ -216,6 +277,33 @@ class BloomSpec(_KernelSpec):
 
     def _new(self):
         return BloomFilter(self.m_bits, self.k, self.seed)
+
+    def build_groups(self, pdf, key_cols, value_col, weight_col):
+        """Vectorized multi-group build: one k×n bit-position pass,
+        one unique over (group, bit) keys, SparseBloom states — same
+        shape (and same ~10× high-cardinality win) as the HLL builder."""
+        from gr_tdigest_spark.sketches.bloom import SparseBloom
+
+        fac = _factorize_groups(pdf, key_cols, value_col)
+        if fac is None:
+            return {}
+        codes, keys_by_gid, arr, _ = fac
+        pos = self._new()._bit_positions(arr).astype(np.int64)  # k × n
+        combined = codes[None, :] * self.m_bits + pos
+        uniq = np.unique(combined.ravel())  # sorted unique (group, bit)
+        gcodes = uniq // self.m_bits
+        bits = uniq % self.m_bits
+        n_per_group = np.bincount(codes, minlength=len(keys_by_gid))
+        gstarts, bounds = _group_bounds(gcodes)
+        out = {}
+        for i in range(gstarts.size):
+            lo, hi = bounds[i], bounds[i + 1]
+            g = int(gcodes[lo])
+            out[keys_by_gid[g]] = SparseBloom(
+                self.m_bits, self.k, self.seed,
+                bits[lo:hi], int(n_per_group[g]),
+            )
+        return out
 
 
 class MinHashSpec(_KernelSpec):

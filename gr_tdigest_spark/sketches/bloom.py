@@ -17,7 +17,7 @@ import numpy as np
 
 from gr_tdigest_spark.sketches.hashing import hash_pair
 
-__all__ = ["BloomFilter", "optimal_bloom"]
+__all__ = ["BloomFilter", "SparseBloom", "optimal_bloom"]
 
 _MAGIC = b"GSBF"
 
@@ -159,3 +159,40 @@ class BloomFilter:
 
     def __reduce__(self):
         return (BloomFilter.from_bytes, (self.to_bytes(),))
+
+
+class SparseBloom:
+    """Lightweight partial state: sorted unique set-bit positions for
+    ONE group, produced by the vectorized multi-group builder
+    (BloomSpec.build_groups). ``to_bytes`` emits the identical blob a
+    dense filter with the same bits would (positions are sorted,
+    matching the unpackbits scan order)."""
+
+    __slots__ = ("m_bits", "k", "seed", "pos", "n_added")
+
+    def __init__(self, m_bits, k, seed, pos, n_added):
+        self.m_bits, self.k, self.seed = m_bits, k, seed
+        self.pos, self.n_added = pos, n_added
+
+    def to_dense(self) -> BloomFilter:
+        bf = BloomFilter(self.m_bits, self.k, self.seed)
+        word = (self.pos >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (self.pos.astype(np.uint64) % np.uint64(64))
+        np.bitwise_or.at(bf.words, word, bit)
+        bf.n_added = int(self.n_added)
+        return bf
+
+    def merge(self, other) -> BloomFilter:
+        dense = other if isinstance(other, BloomFilter) else other.to_dense()
+        return self.to_dense().merge(dense)
+
+    def to_bytes(self) -> bytes:
+        if self.m_bits < (1 << 32) and 4 + 4 * self.pos.size < self.m_bits // 8:
+            return (
+                _MAGIC
+                + struct.pack(BloomFilter._HEAD, 2, self.m_bits, self.k,
+                              self.seed, int(self.n_added))
+                + struct.pack("<I", self.pos.size)
+                + self.pos.astype("<u4").tobytes()
+            )
+        return self.to_dense().to_bytes()

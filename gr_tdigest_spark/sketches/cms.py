@@ -19,7 +19,7 @@ import numpy as np
 
 from gr_tdigest_spark.sketches.hashing import hash_pair
 
-__all__ = ["CMS"]
+__all__ = ["CMS", "SparseCMS"]
 
 _MAGIC = b"GSCM"
 
@@ -181,3 +181,40 @@ class CMS:
 
     def __reduce__(self):
         return (CMS.from_bytes, (self.to_bytes(),))
+
+
+class SparseCMS:
+    """Lightweight partial state: sorted unique flat cell indices +
+    counts for ONE group, produced by the vectorized multi-group
+    builder (CMSSpec.build_groups). ``to_bytes`` emits the identical
+    blob a dense table with the same cells would (indices sorted,
+    matching flatnonzero order)."""
+
+    __slots__ = ("depth", "width", "seed", "idx", "counts", "total")
+
+    def __init__(self, depth, width, seed, idx, counts, total):
+        self.depth, self.width, self.seed = depth, width, seed
+        self.idx, self.counts, self.total = idx, counts, float(total)
+
+    def to_dense(self) -> CMS:
+        c = CMS(self.depth, self.width, self.seed)
+        c.table.reshape(-1)[self.idx] = self.counts
+        c.total = self.total
+        return c
+
+    def merge(self, other) -> CMS:
+        dense = other if isinstance(other, CMS) else other.to_dense()
+        return self.to_dense().merge(dense)
+
+    def to_bytes(self) -> bytes:
+        cells = self.depth * self.width
+        if cells < (1 << 32) and 4 + 12 * self.idx.size < 8 * cells:
+            return (
+                _MAGIC
+                + struct.pack(CMS._HEAD, 2, self.depth, self.width,
+                              self.seed, self.total)
+                + struct.pack("<I", self.idx.size)
+                + self.idx.astype("<u4").tobytes()
+                + self.counts.astype("<i8").tobytes()
+            )
+        return self.to_dense().to_bytes()

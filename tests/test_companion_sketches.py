@@ -1055,3 +1055,53 @@ class TestVectorizedHLLBuild:
         base = blobs(df.repartition(1))
         for n in (2, 6, 13):
             assert blobs(df.repartition(n)) == base, n
+
+
+class TestVectorizedBloomCmsBuild:
+    """Bloom/CMS columnar multi-group builders must be state-exact vs
+    the kernel per-group build (bits, counters, totals, n_added)."""
+
+    def test_bloom_agg_equals_driver_build(self, spark, sf_dir):
+        from gr_tdigest_spark.operators.companions import bloom_agg
+        from gr_tdigest_spark.sketches.bloom import BloomFilter
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        rows = bloom_agg(li, ["l_returnflag"], "l_orderkey",
+                         m_bits=1 << 16, k=5).collect()
+        pdf = li.select("l_returnflag", "l_orderkey").toPandas()
+        assert len(rows) > 1
+        for r in rows:
+            ref = BloomFilter(m_bits=1 << 16, k=5)
+            ref.add(pdf.loc[pdf["l_returnflag"] == r["l_returnflag"],
+                            "l_orderkey"].to_numpy())
+            got = BloomFilter.from_bytes(bytes(r["bloom"]))
+            np.testing.assert_array_equal(got.words, ref.words)
+            assert got.n_added == ref.n_added
+
+    def test_cms_agg_equals_driver_build(self, spark, sf_dir):
+        from gr_tdigest_spark.operators.companions import cms_agg
+        from gr_tdigest_spark.sketches.cms import CMS
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        rows = cms_agg(li, ["l_returnflag"], "l_suppkey",
+                       depth=4, width=2048).collect()
+        pdf = li.select("l_returnflag", "l_suppkey").toPandas()
+        assert len(rows) > 1
+        for r in rows:
+            ref = CMS(depth=4, width=2048)
+            ref.add(pdf.loc[pdf["l_returnflag"] == r["l_returnflag"],
+                            "l_suppkey"].to_numpy())
+            got = CMS.from_bytes(bytes(r["cms"]))
+            np.testing.assert_array_equal(got.table, ref.table)
+            assert got.total == ref.total
+
+    def test_cms_weighted_piles_equal_row_path(self, spark, sf_dir):
+        from gr_tdigest_spark.operators.companions import cms_agg
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        base = {r["l_returnflag"]: bytes(r["cms"]) for r in
+                cms_agg(li, ["l_returnflag"], "l_suppkey").collect()}
+        pile = {r["l_returnflag"]: bytes(r["cms"]) for r in
+                cms_agg(li, ["l_returnflag"], "l_suppkey",
+                        pre_aggregate=True).collect()}
+        assert base == pile
