@@ -38,15 +38,24 @@ __all__ = [
 ]
 
 
+def _missing_mask(arr: np.ndarray):
+    """Keep-mask for missing values (None/NaN), or None when the dtype
+    cannot hold them. THE single definition of companion-sketch missing
+    semantics — the per-group path (_to_numpy), the weighted CMS path,
+    and the vectorized builders all route through it."""
+    if arr.dtype == object:
+        return np.array([v is not None and v == v for v in arr],
+                        dtype=bool)
+    if arr.dtype.kind == "f":
+        return ~np.isnan(arr)
+    return None
+
+
 def _to_numpy(values: np.ndarray) -> np.ndarray:
     """Normalize pandas-extracted values for hashing (None→skip)."""
     arr = np.asarray(values)
-    if arr.dtype == object:
-        mask = np.array([v is not None and v == v for v in arr])
-        return arr[mask]
-    if arr.dtype.kind == "f":
-        return arr[~np.isnan(arr)]
-    return arr
+    mask = _missing_mask(arr)
+    return arr if mask is None else arr[mask]
 
 
 class _KernelSpec(SketchSpec):
@@ -97,12 +106,7 @@ def _factorize_groups(pdf, key_cols, value_col, weight_col=None):
         np.asarray(pdf[weight_col].to_numpy())
         if weight_col is not None else None
     )
-    if arr.dtype == object:
-        mask = np.array([v is not None and v == v for v in arr], dtype=bool)
-    elif arr.dtype.kind == "f":
-        mask = ~np.isnan(arr)
-    else:
-        mask = None
+    mask = _missing_mask(arr)
     if mask is not None:
         if not mask.any():
             return None
@@ -198,14 +202,7 @@ class CMSSpec(_KernelSpec):
         the pre-aggregated plan — keep the weights aligned with the
         null/NaN filter."""
         arr = np.asarray(values)
-        if arr.dtype == object:
-            mask = np.array(
-                [v is not None and v == v for v in arr], dtype=bool
-            )
-        elif arr.dtype.kind == "f":
-            mask = ~np.isnan(arr)
-        else:
-            mask = None
+        mask = _missing_mask(arr)
         if mask is not None:
             arr = arr[mask]
             if weights is not None:
@@ -336,8 +333,8 @@ class MinHashSpec(_KernelSpec):
         gstarts, bounds = _group_bounds(codes_s)
         n_groups = gstarts.size
         sigs = np.empty((self.k, n_groups), dtype=np.uint64)
-        # chunk slots: k_chunk × n temp stays ~8 MB at n = 1M rows
-        k_chunk = max(1, (1 << 20) // max(arr.size, 1) * 8) or 8
+        # chunk slots: k_chunk × n × 8 B temp stays ~8 MB per flush
+        k_chunk = max(1, (1 << 20) // max(arr.size, 1))
         rows = np.arange(self.k, dtype=np.uint64)[:, None]
         for lo in range(0, self.k, k_chunk):
             hi = min(lo + k_chunk, self.k)

@@ -21,6 +21,10 @@ __all__ = ["BloomFilter", "SparseBloom", "optimal_bloom"]
 
 _MAGIC = b"GSBF"
 
+# 256-entry per-byte popcount table (uint16 keeps the indexed-sum small)
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)],
+                    dtype=np.uint16)
+
 
 def optimal_bloom(n_expected: int, fpr: float = 0.01, seed: int = 11) -> "BloomFilter":
     """Size a filter for ``n_expected`` keys at the target false-positive
@@ -104,13 +108,13 @@ class BloomFilter:
     _HEAD = "<BQIqq"
 
     def to_bytes(self) -> bytes:
-        # popcount without numpy>=2's bitwise_count: unpackbits on the
-        # little-endian byte view (m_bits/8 temp bytes — 128 KB default)
-        bits = np.unpackbits(
-            self.words.astype("<u8").view(np.uint8), bitorder="little"
-        )
-        n_set = int(bits.sum())
+        # popcount via byte LUT (no numpy>=2 bitwise_count, no 8×
+        # unpackbits expansion) — to_bytes runs once per group in the
+        # final merge, so the cheap decision path matters at 150k groups
+        byte_view = self.words.astype("<u8").view(np.uint8)
+        n_set = int(_POPCNT8[byte_view].sum())
         if self.m_bits < (1 << 32) and 4 + 4 * n_set < self.m_bits // 8:
+            bits = np.unpackbits(byte_view, bitorder="little")
             pos = np.flatnonzero(bits).astype("<u4")
             return (
                 _MAGIC
@@ -176,8 +180,11 @@ class SparseBloom:
 
     def to_dense(self) -> BloomFilter:
         bf = BloomFilter(self.m_bits, self.k, self.seed)
-        word = (self.pos >> np.uint64(6)).astype(np.int64)
-        bit = np.uint64(1) << (self.pos.astype(np.uint64) % np.uint64(64))
+        # cast BEFORE shifting: int64 >> uint64 promotes to float64
+        # under NumPy 2 (NEP 50) and right_shift then raises
+        pos = self.pos.astype(np.uint64)
+        word = (pos >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (pos % np.uint64(64))
         np.bitwise_or.at(bf.words, word, bit)
         bf.n_added = int(self.n_added)
         return bf

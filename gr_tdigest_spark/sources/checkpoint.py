@@ -113,6 +113,12 @@ def build_partials_checkpointed(
 
     proj = key_cols + [value_col] + ([weight_col] if weight_col else [])
     src = df.select(*proj)
+    # same JVM null filter as sketch_agg (agg.py): without it a nullable
+    # int64 column reaches pandas as float64 only in null-bearing shard
+    # frames, so identical values hash differently per shard — the
+    # checkpointed blobs would disagree with sketch_agg's
+    if getattr(spec, "skips_null_values", False):
+        src = src.where(F.col(value_col).isNotNull())
     # deterministic sharding: hash of keys (or value for global aggs)
     shard_on = key_cols if key_cols else [value_col]
     src = src.withColumn(

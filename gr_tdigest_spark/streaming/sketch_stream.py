@@ -85,8 +85,18 @@ def sketch_stream_agg(
         row["n"] = float(count_fn(sk)) if count_fn is not None else rows
         yield pd.DataFrame([row], columns=key_cols + [out_col, "n"])
 
+    src = stream_df.select(*key_cols, value_col)
+    # same JVM null filter as sketch_agg (agg.py): keeps micro-batch
+    # pandas dtypes at the column's native type, so a value ingested in
+    # a null-bearing micro-batch hashes identically to one ingested in
+    # a clean batch (otherwise HLL double-counts and Bloom probes can
+    # miss)
+    from pyspark.sql import functions as F
+
+    if getattr(spec, "skips_null_values", False):
+        src = src.where(F.col(value_col).isNotNull())
     return (
-        stream_df.select(*key_cols, value_col)
+        src
         .groupBy(*key_cols)
         .applyInPandasWithState(
             update,

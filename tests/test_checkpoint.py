@@ -213,3 +213,34 @@ class TestCatalogTableCheckpoint:
         p = str(tmp_path / "t.parquet")
         write_table(df, p, mode="overwrite")
         assert read_table(spark, p).count() == 2
+
+
+def test_checkpointed_hll_matches_sketch_agg_on_nullable_column(
+    spark, ckpt
+):
+    """Regression (review finding): the checkpoint surface must apply
+    the same JVM null filter as sketch_agg — otherwise a null anywhere
+    in a shard frame flips the whole frame's int64 column to float64
+    and the shard's sketches hash differently from sketch_agg's."""
+    from gr_tdigest_spark.operators.companions import HLLSpec
+    from gr_tdigest_spark.sources.checkpoint import checkpointed_sketch_agg
+    from gr_tdigest_spark.operators.agg import sketch_agg
+
+    rows = (
+        [("a", i) for i in range(100)]
+        + [("b", None)]
+        + [("b", i) for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    spec = HLLSpec(p=10)
+    got = {
+        r["g"]: bytes(r["hll"])
+        for r in checkpointed_sketch_agg(
+            df, ["g"], "v", spec, ckpt, n_shards=4
+        ).collect()
+    }
+    direct = {
+        r["g"]: bytes(r["hll"])
+        for r in sketch_agg(df, ["g"], "v", HLLSpec(p=10)).collect()
+    }
+    assert got == direct

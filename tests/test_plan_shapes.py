@@ -13,16 +13,15 @@ from pyspark.sql import functions as F
 
 
 def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _optimized(df) -> str:
     # NOTE: must be executedPlan, not sparkPlan — sparkPlan precedes the
     # EnsureRequirements preparation rule, so it only contains EXPLICIT
     # repartition Exchanges, never the ones Spark inserts for aggregates.
     # executedPlan before any action is the initial AQE plan
     # (isFinalPlan=false): stable, and includes ENSURE_REQUIREMENTS hops.
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+_optimized = _plan
 
 
 def _n_exchanges(df) -> int:

@@ -230,3 +230,45 @@ def test_streaming_minhash_matches_batch(spark, tmp_path):
         np.testing.assert_array_equal(
             streamed.sig, MinHash.from_bytes(blob).sig
         )
+
+
+def test_streaming_hll_stable_dtype_across_null_batches(spark, tmp_path):
+    """Regression (review finding): a value ingested in a null-bearing
+    micro-batch must hash identically to one ingested in a clean batch
+    (the JVM null filter keeps micro-batch dtypes native) — otherwise
+    HLL double-counts and Bloom probes can miss."""
+    from gr_tdigest_spark.operators.companions import HLLSpec
+    from gr_tdigest_spark.sketches.hll import HLL
+    from gr_tdigest_spark.streaming import sketch_stream_agg
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "g string, v long"
+    # batch 1 contains a null alongside value 7; batch 2 is clean 7
+    spark.createDataFrame([("a", 7), ("a", None)], schema) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame([("a", 7)], schema) \
+        .write.mode("append").parquet(src)
+
+    collected = []
+
+    def sink(df, epoch_id):
+        collected.extend(df.collect())
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        sketch_stream_agg(stream, ["g"], "v", HLLSpec(p=12))
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    latest = {r["g"]: r for r in collected}
+    got = HLL.from_bytes(bytes(latest["a"]["hll"]))
+    ref = HLL(p=12)
+    ref.add(np.array([7], dtype=np.int64))
+    np.testing.assert_array_equal(got.registers, ref.registers)
+    assert round(got.estimate()) == 1
