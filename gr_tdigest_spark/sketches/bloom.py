@@ -146,6 +146,10 @@ class BloomFilter:
             return cls(int(m_bits), int(k), int(seed), words.copy(),
                        int(n_added))
         if version == 2:
+            # amplification guard (see GSCM): sparse encode only fires
+            # below 2^32 bits; refuse forged headers above it
+            if m_bits > (1 << 32):
+                raise ValueError("GSBF sparse m_bits implausibly large")
             (n_set,) = struct.unpack_from("<I", blob, off)
             pos = np.frombuffer(
                 blob, dtype="<u4", offset=off + 4, count=n_set

@@ -163,6 +163,12 @@ class CMS:
             return cls(depth, width, seed,
                        table.reshape(depth, width).copy(), total)
         if version == 2:
+            # amplification guard: a forged small blob must not trigger
+            # a huge dense reconstruction (v1 can't amplify — its blob
+            # IS 8·cells bytes; sparse encode only fires below 2^32
+            # cells, and practical tables are far under 2^28)
+            if depth * width > (1 << 28):
+                raise ValueError("GSCM sparse dims implausibly large")
             (nnz,) = struct.unpack_from("<I", blob, off)
             off += 4
             if len(blob) != off + 12 * nnz:

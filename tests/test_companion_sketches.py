@@ -1105,3 +1105,19 @@ class TestVectorizedBloomCmsBuild:
                 cms_agg(li, ["l_returnflag"], "l_suppkey",
                         pre_aggregate=True).collect()}
         assert base == pile
+
+    def test_forged_sparse_headers_rejected_without_allocation(self):
+        """A small forged v2 blob with huge header dims must raise, not
+        attempt a multi-GB dense reconstruction."""
+        import struct
+
+        cms_forged = (b"GSCM"
+                      + struct.pack("<BIIqd", 2, 1 << 16, 1 << 16, 7, 0.0)
+                      + struct.pack("<I", 0))
+        with pytest.raises(ValueError, match="implausibly"):
+            CMS.from_bytes(cms_forged)
+        bloom_forged = (b"GSBF"
+                        + struct.pack("<BQIqq", 2, 1 << 40, 7, 11, 0)
+                        + struct.pack("<I", 0))
+        with pytest.raises(ValueError, match="implausibly"):
+            BloomFilter.from_bytes(bloom_forged)

@@ -208,3 +208,35 @@ def test_minhash_merge_associative_idempotent_exact_state(data, split):
     np.testing.assert_array_equal(ab.sig, ba.sig)
     np.testing.assert_array_equal(ab.merge(ab).sig, ab.sig)
     np.testing.assert_array_equal(ab.merge(MinHash(k=64)).sig, ab.sig)
+
+
+@settings(max_examples=200, deadline=None)
+@given(payload=st.binary(min_size=0, max_size=64),
+      magic=st.sampled_from([b"GSHL", b"GSCM", b"GSBF", b"GSMH"]))
+def test_wire_decoders_never_crash_on_garbage(payload, magic):
+    """Corrupt/truncated blobs (valid magic + arbitrary bytes) must
+    raise a clean ValueError/struct.error — never segfault, hang, or
+    silently return a sketch built from garbage lengths."""
+    import struct
+    from gr_tdigest_spark.sketches.bloom import BloomFilter
+    from gr_tdigest_spark.sketches.cms import CMS
+    from gr_tdigest_spark.sketches.hll import HLL
+    from gr_tdigest_spark.sketches.minhash import MinHash
+
+    decoder = {b"GSHL": HLL, b"GSCM": CMS, b"GSBF": BloomFilter,
+               b"GSMH": MinHash}[magic]
+    blob = magic + payload
+    try:
+        sk = decoder.from_bytes(blob)
+    except (ValueError, struct.error):
+        return
+    # a blob that decodes must round-trip to identical state
+    rt = decoder.from_bytes(sk.to_bytes())
+    if hasattr(sk, "registers"):
+        np.testing.assert_array_equal(rt.registers, sk.registers)
+    elif hasattr(sk, "table"):
+        np.testing.assert_array_equal(rt.table, sk.table)
+    elif hasattr(sk, "words"):
+        np.testing.assert_array_equal(rt.words, sk.words)
+    else:
+        np.testing.assert_array_equal(rt.sig, sk.sig)
