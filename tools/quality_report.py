@@ -109,8 +109,78 @@ def main():
         f"(ref 7.261e-4), MAE {qmae:.3e} (ref 3.606e-5); "
         f"cdf KS {cks:.3e} (ref 1.683e-3), MAE {cmae:.3e} (ref 4.274e-5)."
     )
+    lines.extend(companion_section())
     open("QUALITY.md", "w").write("\n".join(lines) + "\n")
     print("\n".join(lines[-3:]))
+
+
+def companion_section():
+    """Companion-sketch accuracy sweeps: MinHash Jaccard error vs its
+    binomial bound across k and true J; HLL relative error vs 1.04/√m
+    across p; plus the sparse-vs-dense wire sizes that set shuffle
+    volume at high group cardinality."""
+    from gr_tdigest_spark.sketches.hll import HLL
+    from gr_tdigest_spark.sketches.minhash import MinHash
+
+    out = ["", "## Companion sketches", "",
+           "MinHash |Ĵ−J| vs 1σ = sqrt(J(1−J)/k) (binomial), n=20k "
+           "element sets:", "",
+           "| true J | k=64 | k=256 | k=1024 | 1σ @k=256 |",
+           "|---|---|---|---|---|"]
+    n = 20_000
+    for overlap in (0.1, 0.5, 0.9):
+        shared = int(n * overlap)
+        a_vals = np.array([f"k-{i}" for i in range(n)], dtype=object)
+        b_vals = np.array(
+            [f"k-{i}" for i in range(n - shared, 2 * n - shared)],
+            dtype=object,
+        )
+        true_j = shared / (2 * n - shared)
+        errs = []
+        for k in (64, 256, 1024):
+            ma, mb = MinHash(k=k), MinHash(k=k)
+            ma.add(a_vals)
+            mb.add(b_vals)
+            errs.append(abs(ma.jaccard(mb) - true_j))
+        sig = math.sqrt(true_j * (1 - true_j) / 256)
+        out.append(
+            f"| {true_j:.4f} | {errs[0]:.4f} | {errs[1]:.4f} | "
+            f"{errs[2]:.4f} | {sig:.4f} |"
+        )
+    out.extend(["", "HLL |est−n|/n vs 1.04/√m, string universe:", "",
+                "| n | p=12 | p=14 | p=16 | 1.04/√m @p=14 |",
+                "|---|---|---|---|---|"])
+    for nn in (1_000, 100_000, 1_000_000):
+        keys = np.array([f"conv-{i:09d}" for i in range(nn)], dtype=object)
+        rels = []
+        for p in (12, 14, 16):
+            h = HLL(p=p)
+            h.add(keys)
+            rels.append(abs(h.estimate() - nn) / nn)
+        out.append(
+            f"| {nn} | {rels[0]:.4f} | {rels[1]:.4f} | {rels[2]:.4f} | "
+            f"{1.04 / math.sqrt(1 << 14):.4f} |"
+        )
+    out.extend(["", "Sparse-vs-dense wire bytes (per-group partial; the "
+                "shuffle-volume lever for per-conversation sketches):", "",
+                "| sketch | distinct values in group | sparse B | dense B |",
+                "|---|---|---|---|"])
+    from gr_tdigest_spark.sketches.bloom import BloomFilter
+    from gr_tdigest_spark.sketches.cms import CMS
+    for nvals in (5, 50, 500):
+        h = HLL(p=14)
+        h.add(np.arange(nvals))
+        c = CMS(depth=5, width=8192)
+        c.add(np.arange(nvals))
+        b = BloomFilter(m_bits=1 << 20, k=7)
+        b.add(np.arange(nvals))
+        out.append(f"| hll p=14 | {nvals} | {len(h.to_bytes())} | "
+                   f"{6 + (1 << 14)} |")
+        out.append(f"| cms 5×8192 | {nvals} | {len(c.to_bytes())} | "
+                   f"{29 + 5 * 8192 * 8} |")
+        out.append(f"| bloom 2^20 | {nvals} | {len(b.to_bytes())} | "
+                   f"{33 + (1 << 20) // 8} |")
+    return out
 
 
 if __name__ == "__main__":
