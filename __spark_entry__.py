@@ -439,6 +439,42 @@ def q_td_cube(spark, sf_dir):
     )
 
 
+def q_sketch_sql(spark, sf_dir):
+    """Pure-SQL companion surface (register_companion_sql): fine
+    per-(flag, status) HLLs roll up to per-flag estimates entirely in
+    SQL — ``hll_estimate(hll_merge(hll)) GROUP BY`` — the sketch-table
+    workflow a SQL-only user runs. Bound-boolean vs exact distinct."""
+    from gr_tdigest_spark.operators.companions import (
+        hll_agg, register_companion_sql,
+    )
+
+    register_companion_sql(spark)
+    li = _li(spark, sf_dir)
+    fine = hll_agg(li, ["l_returnflag", "l_linestatus"], "l_orderkey", p=14)
+    fine.createOrReplaceTempView("fine_sketches")
+    est = spark.sql(
+        "SELECT l_returnflag, hll_estimate(hll_merge(hll)) AS est "
+        "FROM fine_sketches GROUP BY l_returnflag"
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    bound = 5 * (1.04 / (2 ** 14) ** 0.5)
+    return (
+        est.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag", "exact_distinct",
+            (
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                <= F.greatest(
+                    F.lit(bound) * F.col("exact_distinct"), F.lit(3.0)
+                )
+            ).alias("within_bound"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_hll_cube(spark, sf_dir):
     """Grouping sets over ANY mergeable sketch (generic
     `merge_sketches`): fine per-(flag, status) HLLs cube-merge into
@@ -1206,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_over_group": q_td_over_group,
         "td_sql": q_td_sql,
         "sketch_rollup_consistency": q_sketch_rollup_consistency,
+        "sketch_sql": q_sketch_sql,
         "hll_cube": q_hll_cube,
         "hll_bound": q_hll_bound,
         "hll_intersect": q_hll_intersect,
@@ -1425,6 +1462,12 @@ def oracle_sql() -> dict[str, str]:
         "sketch_rollup_consistency": (
             "SELECT unnest(['hll','cms','bloom']) AS sketch, "
             "TRUE AS merged_equals_direct"
+        ),
+        "sketch_sql": (
+            "SELECT l_returnflag, "
+            "count(DISTINCT l_orderkey) AS exact_distinct, "
+            "TRUE AS within_bound "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         "hll_cube": (
             "SELECT l_returnflag, l_linestatus, "

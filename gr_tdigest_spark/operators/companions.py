@@ -33,6 +33,7 @@ __all__ = [
     "hll_estimate", "hll_intersect_estimate", "cms_estimate",
     "bloom_contains", "minhash_jaccard", "cms_inner_product",
     "minhash_hll_intersect_estimate", "merge_sketches",
+    "register_companion_sql",
     "kll_quantile", "kll_rank", "kll_count", "cms_topk",
     "bloom_filter_rows",
 ]
@@ -489,6 +490,132 @@ def hll_intersect_estimate(col_a, col_b) -> Column:
         return pd.Series(out)
 
     return _ix(col_a, col_b)
+
+
+def register_companion_sql(spark) -> None:
+    """SQL names for the companion surface — the analogue of
+    ``functions.register_sql`` for t-digest: scalar probes plus
+    grouped-aggregate merges, so a pure-SQL user can roll up and query
+    sketch tables end to end:
+
+        SELECT g, hll_estimate(hll_merge(hll)) FROM sketches GROUP BY g
+        SELECT minhash_jaccard(a.mh, b.mh) FROM ...
+
+    Merges need no config arguments: every blob carries its own header
+    and the kernels enforce merge compatibility (mismatched configs
+    raise, same contract as the Python surface). Probe keys for
+    ``bloom_contains``/``cms_estimate`` are STRING columns here —
+    SQL-side probing of a sketch ingested from a non-string column
+    must cast consistently on both sides (hashing is dtype-aware)."""
+
+    def _merge_udf(kernel):
+        @F.pandas_udf(BinaryType())
+        def _merge(blobs: pd.Series) -> Optional[bytes]:
+            states = [
+                kernel.from_bytes(bytes(b)) for b in blobs if b is not None
+            ]
+            if not states:
+                return None
+            out = states[0]
+            for s in states[1:]:
+                out = out.merge(s)
+            return out.to_bytes()
+
+        return _merge
+
+    spark.udf.register("hll_merge", _merge_udf(HLL))
+    spark.udf.register("cms_merge", _merge_udf(CMS))
+    spark.udf.register("bloom_merge", _merge_udf(BloomFilter))
+    spark.udf.register("minhash_merge", _merge_udf(MinHash))
+    spark.udf.register("kll_merge", _merge_udf(KLL))
+
+    @F.pandas_udf(DoubleType())
+    def _hll_est(blobs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if b is None else HLL.from_bytes(bytes(b)).estimate()
+             for b in blobs],
+            dtype="float64",
+        )
+
+    @F.pandas_udf(DoubleType())
+    def _kll_q(blobs: pd.Series, qs: pd.Series) -> pd.Series:
+        out = np.full(len(blobs), np.nan)
+        for i, (b, q) in enumerate(zip(blobs, qs)):
+            if b is not None and q is not None:
+                out[i] = float(KLL.from_bytes(bytes(b)).quantile(
+                    float(q))[0])
+        return pd.Series(out)
+
+    @F.pandas_udf(BooleanType())
+    def _bloom_has(blobs: pd.Series, keys: pd.Series) -> pd.Series:
+        out = np.zeros(len(blobs), dtype=bool)
+        arr = keys.to_numpy()
+        for bb, idxs in _group_rows_by_blob(blobs):
+            sk = BloomFilter.from_bytes(bb)
+            out[idxs] = sk.contains(arr[idxs])
+        return pd.Series(out)
+
+    @F.pandas_udf(LongType())
+    def _cms_est(blobs: pd.Series, keys: pd.Series) -> pd.Series:
+        out = np.zeros(len(blobs), dtype=np.int64)
+        arr = keys.to_numpy()
+        for bb, idxs in _group_rows_by_blob(blobs):
+            sk = CMS.from_bytes(bb)
+            out[idxs] = sk.estimate(arr[idxs])
+        return pd.Series(out)
+
+    spark.udf.register("hll_estimate", _hll_est)
+    spark.udf.register("kll_quantile", _kll_q)
+    spark.udf.register("bloom_contains", _bloom_has)
+    spark.udf.register("cms_estimate", _cms_est)
+    spark.udf.register("minhash_jaccard", _make_minhash_jaccard_udf())
+    spark.udf.register("hll_intersect", _make_hll_intersect_udf())
+    spark.udf.register("cms_inner_product", _make_cms_ip_udf())
+
+
+def _make_minhash_jaccard_udf():
+    @F.pandas_udf(DoubleType())
+    def _j(a_blobs: pd.Series, b_blobs: pd.Series) -> pd.Series:
+        out = np.full(len(a_blobs), np.nan)
+        for i, (ab, bb) in enumerate(zip(a_blobs, b_blobs)):
+            if ab is not None and bb is not None:
+                out[i] = MinHash.from_bytes(bytes(ab)).jaccard(
+                    MinHash.from_bytes(bytes(bb))
+                )
+        return pd.Series(out)
+
+    return _j
+
+
+def _make_hll_intersect_udf():
+    @F.pandas_udf(DoubleType())
+    def _ix(a_blobs: pd.Series, b_blobs: pd.Series) -> pd.Series:
+        out = np.full(len(a_blobs), np.nan)
+        for i, (ab, bb) in enumerate(zip(a_blobs, b_blobs)):
+            if ab is not None and bb is not None:
+                ha = HLL.from_bytes(bytes(ab))
+                hb = HLL.from_bytes(bytes(bb))
+                out[i] = max(
+                    ha.estimate() + hb.estimate()
+                    - ha.merge(hb).estimate(), 0.0,
+                )
+        return pd.Series(out)
+
+    return _ix
+
+
+def _make_cms_ip_udf():
+    @F.pandas_udf(DoubleType())
+    def _ip(a_blobs: pd.Series, b_blobs: pd.Series) -> pd.Series:
+        out = np.full(len(a_blobs), np.nan)
+        for i, (ab, bb) in enumerate(zip(a_blobs, b_blobs)):
+            if ab is not None and bb is not None:
+                out[i] = float(CMS.from_bytes(bytes(ab)).inner_product(
+                    CMS.from_bytes(bytes(bb))
+                ))
+        return pd.Series(out)
+
+    return _ip
 
 
 def merge_sketches(col, spec: SketchSpec) -> Column:

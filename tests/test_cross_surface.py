@@ -166,3 +166,66 @@ class TestArgumentMatrix:
         # single-partition createDataFrame may still split; allow fp-level
         # difference from shard-order effects
         assert got["q"] == pytest.approx(kernel.quantile(0.5), rel=1e-2)
+
+
+class TestCompanionSQLSurface:
+    def test_all_registered_names_run_in_sql(self, spark, sf_dir):
+        """Every register_companion_sql name executes in a SQL string
+        and agrees with the Python surface."""
+        import numpy as np
+        from pyspark.sql import functions as F
+        from gr_tdigest_spark.operators.companions import (
+            bloom_agg, cms_agg, hll_agg, kll_agg, minhash_agg,
+            register_companion_sql,
+        )
+        from gr_tdigest_spark.sketches.hll import HLL
+
+        register_companion_sql(spark)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        hll_agg(li, ["l_returnflag"], "l_orderkey", p=12) \
+            .createOrReplaceTempView("t_hll")
+        cms_agg(li, None, "l_returnflag").createOrReplaceTempView("t_cms")
+        bloom_agg(li, None, "l_returnflag", m_bits=1 << 14) \
+            .createOrReplaceTempView("t_bloom")
+        kll_agg(li, None, "l_extendedprice").createOrReplaceTempView("t_kll")
+        minhash_agg(li, ["l_returnflag"], "l_orderkey", k=64) \
+            .createOrReplaceTempView("t_mh")
+
+        # merge + estimate round-trip equals python-side estimate
+        est = spark.sql(
+            "SELECT hll_estimate(hll_merge(hll)) AS e FROM t_hll"
+        ).collect()[0]["e"]
+        whole = HLL(p=12)
+        pdf = li.select("l_orderkey").toPandas()
+        whole.add(pdf["l_orderkey"].to_numpy())
+        assert est == whole.estimate()
+
+        ship = li.select("l_returnflag").first()["l_returnflag"]
+        row = spark.sql(
+            f"SELECT cms_estimate(cms, '{ship}') AS c, "
+            f"bloom_contains(bloom, '{ship}') AS b "
+            "FROM t_cms CROSS JOIN t_bloom"
+        ).collect()[0]
+        exact = li.where(F.col("l_returnflag") == ship).count()
+        assert row["b"] is True and row["c"] >= exact > 0
+
+        q = spark.sql(
+            "SELECT kll_quantile(kll, 0.5) AS q FROM t_kll"
+        ).collect()[0]["q"]
+        assert q == float(np.float64(q)) and q > 0
+
+        jrow = spark.sql(
+            "SELECT minhash_jaccard(a.minhash, b.minhash) AS j, "
+            "hll_intersect(ha.hll, hb.hll) AS ix "
+            "FROM t_mh a, t_mh b, t_hll ha, t_hll hb "
+            "WHERE a.l_returnflag='A' AND b.l_returnflag='A' "
+            "AND ha.l_returnflag='A' AND hb.l_returnflag='A'"
+        ).collect()[0]
+        assert jrow["j"] == 1.0  # identical signatures
+        assert jrow["ix"] >= 0.0
+
+        ip = spark.sql(
+            "SELECT cms_inner_product(a.cms, b.cms) AS ip "
+            "FROM t_cms a, t_cms b"
+        ).collect()[0]["ip"]
+        assert ip > 0
