@@ -368,6 +368,44 @@ class KLLSpec(_KernelSpec):
         v = np.asarray(values, dtype=np.float64)
         return v[np.isfinite(v)], None
 
+    def build_groups(self, pdf, key_cols, value_col, weight_col):
+        """Vectorized multi-group build: sort rows by group once, then
+        every group at-or-under the sketch capacity (n ≤ k — the
+        high-cardinality regime) is an UNCOMPACTED level-0 state, i.e.
+        a pure slice; only over-capacity groups pay the kernel's
+        compaction loop. Byte-identical to the per-group path (same
+        level-0 ordering, same compaction sequence)."""
+        from gr_tdigest_spark.sketches.kll import KLL
+
+        fac = _factorize_groups(pdf, key_cols, value_col)
+        if fac is None:
+            return {}
+        codes, keys_by_gid, arr, _ = fac
+        v = np.asarray(arr, dtype=np.float64)
+        finite = np.isfinite(v)
+        if not finite.all():
+            v = v[finite]
+            codes = codes[finite]
+            if not v.size:
+                return {}
+        order = np.argsort(codes, kind="stable")
+        codes_s = codes[order]
+        v_s = v[order]
+        gstarts, bounds = _group_bounds(codes_s)
+        out = {}
+        for i in range(gstarts.size):
+            lo, hi = bounds[i], bounds[i + 1]
+            vals = v_s[lo:hi]
+            key = keys_by_gid[int(codes_s[lo])]
+            if vals.size <= self.k:
+                out[key] = KLL(self.k, self.seed,
+                               [vals.copy()], float(vals.size))
+            else:
+                st = self._new()
+                st.add(vals)
+                out[key] = st
+        return out
+
 
 # ------------------------------------------------------------------ #
 # aggregates (same two-phase plan as tdigest_agg)

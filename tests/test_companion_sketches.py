@@ -1121,3 +1121,36 @@ class TestVectorizedBloomCmsBuild:
                         + struct.pack("<I", 0))
         with pytest.raises(ValueError, match="implausibly"):
             BloomFilter.from_bytes(bloom_forged)
+
+    def test_kll_agg_equals_driver_build(self, spark, sf_dir):
+        """KLL columnar build: uncompacted fast path for small groups,
+        kernel path above capacity — byte-identical to driver builds."""
+        from gr_tdigest_spark.operators.companions import kll_agg
+        from gr_tdigest_spark.sketches.kll import KLL
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        # high-cardinality: most groups under k
+        small = kll_agg(li, ["l_orderkey"], "l_extendedprice",
+                        k=200).limit(50).collect()
+        pdf = li.select("l_orderkey", "l_extendedprice").toPandas()
+        for r in small:
+            ref = KLL(k=200)
+            ref.add(pdf.loc[pdf["l_orderkey"] == r["l_orderkey"],
+                            "l_extendedprice"].to_numpy())
+            got = KLL.from_bytes(bytes(r["kll"]))
+            assert got.n == ref.n
+            np.testing.assert_array_equal(
+                got.quantile(np.linspace(0, 1, 11)),
+                ref.quantile(np.linspace(0, 1, 11)),
+            )
+        # over-capacity group: compaction path (k small to force it)
+        big = {r["l_returnflag"]: bytes(r["kll"]) for r in
+               kll_agg(li.coalesce(1), ["l_returnflag"],
+                       "l_extendedprice", k=64).collect()}
+        for flag, blob in big.items():
+            ref = KLL(k=64)
+            ref.add(pdf.loc[pdf.index[
+                li.select("l_returnflag").toPandas()["l_returnflag"]
+                == flag], "l_extendedprice"].to_numpy())
+            got = KLL.from_bytes(blob)
+            assert got.n == ref.n
