@@ -1131,6 +1131,65 @@ def _transcript_table(spark):
     return spark.read.parquet(_TRANSCRIPT_ORACLE_PATH)
 
 
+def q_transcript_window_hll(spark, sf_dir):
+    """Time-windowed sketch rollup on the transcript table: per-hour
+    HLLs of conv_id (date_trunc keys), then the DAY rollup computed by
+    MERGING the hour sketches (`merge_sketches` grouped agg) — never
+    rescanning turns. Both granularities checked against exact distinct
+    counts (5σ of 1.04/√m, floor 3). Hours emit as unix micros — the
+    cross-engine-stable timestamp form (fixture stores UTC micros)."""
+    from gr_tdigest_spark.operators.companions import (
+        HLLSpec, hll_agg, hll_estimate, merge_sketches,
+    )
+
+    # arithmetic epoch buckets, NOT date_trunc: truncation of a
+    # TIMESTAMPTZ is session-timezone-sensitive in both engines —
+    # floor(epoch/width) is not
+    t = _transcript_table(spark).withColumn(
+        "hour_us", F.floor(F.unix_micros("ts") / F.lit(3_600_000_000))
+    ).withColumn(
+        "day_us", F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
+    )
+    hourly = hll_agg(t, ["day_us", "hour_us"], "conv_id", p=14).persist()
+    h_est = hourly.select(
+        "hour_us", F.lit("hour").alias("grain"),
+        hll_estimate("hll").alias("est"),
+    )
+    d_est = (
+        hourly.groupBy("day_us")
+        .agg(merge_sketches("hll", HLLSpec(p=14)).alias("hll"))
+        .select(F.col("day_us").alias("hour_us"),
+                F.lit("day").alias("grain"),
+                hll_estimate("hll").alias("est"))
+    )
+    exact = (
+        t.groupBy("hour_us")
+        .agg(F.countDistinct("conv_id").alias("exact_distinct"))
+        .withColumn("grain", F.lit("hour"))
+        .unionByName(
+            t.groupBy("day_us")
+            .agg(F.countDistinct("conv_id").alias("exact_distinct"))
+            .withColumn("grain", F.lit("day"))
+            .withColumnRenamed("day_us", "hour_us")
+        )
+    )
+    bound = 5 * (1.04 / (2 ** 14) ** 0.5)
+    return (
+        h_est.unionByName(d_est)
+        .join(exact, ["hour_us", "grain"])
+        .select(
+            F.col("hour_us").alias("bucket_us"), "grain", "exact_distinct",
+            (
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                <= F.greatest(
+                    F.lit(bound) * F.col("exact_distinct"), F.lit(3.0)
+                )
+            ).alias("within_bound"),
+        )
+        .orderBy("grain", "bucket_us")
+    )
+
+
 def q_transcript_latency(spark, sf_dir):
     """North-star query on the synthesized transcript table: per-role
     p50/p95 of inter-turn latency. Exact oracle via the uncompressed-
@@ -1266,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "simhash_near_dups": q_simhash_near_dups,
         "lang_id": q_lang_id,
+        "transcript_window_hll": q_transcript_window_hll,
         "transcript_latency": q_transcript_latency,
         "transcript_tool_lengths": q_transcript_tool_lengths,
         "transcript_conv_counts": q_transcript_conv_counts,
@@ -1840,6 +1900,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         # reads the SAME materialized parquet the Spark query writes;
         # quantile_disc == uncompressed-digest quantile at non-integer q·N
+        "transcript_window_hll": (
+            f"""
+            WITH t AS (
+              SELECT conv_id,
+                     floor(epoch_us(ts) / 3600000000)::BIGINT AS hour_us,
+                     floor(epoch_us(ts) / 86400000000)::BIGINT AS day_us
+              FROM read_parquet('{_TRANSCRIPT_ORACLE_PATH}/*.parquet')
+            ), h AS (
+              SELECT hour_us AS bucket_us, 'hour' AS grain,
+                     count(DISTINCT conv_id) AS exact_distinct
+              FROM t GROUP BY 1
+            ), d AS (
+              SELECT day_us AS bucket_us, 'day' AS grain,
+                     count(DISTINCT conv_id) AS exact_distinct
+              FROM t GROUP BY 1
+            )
+            SELECT bucket_us, grain, exact_distinct, TRUE AS within_bound
+            FROM (SELECT * FROM h UNION ALL SELECT * FROM d)
+            ORDER BY grain, bucket_us
+            """
+        ),
         "transcript_latency": (
             f"""
             WITH lat AS (
