@@ -659,7 +659,10 @@ def q_minhash_jaccard(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     # persist the sketch-sized table: the pairwise self-join would
     # otherwise recompute the build (i.e. rescan the fact table) per side
-    mh = minhash_agg(li, ["l_returnflag"], "l_orderkey", k=512).persist()
+    mh = _persist_replacing(
+        minhash_agg(li, ["l_returnflag"], "l_orderkey", k=512),
+        "minhash_jaccard",
+    )
     a = mh.select(F.col("l_returnflag").alias("fa"),
                   F.col("minhash").alias("ma"))
     b = mh.select(F.col("l_returnflag").alias("fb"),
@@ -708,6 +711,22 @@ def q_minhash_jaccard(spark, sf_dir):
 
 _MINHASH_TOOLS = ["tool_00", "tool_01", "tool_02", "tool_49"]
 
+# bounded persist: query functions can't unpersist after their caller
+# collects, so each slot evicts the PREVIOUS invocation's cache —
+# repeated harness runs hold at most one cached copy per query
+_PERSIST_SLOTS: dict[str, object] = {}
+
+
+def _persist_replacing(df, slot: str):
+    prev = _PERSIST_SLOTS.get(slot)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    _PERSIST_SLOTS[slot] = df.persist()
+    return _PERSIST_SLOTS[slot]
+
 
 def q_minhash_tools(spark, sf_dir):
     """North-star tie-in: which tools serve the same CONVERSATIONS —
@@ -722,8 +741,10 @@ def q_minhash_tools(spark, sf_dir):
 
     t = _transcript_table(spark).where(F.col("tool").isin(_MINHASH_TOOLS))
     # persist: the pairwise self-join must not rebuild the signatures
-    mh = minhash_agg(t, ["tool"], "conv_id", k=512,
-                     pre_aggregate=True).persist()
+    mh = _persist_replacing(
+        minhash_agg(t, ["tool"], "conv_id", k=512, pre_aggregate=True),
+        "minhash_tools",
+    )
     a = mh.select(F.col("tool").alias("ta"), F.col("minhash").alias("ma"))
     b = mh.select(F.col("tool").alias("tb"), F.col("minhash").alias("mb"))
     est = a.join(b, F.col("ta") < F.col("tb")).select(
@@ -1150,7 +1171,13 @@ def q_transcript_window_hll(spark, sf_dir):
     ).withColumn(
         "day_us", F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
     )
-    hourly = hll_agg(t, ["day_us", "hour_us"], "conv_id", p=14).persist()
+    # persisted (bounded slot): both the hour estimates and the day
+    # rollup consume this table — without the cache the turn scan runs
+    # twice; at production scale, materialize the sketch table instead
+    hourly = _persist_replacing(
+        hll_agg(t, ["day_us", "hour_us"], "conv_id", p=14),
+        "transcript_window_hll",
+    )
     h_est = hourly.select(
         "hour_us", F.lit("hour").alias("grain"),
         hll_estimate("hll").alias("est"),

@@ -515,19 +515,7 @@ def hll_intersect_estimate(col_a, col_b) -> Column:
     clamp) or off by multiples of itself. Use for intersections that
     are a non-trivial fraction of the union; for rare-overlap joins use
     Bloom semi-filters instead."""
-
-    @F.pandas_udf(DoubleType())
-    def _ix(a_blobs: pd.Series, b_blobs: pd.Series) -> pd.Series:
-        out = np.full(len(a_blobs), np.nan)
-        for i, (ab, bb) in enumerate(zip(a_blobs, b_blobs)):
-            if ab is None or bb is None:
-                continue
-            ha, hb = HLL.from_bytes(bytes(ab)), HLL.from_bytes(bytes(bb))
-            est = ha.estimate() + hb.estimate() - ha.merge(hb).estimate()
-            out[i] = max(est, 0.0)
-        return pd.Series(out)
-
-    return _ix(col_a, col_b)
+    return _make_hll_intersect_udf()(col_a, col_b)
 
 
 def register_companion_sql(spark) -> None:
@@ -584,8 +572,18 @@ def register_companion_sql(spark) -> None:
                     float(q))[0])
         return pd.Series(out)
 
+    spark.udf.register("hll_estimate", _hll_est)
+    spark.udf.register("kll_quantile", _kll_q)
+    spark.udf.register("bloom_contains", _make_bloom_contains_udf())
+    spark.udf.register("cms_estimate", _make_cms_estimate_col_udf())
+    spark.udf.register("minhash_jaccard", _make_minhash_jaccard_udf())
+    spark.udf.register("hll_intersect", _make_hll_intersect_udf())
+    spark.udf.register("cms_inner_product", _make_cms_ip_udf())
+
+
+def _make_bloom_contains_udf():
     @F.pandas_udf(BooleanType())
-    def _bloom_has(blobs: pd.Series, keys: pd.Series) -> pd.Series:
+    def _c(blobs: pd.Series, keys: pd.Series) -> pd.Series:
         out = np.zeros(len(blobs), dtype=bool)
         arr = keys.to_numpy()
         for bb, idxs in _group_rows_by_blob(blobs):
@@ -593,8 +591,12 @@ def register_companion_sql(spark) -> None:
             out[idxs] = sk.contains(arr[idxs])
         return pd.Series(out)
 
+    return _c
+
+
+def _make_cms_estimate_col_udf():
     @F.pandas_udf(LongType())
-    def _cms_est(blobs: pd.Series, keys: pd.Series) -> pd.Series:
+    def _e(blobs: pd.Series, keys: pd.Series) -> pd.Series:
         out = np.zeros(len(blobs), dtype=np.int64)
         arr = keys.to_numpy()
         for bb, idxs in _group_rows_by_blob(blobs):
@@ -602,13 +604,7 @@ def register_companion_sql(spark) -> None:
             out[idxs] = sk.estimate(arr[idxs])
         return pd.Series(out)
 
-    spark.udf.register("hll_estimate", _hll_est)
-    spark.udf.register("kll_quantile", _kll_q)
-    spark.udf.register("bloom_contains", _bloom_has)
-    spark.udf.register("cms_estimate", _cms_est)
-    spark.udf.register("minhash_jaccard", _make_minhash_jaccard_udf())
-    spark.udf.register("hll_intersect", _make_hll_intersect_udf())
-    spark.udf.register("cms_inner_product", _make_cms_ip_udf())
+    return _e
 
 
 def _make_minhash_jaccard_udf():
@@ -688,19 +684,7 @@ def minhash_jaccard(col_a, col_b) -> Column:
     ≤ 1/(2√k). NULL if either side is NULL. Signatures must share
     (k, seed); incompatible pairs raise (merge-compatibility contract,
     same as every other sketch)."""
-
-    @F.pandas_udf(DoubleType())
-    def _j(a_blobs: pd.Series, b_blobs: pd.Series) -> pd.Series:
-        out = np.full(len(a_blobs), np.nan)
-        for i, (ab, bb) in enumerate(zip(a_blobs, b_blobs)):
-            if ab is None or bb is None:
-                continue
-            out[i] = MinHash.from_bytes(bytes(ab)).jaccard(
-                MinHash.from_bytes(bytes(bb))
-            )
-        return pd.Series(out)
-
-    return _j(col_a, col_b)
+    return _make_minhash_jaccard_udf()(col_a, col_b)
 
 
 def minhash_hll_intersect_estimate(mh_a, mh_b, hll_a, hll_b) -> Column:
@@ -743,19 +727,7 @@ def cms_inner_product(col_a, col_b) -> Column:
     SIZE estimate (a·b ≤ est ≤ a·b + ε·N_a·N_b w.p. ≥ 1−δ): the
     100 TB use is costing a join between two fact tables from two
     sketch blobs, without shuffling either side."""
-
-    @F.pandas_udf(DoubleType())
-    def _ip(a_blobs: pd.Series, b_blobs: pd.Series) -> pd.Series:
-        out = np.full(len(a_blobs), np.nan)
-        for i, (ab, bb) in enumerate(zip(a_blobs, b_blobs)):
-            if ab is None or bb is None:
-                continue
-            out[i] = float(CMS.from_bytes(bytes(ab)).inner_product(
-                CMS.from_bytes(bytes(bb))
-            ))
-        return pd.Series(out)
-
-    return _ip(col_a, col_b)
+    return _make_cms_ip_udf()(col_a, col_b)
 
 
 def cms_estimate(col, candidates: Sequence) -> Column:
@@ -778,9 +750,12 @@ def cms_estimate(col, candidates: Sequence) -> Column:
 
 def _group_rows_by_blob(blobs: pd.Series):
     """Yield (blob_bytes, row_indices) so each distinct sketch is decoded
-    once and probed vectorized."""
+    once and probed vectorized. NULL blobs are skipped — their rows keep
+    the caller's pre-initialized default (0 / False)."""
     uniq = {}
     for i, b in enumerate(blobs):
+        if b is None:
+            continue
         uniq.setdefault(bytes(b), []).append(i)
     for bb, idxs in uniq.items():
         yield bb, np.asarray(idxs, dtype=np.int64)
@@ -789,35 +764,15 @@ def _group_rows_by_blob(blobs: pd.Series):
 def cms_estimate_col(blob_col, key_col) -> Column:
     """Per-row estimate: sketch blob column × per-row key column.
     Key dtype must match the ingested column dtype (hashing is
-    dtype-aware)."""
-
-    @F.pandas_udf(LongType())
-    def _e(blobs: pd.Series, keys: pd.Series) -> pd.Series:
-        out = np.zeros(len(blobs), dtype=np.int64)
-        arr = keys.to_numpy()
-        for bb, idxs in _group_rows_by_blob(blobs):
-            sk = CMS.from_bytes(bb)
-            out[idxs] = sk.estimate(arr[idxs])
-        return pd.Series(out)
-
-    return _e(blob_col, key_col)
+    dtype-aware). NULL blobs yield 0."""
+    return _make_cms_estimate_col_udf()(blob_col, key_col)
 
 
 def bloom_contains(blob_col, key_col) -> Column:
     """Membership probe: sketch blob column × per-row key column.
     Key dtype must match the ingested column dtype (hashing is
-    dtype-aware)."""
-
-    @F.pandas_udf(BooleanType())
-    def _c(blobs: pd.Series, keys: pd.Series) -> pd.Series:
-        out = np.zeros(len(blobs), dtype=bool)
-        arr = keys.to_numpy()
-        for bb, idxs in _group_rows_by_blob(blobs):
-            sk = BloomFilter.from_bytes(bb)
-            out[idxs] = sk.contains(arr[idxs])
-        return pd.Series(out)
-
-    return _c(blob_col, key_col)
+    dtype-aware). NULL blobs yield false."""
+    return _make_bloom_contains_udf()(blob_col, key_col)
 
 
 def kll_quantile(col, q: float) -> Column:

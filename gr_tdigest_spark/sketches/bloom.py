@@ -147,8 +147,10 @@ class BloomFilter:
                        int(n_added))
         if version == 2:
             # amplification guard (see GSCM): sparse encode only fires
-            # below 2^32 bits; refuse forged headers above it
-            if m_bits > (1 << 32):
+            # STRICTLY below 2^32 bits; refuse forged headers at or
+            # above it (legit ≥2^32-bit filters always use dense v1,
+            # whose blob is the payload itself)
+            if m_bits >= (1 << 32):
                 raise ValueError("GSBF sparse m_bits implausibly large")
             (n_set,) = struct.unpack_from("<I", blob, off)
             pos = np.frombuffer(

@@ -23,6 +23,12 @@ __all__ = ["CMS", "SparseCMS"]
 
 _MAGIC = b"GSCM"
 
+# sparse (v2) wire is offered only up to this table size; above it the
+# dense v1 wire is used on BOTH encode and decode, keeping the decode
+# guard and the encoder in exact agreement (2^28 cells = 2 GiB dense —
+# far beyond any practical CMS config)
+_SPARSE_MAX_CELLS = 1 << 28
+
 
 @dataclass
 class CMS:
@@ -133,7 +139,7 @@ class CMS:
         flat = self.table.reshape(-1)
         nz = np.flatnonzero(flat)
         cells = self.depth * self.width
-        if cells < (1 << 32) and 4 + 12 * nz.size < 8 * cells:
+        if cells <= _SPARSE_MAX_CELLS and 4 + 12 * nz.size < 8 * cells:
             return (
                 _MAGIC
                 + struct.pack(self._HEAD, 2, self.depth, self.width,
@@ -163,11 +169,12 @@ class CMS:
             return cls(depth, width, seed,
                        table.reshape(depth, width).copy(), total)
         if version == 2:
-            # amplification guard: a forged small blob must not trigger
-            # a huge dense reconstruction (v1 can't amplify — its blob
-            # IS 8·cells bytes; sparse encode only fires below 2^32
-            # cells, and practical tables are far under 2^28)
-            if depth * width > (1 << 28):
+            # amplification guard, mirroring the ENCODER's cap exactly
+            # so every legitimate blob round-trips: sparse encode never
+            # fires above _SPARSE_MAX_CELLS (ultra-wide tables use the
+            # dense v1 wire, whose blob IS the payload — no
+            # amplification possible); anything larger here is forged
+            if depth * width > _SPARSE_MAX_CELLS:
                 raise ValueError("GSCM sparse dims implausibly large")
             (nnz,) = struct.unpack_from("<I", blob, off)
             off += 4
@@ -214,7 +221,7 @@ class SparseCMS:
 
     def to_bytes(self) -> bytes:
         cells = self.depth * self.width
-        if cells < (1 << 32) and 4 + 12 * self.idx.size < 8 * cells:
+        if cells <= _SPARSE_MAX_CELLS and 4 + 12 * self.idx.size < 8 * cells:
             return (
                 _MAGIC
                 + struct.pack(CMS._HEAD, 2, self.depth, self.width,

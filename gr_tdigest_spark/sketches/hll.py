@@ -131,6 +131,11 @@ class HLL:
         if blob[:4] != _MAGIC:
             raise ValueError("invalid GSHL magic")
         version, p = struct.unpack_from("<BB", blob, 4)
+        # validate p BEFORE any 2^p allocation: a forged header with
+        # p=40 would otherwise attempt a 1 TB np.zeros (same
+        # amplification guard as GSCM/GSBF)
+        if not (4 <= p <= 18):
+            raise ValueError(f"GSHL precision {p} out of range")
         if version == 1:
             regs = np.frombuffer(blob, dtype=np.uint8, offset=6)
             if regs.size != (1 << p):

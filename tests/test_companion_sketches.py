@@ -1143,14 +1143,17 @@ class TestVectorizedBloomCmsBuild:
                 got.quantile(np.linspace(0, 1, 11)),
                 ref.quantile(np.linspace(0, 1, 11)),
             )
-        # over-capacity group: compaction path (k small to force it)
+        # over-capacity group: compaction path (k small to force it).
+        # One coalesced partition -> one partial built by a single
+        # kernel add over the partition's row order, so the reference
+        # built from the SAME collected frame is byte-identical.
+        one = li.select("l_returnflag", "l_extendedprice").coalesce(1)
         big = {r["l_returnflag"]: bytes(r["kll"]) for r in
-               kll_agg(li.coalesce(1), ["l_returnflag"],
+               kll_agg(one, ["l_returnflag"],
                        "l_extendedprice", k=64).collect()}
+        frame = one.toPandas()
         for flag, blob in big.items():
             ref = KLL(k=64)
-            ref.add(pdf.loc[pdf.index[
-                li.select("l_returnflag").toPandas()["l_returnflag"]
-                == flag], "l_extendedprice"].to_numpy())
-            got = KLL.from_bytes(blob)
-            assert got.n == ref.n
+            ref.add(frame.loc[frame["l_returnflag"] == flag,
+                              "l_extendedprice"].to_numpy())
+            assert blob == ref.to_bytes(), flag
