@@ -1157,3 +1157,53 @@ class TestVectorizedBloomCmsBuild:
             ref.add(frame.loc[frame["l_returnflag"] == flag,
                               "l_extendedprice"].to_numpy())
             assert blob == ref.to_bytes(), flag
+
+
+class TestGoldenCompanionWire:
+    """Golden-byte pins for OUR companion wire formats (the analogue of
+    the TDIG golden pins in test_wire.py): sketch blobs are a
+    portability promise — persisted sketch tables from this round must
+    decode in every future round. These bytes may only change together
+    with a deliberate wire-version bump + a migration path."""
+
+    def test_golden_blobs(self):
+        from gr_tdigest_spark.sketches.minhash import MinHash
+
+        h = HLL(p=4)
+        h.add(np.array([0, 1], dtype=np.int64))
+        assert h.to_bytes().hex() == (
+            "4753484c020402000000090000000e0000000403"
+        )
+        c = CMS(depth=2, width=8, seed=7)
+        c.add(np.array([5], dtype=np.int64))
+        assert c.to_bytes().hex() == (
+            "4753434d0202000000080000000700000000000000000000000000f03f"
+            "02000000030000000a0000000100000000000000010000000000"
+            "0000"
+        )
+        b = BloomFilter(m_bits=64, k=2, seed=11)
+        b.add(np.array([9], dtype=np.int64))
+        # dense v1 auto-chosen: 2 set bits don't beat 8 payload bytes
+        assert b.to_bytes().hex() == (
+            "47534246014000000000000000020000000b000000000000000100"
+            "0000000000000001000200000000"
+        )
+        m = MinHash(k=8, seed=23)
+        m.add(np.array([3], dtype=np.int64))
+        assert m.to_bytes().hex() == (
+            "47534d4801080000001700000000000000000000000000f03fd107"
+            "4534b32fec302ef4121fbef71adc8be0e009c9bf4987e8ccaef4d3"
+            "87783245b97cdfde4fa7dda2a54acae917d688ff9118b5f4df0434"
+            "5c7ee69fffa733df"
+        )
+        s = KLL(k=8, seed=17)
+        s.add(np.array([1.5, 2.5]))
+        assert s.to_bytes().hex() == (
+            "47534b4c0108000000110000000000000000000000000000400000"
+            "0000000000000100000002000000000000000000f83f0000000000"
+            "000440"
+        )
+        # and each decodes back to the same re-encodable state
+        for sk in (h, c, b, m, s):
+            assert type(sk).from_bytes(sk.to_bytes()).to_bytes() == \
+                sk.to_bytes()
