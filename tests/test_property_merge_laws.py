@@ -240,3 +240,64 @@ def test_wire_decoders_never_crash_on_garbage(payload, magic):
         np.testing.assert_array_equal(rt.words, sk.words)
     else:
         np.testing.assert_array_equal(rt.sig, sk.sig)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", None]),
+            st.one_of(st.none(), st.integers(0, 50)),
+        ),
+        min_size=0, max_size=120,
+    ),
+)
+def test_vectorized_build_groups_equals_default_path(rows):
+    """Every spec's columnar build_groups must produce blob-identical
+    states to the base-class per-group path on arbitrary (group, value)
+    frames including null keys and null values."""
+    import pandas as pd
+    from gr_tdigest_spark.operators.agg import SketchSpec
+    from gr_tdigest_spark.operators.companions import (
+        BloomSpec, CMSSpec, HLLSpec, KLLSpec, MinHashSpec,
+    )
+
+    pdf = pd.DataFrame(rows, columns=["g", "v"])
+    for spec in (
+        HLLSpec(p=8), BloomSpec(m_bits=256, k=3),
+        CMSSpec(depth=3, width=64), MinHashSpec(k=16), KLLSpec(k=8),
+    ):
+        got = spec.build_groups(pdf, ["g"], "v", None)
+        exp = SketchSpec.build_groups(spec, pdf, ["g"], "v", None)
+        assert set(got) == set(exp), type(spec).__name__
+        for key in exp:
+            assert spec.state_to_blob(got[key]) == \
+                spec.state_to_blob(exp[key]), (type(spec).__name__, key)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y"]),
+            st.integers(0, 20),
+            st.integers(1, 3),
+        ),
+        min_size=1, max_size=80,
+    ),
+)
+def test_vectorized_cms_pile_build_equals_default_path(rows):
+    """The weighted (pile) CMS columnar build matches the base-class
+    weighted path exactly (counter tables and totals)."""
+    import pandas as pd
+    from gr_tdigest_spark.operators.agg import SketchSpec
+    from gr_tdigest_spark.operators.companions import CMSSpec
+
+    pdf = pd.DataFrame(rows, columns=["g", "v", "w"])
+    pdf["w"] = pdf["w"].astype(float)
+    spec = CMSSpec(depth=3, width=64)
+    got = spec.build_groups(pdf, ["g"], "v", "w")
+    exp = SketchSpec.build_groups(spec, pdf, ["g"], "v", "w")
+    assert set(got) == set(exp)
+    for key in exp:
+        assert spec.state_to_blob(got[key]) == spec.state_to_blob(exp[key])
