@@ -28,6 +28,15 @@ Q1 = 0.314159
 QA, QB, QC = 0.251379, 0.507211, 0.971317
 QW = 0.405170
 
+# The exact-oracle trick: an UNCOMPRESSED digest (no clustering) makes
+# quantile/cdf answers EXACT order statistics, so DuckDB SQL can oracle
+# them hash-exactly. Valid only while every group stays under capacity
+# (N < 0.99·1.44·max_size, distinct ≤ max_size) — true at the driver's
+# sf0.01 gate. At sf0.1+ the td_* queries built on this constant
+# compress and answer approximately (relative diffs ~1e-5 observed);
+# that is the sketch WORKING as designed, not a correctness bug — the
+# bound-boolean queries (hll_*, minhash_*, cms_join_size, kll_*) are
+# the scale-robust formulation and stay green at every SF.
 UNCOMPRESSED = dict(max_size=20000, policy="off")
 
 
@@ -875,16 +884,22 @@ def q_bloom_members(spark, sf_dir):
 
 def q_bloom_semi_filter(spark, sf_dir):
     """Ship-the-filter semi-join: Bloom of high-value order keys
-    pre-filters lineitem without shuffling it. At the chosen (m, k, n)
-    the per-probe FPR is ~1e-14, so the surviving count equals the
-    exact semi-join (deterministic hashing — verified, not hoped)."""
+    pre-filters lineitem without shuffling it. The filter is SIZED for
+    the key count (optimal_bloom at FPR 1e-12), so the surviving count
+    equals the exact semi-join at ANY scale factor — a fixed m_bits
+    would start leaking false positives as the key set grows (observed:
+    +10 rows at sf0.1 with a fixed 2^20). Sizing from a count of the
+    small dimension side is the production pattern too."""
     from gr_tdigest_spark.operators.companions import (
         bloom_agg, bloom_filter_rows,
     )
+    from gr_tdigest_spark.sketches.bloom import optimal_bloom
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     hot = orders.where(F.col("o_totalprice") > 400000.0)
-    bl = bloom_agg(hot, None, "o_orderkey", m_bits=1 << 20)
+    proto = optimal_bloom(max(hot.count(), 1), fpr=1e-12)
+    bl = bloom_agg(hot, None, "o_orderkey",
+                   m_bits=proto.m_bits, k=proto.k)
     li = _li(spark, sf_dir)
     kept = bloom_filter_rows(li, "l_orderkey", bl)
     return kept.agg(
