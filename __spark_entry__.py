@@ -221,7 +221,10 @@ def q_td_weighted(spark, sf_dir):
     )
 
 
-def q_td_scale_values(spark, sf_dir):
+def q_td_scale(spark, sf_dir):
+    """scale_values AND scale_weights off one base digest (sketches/
+    tdigest.py:960/974) — one contract query covers both transforms so
+    the driver's 50-query budget holds all operators."""
     from gr_tdigest_spark.operators import tdigest_agg
     import gr_tdigest_spark.functions as Fn
 
@@ -230,30 +233,15 @@ def q_td_scale_values(spark, sf_dir):
     )
     scaled = dg.select(
         "l_returnflag",
-        Fn.tdigest_scale_values("tdigest", 4.0).alias("tdigest"),
+        Fn.tdigest_scale_values("tdigest", 4.0).alias("td_v"),
+        Fn.tdigest_scale_weights("tdigest", 2.0).alias("td_w"),
     )
     return scaled.select(
         "l_returnflag",
-        Fn.tdigest_quantile("tdigest", Q1).alias("q_qty4"),
-        Fn.tdigest_max("tdigest").alias("max_qty4"),
-    )
-
-
-def q_td_scale_weights(spark, sf_dir):
-    from gr_tdigest_spark.operators import tdigest_agg
-    import gr_tdigest_spark.functions as Fn
-
-    dg = tdigest_agg(
-        _li(spark, sf_dir), ["l_returnflag"], "l_quantity", **UNCOMPRESSED
-    )
-    scaled = dg.select(
-        "l_returnflag",
-        Fn.tdigest_scale_weights("tdigest", 2.0).alias("tdigest"),
-    )
-    return scaled.select(
-        "l_returnflag",
-        Fn.tdigest_quantile("tdigest", Q1).alias("q_qty"),
-        Fn.tdigest_count("tdigest").alias("n2"),
+        Fn.tdigest_quantile("td_v", Q1).alias("q_qty4"),
+        Fn.tdigest_max("td_v").alias("max_qty4"),
+        Fn.tdigest_quantile("td_w", Q1).alias("q_qty"),
+        Fn.tdigest_count("td_w").alias("n2"),
     )
 
 
@@ -289,11 +277,16 @@ def q_td_f32(spark, sf_dir):
     )
 
 
-def q_td_add_values(spark, sf_dir):
-    """Incremental add (tdigest.rs:626-639 table-level): digests built
-    on early shipdates + added late rows == digests over everything."""
+def q_td_add(spark, sf_dir):
+    """Incremental add (tdigest.rs:626-639) AND add_weighted_many
+    (frontends.rs:385-402), composed: digests built on early shipdates
+    + added late rows == digests over everything; then integer-weighted
+    correction rows == the expanded union (oracle expands weights via
+    unnest(range(w))).  One query covers both table-level add ops."""
     from gr_tdigest_spark.operators import tdigest_agg
-    from gr_tdigest_spark.operators.rollup import add_values
+    from gr_tdigest_spark.operators.rollup import (
+        add_values, add_weighted_values,
+    )
     import gr_tdigest_spark.functions as Fn
 
     li = _li(spark, sf_dir)
@@ -303,37 +296,26 @@ def q_td_add_values(spark, sf_dir):
     full = add_values(
         base, late, ["l_returnflag"], "l_quantity", **UNCOMPRESSED
     )
-    return full.select(
-        "l_returnflag",
-        Fn.tdigest_quantile("tdigest", Q1).alias("q_qty"),
-        Fn.tdigest_count("tdigest").alias("n"),
-    )
-
-
-def q_td_add_weighted(spark, sf_dir):
-    """Table-level add_weighted_many (frontends.rs:385-402): per-flag
-    digests + integer-weighted correction rows == digests over the
-    expanded union (oracle expands weights via unnest(range(w)))."""
-    from gr_tdigest_spark.operators import tdigest_agg
-    from gr_tdigest_spark.operators.rollup import add_weighted_values
-    import gr_tdigest_spark.functions as Fn
-
-    li = _li(spark, sf_dir)
-    base = tdigest_agg(li, ["l_returnflag"], "l_quantity", **UNCOMPRESSED)
     new_rows = (
         li.select("l_returnflag").distinct()
         .crossJoin(spark.createDataFrame(
             [(3.5, 3.0), (97.5, 2.0)], "qv double, w double"
         ))
     )
-    full = add_weighted_values(
-        base, new_rows, ["l_returnflag"], "qv", "w", **UNCOMPRESSED
+    fullw = add_weighted_values(
+        full, new_rows, ["l_returnflag"], "qv", "w", **UNCOMPRESSED
     )
-    return full.select(
+    a = full.select(
         "l_returnflag",
         Fn.tdigest_quantile("tdigest", Q1).alias("q_qty"),
         Fn.tdigest_count("tdigest").alias("n"),
     )
+    b = fullw.select(
+        "l_returnflag",
+        Fn.tdigest_quantile("tdigest", Q1).alias("q_qty_w"),
+        Fn.tdigest_count("tdigest").alias("n_w"),
+    )
+    return a.join(b, "l_returnflag")
 
 
 def q_td_infer_precision(spark, sf_dir):
@@ -989,6 +971,96 @@ def q_quality_score(spark, sf_dir):
     )
 
 
+def q_media_stats(spark, sf_dir):
+    """Multimodal contract: synthesize deterministic PPM (P6) images
+    and WAV (PCM16) audio payloads from doc_id, REALLY decode them
+    (operators/multimodal.py struct/numpy parsers — no codec libs), and
+    report per-kind payload size stats plus a decoded-feature check.
+
+    The decode check is analytic: images are top-half 0 / bottom-half
+    200, so after 4×4 grid featurization feature[1] is exactly 0 and
+    feature[48] is 1/sqrt(24); audio is half silence / half amplitude
+    0.5, so RMS bin 9 is 1/sqrt(8).  A misparsed header geometry or
+    sample offset moves the split and breaks the invariant — n_ok == n
+    only when the real decoders work.  The oracle computes payload
+    sizes and ok-counts in closed form from the same doc_id formulas.
+    """
+    import math
+    import struct as _struct
+    from gr_tdigest_spark.operators.multimodal import (
+        decode_audio_features, decode_image_features, media_stats,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    w = 4 * (did % 3 + 1)
+                    h = 4 * (did % 2 + 1)
+                    img = np.zeros((h, w, 3), dtype=np.uint8)
+                    img[h // 2:, :, :] = 200
+                    payload = (b"P6\n%d %d\n255\n" % (w, h)) + img.tobytes()
+                    kind = "image"
+                else:
+                    n = 160 * (did % 4 + 1)
+                    s = np.zeros(n, dtype="<i2")
+                    s[n // 2:] = 16384  # 0.5 amplitude
+                    data = s.tobytes()
+                    payload = (
+                        b"RIFF" + _struct.pack("<I", 36 + len(data))
+                        + b"WAVE"
+                        + b"fmt " + _struct.pack(
+                            "<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                        + b"data" + _struct.pack("<I", len(data)) + data
+                    )
+                    kind = "audio"
+                ids.append(did)
+                kinds.append(kind)
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        gen, "media_id long, kind string, payload binary"
+    )
+    stats = media_stats(media).select(
+        "kind",
+        F.col("n").cast("long").alias("n"),
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+    )
+    c24 = 1.0 / math.sqrt(24.0)
+    c8 = 1.0 / math.sqrt(8.0)
+    img_ok = decode_image_features(
+        media.filter(F.col("kind") == "image"), stub_mode="strict"
+    ).select(
+        F.lit("image").alias("kind"),
+        (
+            (F.abs(F.element_at("features", 1)) < 1e-5)
+            & (F.abs(F.element_at("features", 48) - c24) < 1e-5)
+        ).cast("long").alias("ok"),
+    )
+    aud_ok = decode_audio_features(
+        media.filter(F.col("kind") == "audio"), stub_mode="strict"
+    ).select(
+        F.lit("audio").alias("kind"),
+        (
+            (F.abs(F.element_at("features", 1)) < 1e-6)
+            & (F.abs(F.element_at("features", 9) - c8) < 1e-5)
+        ).cast("long").alias("ok"),
+    )
+    oks = img_ok.unionByName(aud_ok).groupBy("kind").agg(
+        F.sum("ok").alias("n_ok")
+    )
+    return stats.join(oks, "kind")
+
+
 def q_embed_topk(spark, sf_dir):
     from gr_tdigest_spark.operators.similarity import cosine_topk
 
@@ -1330,12 +1402,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_trimmed_mean": q_td_trimmed_mean,
         "td_merge_rollup": q_td_merge_rollup,
         "td_weighted": q_td_weighted,
-        "td_scale_values": q_td_scale_values,
-        "td_scale_weights": q_td_scale_weights,
+        "td_scale": q_td_scale,
         "td_wire_v2": q_td_wire_v2,
         "td_f32": q_td_f32,
-        "td_add_values": q_td_add_values,
-        "td_add_weighted": q_td_add_weighted,
+        "td_add": q_td_add,
         "td_infer_precision": q_td_infer_precision,
         "td_struct_roundtrip": q_td_struct_roundtrip,
         "td_cdf_col": q_td_cdf_col,
@@ -1360,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
+        "media_stats": q_media_stats,
         "embed_topk": q_embed_topk,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "embed_near_dups": q_embed_near_dups,
@@ -1475,15 +1546,13 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY p_brand
             """
         ),
-        "td_scale_values": (
+        "td_scale": (
             f"SELECT l_returnflag, "
             f"quantile_disc(l_quantity * 4.0, {Q1}) AS q_qty4, "
-            "max(l_quantity * 4.0) AS max_qty4 "
+            "max(l_quantity * 4.0) AS max_qty4, "
+            f"quantile_disc(l_quantity, {Q1}) AS q_qty, "
+            "2.0 * count(*) AS n2 "
             "FROM lineitem GROUP BY l_returnflag"
-        ),
-        "td_scale_weights": (
-            f"SELECT l_returnflag, quantile_disc(l_quantity, {Q1}) AS q_qty, "
-            "2.0 * count(*) AS n2 FROM lineitem GROUP BY l_returnflag"
         ),
         "td_wire_v2": (
             f"SELECT l_returnflag, quantile_disc(l_quantity, {Q1}) AS q_qty, "
@@ -1493,7 +1562,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT l_returnflag, quantile_disc(l_quantity, {Q1}) AS q_qty, "
             "'f32' AS prec FROM lineitem GROUP BY l_returnflag"
         ),
-        "td_add_weighted": (
+        "td_add": (
             f"""
             WITH added AS (
               SELECT l_returnflag, qv AS l_quantity
@@ -1503,19 +1572,23 @@ def oracle_sql() -> dict[str, str]:
             ), allrows AS (
               SELECT l_returnflag, l_quantity FROM lineitem
               UNION ALL SELECT l_returnflag, l_quantity FROM added
+            ), a AS (
+              SELECT l_returnflag, quantile_disc(l_quantity, {Q1}) AS q_qty,
+                     count(*)::DOUBLE AS n
+              FROM lineitem GROUP BY l_returnflag
+            ), b AS (
+              SELECT l_returnflag,
+                     quantile_disc(l_quantity, {Q1}) AS q_qty_w,
+                     count(*)::DOUBLE AS n_w
+              FROM allrows GROUP BY l_returnflag
             )
-            SELECT l_returnflag, quantile_disc(l_quantity, {Q1}) AS q_qty,
-                   count(*)::DOUBLE AS n
-            FROM allrows GROUP BY l_returnflag
+            SELECT a.l_returnflag, a.q_qty, a.n, b.q_qty_w, b.n_w
+            FROM a JOIN b USING (l_returnflag)
             """
         ),
         "td_infer_precision": (
             "SELECT 'f64_col' AS name, 'f64' AS precision "
             "UNION ALL SELECT 'f32_col', 'f32'"
-        ),
-        "td_add_values": (
-            f"SELECT l_returnflag, quantile_disc(l_quantity, {Q1}) AS q_qty, "
-            "count(*)::DOUBLE AS n FROM lineitem GROUP BY l_returnflag"
         ),
         "td_struct_roundtrip": (
             f"SELECT l_returnflag, quantile_disc(l_quantity, {Q1}) AS q_qty "
@@ -1706,10 +1779,11 @@ def oracle_sql() -> dict[str, str]:
             """
             SELECT lang,
                    sum(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')))
-                     AS tot_tokens,
-                   sum(len(text)) AS tot_chars,
+                     ::BIGINT AS tot_tokens,
+                   sum(len(text))::BIGINT AS tot_chars,
                    sum(len(regexp_replace(text,
-                       '[^.,;:!?''"()\\[\\]-]', '', 'g'))) AS tot_punct
+                       '[^.,;:!?''"()\\[\\]-]', '', 'g')))::BIGINT
+                     AS tot_punct
             FROM documents GROUP BY lang
             """
         ),
@@ -1752,6 +1826,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT floor(quality_score * 10)::BIGINT AS decile,
                    count(*) AS n_docs
             FROM q GROUP BY 1
+            """
+        ),
+        # closed-form payload sizes from the same doc_id formulas the
+        # Spark side synthesizes (PPM header 'P6\n{w} {h}\n255\n' +
+        # w*h*3 pixels; canonical 44-byte WAV header + 2 bytes/sample);
+        # n_ok == n because every payload decodes to the analytic
+        # feature invariant
+        "media_stats": (
+            """
+            WITH m AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 'image'
+                          ELSE 'audio' END AS kind,
+                     CASE WHEN doc_id % 2 = 0 THEN
+                       3 + length((4 * (doc_id % 3 + 1))::VARCHAR) + 1
+                         + length((4 * (doc_id % 2 + 1))::VARCHAR) + 1 + 4
+                         + 48 * (doc_id % 3 + 1) * (doc_id % 2 + 1)
+                     ELSE 44 + 320 * (doc_id % 4 + 1)
+                     END AS nbytes
+              FROM documents
+            )
+            SELECT kind, count(*)::BIGINT AS n,
+                   sum(nbytes)::BIGINT AS total_bytes,
+                   count(*)::BIGINT AS n_ok
+            FROM m GROUP BY kind
             """
         ),
         "lang_id": (

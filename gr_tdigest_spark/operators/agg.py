@@ -308,6 +308,11 @@ class TDigestSpec(SketchSpec):
             return None
         if self.precision == "f32":
             vals = np.asarray(vals.astype(np.float32), dtype=np.float64)
+        # canonicalize -0.0 → +0.0 before the sort: signed zeros compare
+        # equal, so the surviving run representative (and hence the pile
+        # blob bytes) would otherwise depend on row order within the
+        # partition — same contract as kernel _normalize
+        vals = vals + 0.0
 
         order = np.lexsort((vals, codes))
         sc = codes[order]

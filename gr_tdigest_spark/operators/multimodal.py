@@ -63,28 +63,35 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
 
 def _decode_ppm(payload: bytes) -> Optional[np.ndarray]:
     """Parse a binary PPM (P6) image with struct/numpy only → (h, w, 3)
-    uint8, or None if the payload is not P6. No external codecs."""
+    uint8, or None if the payload is not (valid) P6. No external codecs.
+
+    Malformed payloads that pass the magic check (truncated header,
+    short pixel buffer) must return None — not raise — so they route to
+    the stub/strict fallback instead of failing the whole Arrow batch."""
     if not payload.startswith(b"P6"):
         return None
-    pos, fields = 2, []
-    while len(fields) < 3:
-        while pos < len(payload) and payload[pos:pos + 1].isspace():
-            pos += 1
-        if payload[pos:pos + 1] == b"#":  # comment to end of line
-            nl = payload.find(b"\n", pos)
-            pos = nl + 1 if nl >= 0 else len(payload)
-            continue
-        start = pos
-        while pos < len(payload) and not payload[pos:pos + 1].isspace():
-            pos += 1
-        fields.append(int(payload[start:pos]))
-    pos += 1  # single whitespace after maxval
-    w, h, maxval = fields
-    if maxval > 255:
-        return None  # 16-bit PPM — out of scope
-    n = w * h * 3
-    px = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
-    return px.reshape(h, w, 3)
+    try:
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos:pos + 1].isspace():
+                pos += 1
+            if payload[pos:pos + 1] == b"#":  # comment to end of line
+                nl = payload.find(b"\n", pos)
+                pos = nl + 1 if nl >= 0 else len(payload)
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos:pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # single whitespace after maxval
+        w, h, maxval = fields
+        if maxval > 255 or w <= 0 or h <= 0:
+            return None  # 16-bit PPM / degenerate dims — out of scope
+        n = w * h * 3
+        px = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+        return px.reshape(h, w, 3)
+    except (ValueError, IndexError):
+        return None
 
 
 def _ppm_grid_features(img: np.ndarray, grid: int = 4) -> np.ndarray:
@@ -107,19 +114,24 @@ def _decode_wav_pcm16(payload: bytes) -> Optional[np.ndarray]:
 
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
-    pos, n_channels, bits, data = 12, None, None, None
-    while pos + 8 <= len(payload):
-        cid = payload[pos:pos + 4]
-        (size,) = _struct.unpack_from("<I", payload, pos + 4)
-        body = payload[pos + 8: pos + 8 + size]
-        if cid == b"fmt ":
-            fmt_code, n_channels = _struct.unpack_from("<HH", body, 0)
-            (bits,) = _struct.unpack_from("<H", body, 14)
-            if fmt_code != 1 or bits != 16:
-                return None
-        elif cid == b"data":
-            data = body
-        pos += 8 + size + (size & 1)
+    # short/corrupt chunks (e.g. an 'fmt ' body under 16 bytes) must
+    # route to the stub fallback, not crash the Arrow batch
+    try:
+        pos, n_channels, bits, data = 12, None, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            (size,) = _struct.unpack_from("<I", payload, pos + 4)
+            body = payload[pos + 8: pos + 8 + size]
+            if cid == b"fmt ":
+                fmt_code, n_channels = _struct.unpack_from("<HH", body, 0)
+                (bits,) = _struct.unpack_from("<H", body, 14)
+                if fmt_code != 1 or bits != 16:
+                    return None
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)
+    except (_struct.error, ValueError, IndexError):
+        return None
     if data is None or n_channels is None:
         return None
     samples = np.frombuffer(

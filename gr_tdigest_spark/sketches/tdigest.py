@@ -117,7 +117,11 @@ def _normalize(
         raise ValueError("compress requires non-decreasing means")
     # run starts: positions where the mean changes
     starts = np.concatenate(([0], np.flatnonzero(d > 0) + 1))
-    run_means = means[starts]
+    # canonicalize -0.0 → +0.0 (IEEE: -0.0 + 0.0 == +0.0): -0.0 and 0.0
+    # sort/compare equal, so which representative survives a coalesced run
+    # would otherwise depend on input order — breaking the byte-identity
+    # and partition-layout-independence contracts of the blob
+    run_means = means[starts] + 0.0
     run_weights = np.add.reduceat(weights, starts)
     # strictly sequential (reduceat) association for count/sum — the
     # single canonical ordering shared with both distributed partial
@@ -793,16 +797,28 @@ class TDigest:
         res[snap_r] = mr[snap_r]
         done |= snap_r
 
-        # linear interpolation with unit-singleton dead zones
+        # linear interpolation with unit-singleton dead zones.  The
+        # reference *guarantees* quantile is monotone in q
+        # (quantile.rs:8-33), so the lerp must be monotone in floats too:
+        #  - denom is computed idx-independently ((cr-cl)-dead, NOT
+        #    toward_r+toward_l, which wobbles by an ulp as idx moves),
+        #    making t = toward_r/denom monotone in idx (IEEE ops with one
+        #    constant operand are monotone);
+        #  - the result is clamped into the [ml, mr] bracket, whose
+        #    endpoints are themselves monotone across brackets, so a
+        #    1-ulp overshoot can never produce a dip at a bracket edge.
         dead_l = np.where(wl == 1.0, 0.5, 0.0)
         dead_r = np.where(wr == 1.0, 0.5, 0.0)
         toward_r = idx - cl - dead_l
-        toward_l = cr - idx - dead_r
-        denom = toward_r + toward_l
-        interp = np.where(
-            denom <= 0.0,
-            0.5 * (ml + mr),
-            (ml * toward_l + mr * toward_r) / np.where(denom == 0, 1.0, denom),
+        denom = (cr - cl) - dead_l - dead_r
+        pos = denom > 0.0
+        t = np.clip(
+            np.where(pos, toward_r / np.where(pos, denom, 1.0), 0.5),
+            0.0,
+            1.0,
+        )
+        interp = np.clip(
+            np.where(pos, ml + (mr - ml) * t, 0.5 * (ml + mr)), ml, mr
         )
         res[~done] = interp[~done]
         out[mid_mask] = res

@@ -835,3 +835,48 @@ class TestRealMultimodalDecoders:
             decode_image_features(df, stub_mode="strict").collect()
         with pytest.raises(Exception, match="NotImplementedError|decode"):
             decode_audio_features(df, stub_mode="strict").collect()
+
+    def test_corrupt_payloads_route_to_stub(self, spark):
+        """Payloads that pass the magic check but are malformed
+        (truncated P6 header, short pixel buffer, short 'fmt ' chunk)
+        must decode to None → stub fallback, never crash the Arrow
+        batch (r3 advice)."""
+        import struct
+        from gr_tdigest_spark.operators.multimodal import (
+            _decode_ppm, _decode_wav_pcm16,
+            decode_audio_features, decode_image_features,
+        )
+
+        bad_ppm = [
+            b"P6",                                   # nothing after magic
+            b"P6\n8",                                # truncated header
+            b"P6\n8 8\n255\n" + b"\x00" * 10,        # short pixel buffer
+            b"P6\n0 0\n255\n",                       # degenerate dims
+        ]
+        for p in bad_ppm:
+            assert _decode_ppm(p) is None, p
+        # ≥44 bytes so the length gate passes, but the 'fmt ' body is only
+        # 4 bytes → the bits-per-sample read must hit struct.error
+        short_fmt = (
+            b"RIFF" + struct.pack("<I", 48) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+            + b"data" + struct.pack("<I", 24) + b"\x00" * 24
+        )
+        no_fmt = (
+            b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+            + b"data" + struct.pack("<I", 32) + b"\x00" * 32
+        )
+        for p in (short_fmt, no_fmt):
+            assert _decode_wav_pcm16(p) is None
+
+        bad = bad_ppm + [short_fmt, no_fmt]
+        df = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in enumerate(bad)],
+            "media_id long, payload binary",
+        )
+        # fake mode: every corrupt payload still yields a vector
+        rows = decode_image_features(df, stub_mode="fake").collect()
+        assert len(rows) == len(bad)
+        assert all(r["features"] is not None for r in rows)
+        rows = decode_audio_features(df, stub_mode="fake").collect()
+        assert all(r["features"] is not None for r in rows)
