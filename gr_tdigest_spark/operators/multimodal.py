@@ -94,6 +94,25 @@ def _decode_ppm(payload: bytes) -> Optional[np.ndarray]:
         return None
 
 
+def _decode_with_pil(payload: bytes) -> Optional[np.ndarray]:
+    """Optional real decoder for compressed images (JPEG/PNG/WebP/...)
+    when Pillow is installed on the cluster — import-gated so this
+    container (no PIL) keeps the documented stub behavior. Returns an
+    (h, w, 3) uint8 array, or None when Pillow is absent or the payload
+    does not decode."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — worker-side optional dep
+    except ImportError:
+        return None
+    import io
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+    except Exception:
+        return None
+
+
 def _ppm_grid_features(img: np.ndarray, grid: int = 4) -> np.ndarray:
     """Real image features: per-channel mean over a grid×grid block
     partition (crop to multiples), L2-normalized → 3·grid² floats."""
@@ -190,14 +209,16 @@ def decode_image_features(
                     continue
                 payload_b = bytes(payload)
                 img = _decode_ppm(payload_b)
+                if img is None:
+                    img = _decode_with_pil(payload_b)
                 if img is not None:
                     feats.append(_ppm_grid_features(img).tolist())
                     continue
                 if stub_mode == "strict":
                     raise NotImplementedError(
-                        "compressed image decode requires PIL/torchvision "
-                        "(not in this container); use stub_mode='fake' or "
-                        "PPM (P6) payloads"
+                        "compressed image decode requires Pillow (install "
+                        "it on the cluster to enable the real path); use "
+                        "stub_mode='fake' or PPM (P6) payloads"
                     )
                 feats.append(_fake_features(payload_b, dim).tolist())
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})

@@ -880,3 +880,37 @@ class TestRealMultimodalDecoders:
         assert all(r["features"] is not None for r in rows)
         rows = decode_audio_features(df, stub_mode="fake").collect()
         assert all(r["features"] is not None for r in rows)
+
+    def test_pil_path_absent_and_injected(self, monkeypatch):
+        """Without Pillow, _decode_with_pil returns None (this container
+        has no PIL); with a fake PIL injected, the decoded array routes
+        through — the import-gated real path for clusters that have it."""
+        import sys
+        import types
+        import numpy as np
+        from gr_tdigest_spark.operators import multimodal as mm
+
+        assert mm._decode_with_pil(b"\x89PNG fake") is None  # no PIL here
+
+        arr = np.full((8, 8, 3), 7, dtype=np.uint8)
+
+        class _Im:
+            def convert(self, mode):
+                assert mode == "RGB"
+                return arr
+            def __enter__(self):
+                return self
+            def __exit__(self, *a):
+                return False
+
+        fake_img_mod = types.SimpleNamespace(open=lambda buf: _Im())
+        fake_pil = types.ModuleType("PIL")
+        fake_pil.Image = fake_img_mod
+        monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+        monkeypatch.setitem(
+            sys.modules, "PIL.Image",
+            types.SimpleNamespace(**fake_img_mod.__dict__),
+        )
+        out = mm._decode_with_pil(b"\x89PNG fake")
+        assert out is not None and out.shape == (8, 8, 3)
+        assert np.all(out == 7)
