@@ -328,9 +328,23 @@ class MinHashSpec(_KernelSpec):
             return {}
         codes, keys_by_gid, arr, _ = fac
         h1, h2 = hash_pair(arr, seed=self.seed)
-        order = np.argsort(codes, kind="stable")
+        # dedupe (group, h1, h2) before the k×n slot expansion: slot
+        # hashes derive from (h1, h2) alone and min ignores multiplicity,
+        # so this is byte-identical and the expensive expansion runs on
+        # distinct values only (lexsort keeps codes as the primary key,
+        # so the group-bounds walk below is unchanged)
+        order = np.lexsort((h2, h1, codes))
         codes_s = codes[order]
         h1s, h2s = h1[order], h2[order]
+        if codes_s.size > 1:
+            keep = np.empty(codes_s.size, dtype=bool)
+            keep[0] = True
+            keep[1:] = (
+                (codes_s[1:] != codes_s[:-1])
+                | (h1s[1:] != h1s[:-1])
+                | (h2s[1:] != h2s[:-1])
+            )
+            codes_s, h1s, h2s = codes_s[keep], h1s[keep], h2s[keep]
         gstarts, bounds = _group_bounds(codes_s)
         n_groups = gstarts.size
         sigs = np.empty((self.k, n_groups), dtype=np.uint64)

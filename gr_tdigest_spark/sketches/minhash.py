@@ -61,8 +61,19 @@ class MinHash:
         if arr.size == 0:
             return
         h1, h2 = hash_pair(arr, seed=self.seed)
+        # every slot hash derives from (h1, h2) alone and min is
+        # multiplicity-invariant, so duplicate hash pairs contribute
+        # nothing: dedupe BEFORE the O(k·n) slot expansion — exactly
+        # result-preserving, and the expansion then costs O(k·n_distinct)
+        if arr.size > 1:
+            o = np.lexsort((h2, h1))
+            h1, h2 = h1[o], h2[o]
+            keep = np.empty(h1.size, dtype=bool)
+            keep[0] = True
+            keep[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+            h1, h2 = h1[keep], h2[keep]
         rows = np.arange(self.k, dtype=np.uint64)[:, None]
-        for lo in range(0, arr.size, _CHUNK):
+        for lo in range(0, h1.size, _CHUNK):
             s = slice(lo, lo + _CHUNK)
             with np.errstate(over="ignore"):
                 hv = h1[None, s] + rows * h2[None, s]
