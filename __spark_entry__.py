@@ -1027,8 +1027,13 @@ def q_media_stats(spark, sf_dir):
                 {"media_id": ids, "kind": kinds, "payload": payloads}
             )
 
-    media = docs.mapInPandas(
-        gen, "media_id long, kind string, payload binary"
+    # three consumers (stats + both decode passes) — persist so the
+    # documents scan + payload synthesis run once, not three times
+    media = _persist_replacing(
+        docs.mapInPandas(
+            gen, "media_id long, kind string, payload binary"
+        ),
+        "media_stats",
     )
     stats = media_stats(media).select(
         "kind",

@@ -321,7 +321,9 @@ class MinHashSpec(_KernelSpec):
         nature (k uint64s), so states are plain MinHash objects; the
         win is removing the per-group numpy-call overhead at high
         group cardinality."""
-        from gr_tdigest_spark.sketches.hashing import hash_pair
+        from gr_tdigest_spark.sketches.hashing import (
+            dedupe_hash_pairs, hash_pair,
+        )
 
         fac = _factorize_groups(pdf, key_cols, value_col)
         if fac is None:
@@ -331,25 +333,16 @@ class MinHashSpec(_KernelSpec):
         # dedupe (group, h1, h2) before the k×n slot expansion: slot
         # hashes derive from (h1, h2) alone and min ignores multiplicity,
         # so this is byte-identical and the expensive expansion runs on
-        # distinct values only (lexsort keeps codes as the primary key,
-        # so the group-bounds walk below is unchanged)
-        order = np.lexsort((h2, h1, codes))
-        codes_s = codes[order]
-        h1s, h2s = h1[order], h2[order]
-        if codes_s.size > 1:
-            keep = np.empty(codes_s.size, dtype=bool)
-            keep[0] = True
-            keep[1:] = (
-                (codes_s[1:] != codes_s[:-1])
-                | (h1s[1:] != h1s[:-1])
-                | (h2s[1:] != h2s[:-1])
-            )
-            codes_s, h1s, h2s = codes_s[keep], h1s[keep], h2s[keep]
+        # distinct values only (codes stay the primary sort key, so the
+        # group-bounds walk below is unchanged)
+        codes_s, h1s, h2s = dedupe_hash_pairs(h1, h2, codes)
         gstarts, bounds = _group_bounds(codes_s)
         n_groups = gstarts.size
         sigs = np.empty((self.k, n_groups), dtype=np.uint64)
-        # chunk slots: k_chunk × n × 8 B temp stays ~8 MB per flush
-        k_chunk = max(1, (1 << 20) // max(arr.size, 1))
+        # chunk slots: k_chunk × n_distinct × 8 B temp stays ~8 MB per
+        # flush (sized AFTER dedup — a heavily-duplicated batch gets
+        # wide chunks, not k tiny reduceat flushes)
+        k_chunk = max(1, (1 << 20) // max(h1s.size, 1))
         rows = np.arange(self.k, dtype=np.uint64)[:, None]
         for lo in range(0, self.k, k_chunk):
             hi = min(lo + k_chunk, self.k)

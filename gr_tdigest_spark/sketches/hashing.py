@@ -56,3 +56,30 @@ def hash_pair(values, seed: int = 0):
     h2 = splitmix64(h1, seed=seed + 0x51AB)
     # make h2 odd so strides cover the table
     return h1, h2 | np.uint64(1)
+
+
+def dedupe_hash_pairs(h1: np.ndarray, h2: np.ndarray, codes=None):
+    """Drop duplicate (codes, h1, h2) triples (or (h1, h2) pairs when
+    ``codes`` is None) via one lexsort + adjacent-run mask.
+
+    For sketches whose per-slot hashes derive from (h1, h2) alone and
+    whose update is multiplicity-invariant (MinHash min), this is
+    exactly result-preserving and cuts the O(k·n) slot expansion to
+    O(k·n_distinct).  When ``codes`` is given it is the PRIMARY sort
+    key, so the returned codes are ascending and group-bounds walks
+    over them work unchanged.  Returns (h1, h2) or (codes, h1, h2).
+    """
+    keys = (h2, h1) if codes is None else (h2, h1, codes)
+    order = np.lexsort(keys)
+    h1, h2 = h1[order], h2[order]
+    codes_s = None if codes is None else codes[order]
+    if h1.size > 1:
+        keep = np.empty(h1.size, dtype=bool)
+        keep[0] = True
+        keep[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        if codes_s is not None:
+            keep[1:] |= codes_s[1:] != codes_s[:-1]
+        h1, h2 = h1[keep], h2[keep]
+        if codes_s is not None:
+            codes_s = codes_s[keep]
+    return (h1, h2) if codes is None else (codes_s, h1, h2)

@@ -33,7 +33,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from gr_tdigest_spark.sketches.hashing import hash_pair
+from gr_tdigest_spark.sketches.hashing import dedupe_hash_pairs, hash_pair
 
 __all__ = ["MinHash"]
 
@@ -65,13 +65,7 @@ class MinHash:
         # multiplicity-invariant, so duplicate hash pairs contribute
         # nothing: dedupe BEFORE the O(k·n) slot expansion — exactly
         # result-preserving, and the expansion then costs O(k·n_distinct)
-        if arr.size > 1:
-            o = np.lexsort((h2, h1))
-            h1, h2 = h1[o], h2[o]
-            keep = np.empty(h1.size, dtype=bool)
-            keep[0] = True
-            keep[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
-            h1, h2 = h1[keep], h2[keep]
+        h1, h2 = dedupe_hash_pairs(h1, h2)
         rows = np.arange(self.k, dtype=np.uint64)[:, None]
         for lo in range(0, h1.size, _CHUNK):
             s = slice(lo, lo + _CHUNK)
