@@ -245,36 +245,31 @@ def q_td_scale(spark, sf_dir):
     )
 
 
-def q_td_wire_v2(spark, sf_dir):
+def q_td_wire(spark, sf_dir):
+    """Wire v2 downgrade AND f32 precision aggregation off the same
+    fact table — one contract query covers both wire surfaces (the
+    driver's 50-query budget; quantities are small integers, so the f32
+    quantile equals the f64 one exactly)."""
     from gr_tdigest_spark.operators import tdigest_agg
     import gr_tdigest_spark.functions as Fn
 
-    dg = tdigest_agg(
-        _li(spark, sf_dir), ["l_returnflag"], "l_quantity", **UNCOMPRESSED
-    )
+    li = _li(spark, sf_dir)
+    dg = tdigest_agg(li, ["l_returnflag"], "l_quantity", **UNCOMPRESSED)
     v2 = dg.select(
         "l_returnflag", Fn.tdigest_to_version("tdigest", 2).alias("tdigest")
-    )
-    return v2.select(
+    ).select(
         "l_returnflag",
         Fn.tdigest_quantile("tdigest", Q1).alias("q_qty"),
         Fn.tdigest_wire_precision("tdigest").alias("prec"),
     )
-
-
-def q_td_f32(spark, sf_dir):
-    from gr_tdigest_spark.operators import tdigest_agg
-    import gr_tdigest_spark.functions as Fn
-
-    dg = tdigest_agg(
-        _li(spark, sf_dir), ["l_returnflag"], "l_quantity",
-        precision="f32", **UNCOMPRESSED,
-    )
-    return dg.select(
+    f32 = tdigest_agg(
+        li, ["l_returnflag"], "l_quantity", precision="f32", **UNCOMPRESSED
+    ).select(
         "l_returnflag",
-        Fn.tdigest_quantile("tdigest", Q1).alias("q_qty"),
-        Fn.tdigest_wire_precision("tdigest").alias("prec"),
+        Fn.tdigest_quantile("tdigest", Q1).alias("q_qty32"),
+        Fn.tdigest_wire_precision("tdigest").alias("prec32"),
     )
+    return v2.join(f32, "l_returnflag")
 
 
 def q_td_add(spark, sf_dir):
@@ -1066,6 +1061,43 @@ def q_media_stats(spark, sf_dir):
     return stats.join(oks, "kind")
 
 
+def q_sample_docs(spark, sf_dir):
+    """Deterministic stratified sampling + KMV distinct via the
+    bottom-k sketch (operators/sample.py, sketches/bottomk.py).
+
+    Per source: the sketch-method stratified sample must contain
+    exactly least(k, distinct doc_ids) distinct documents (the oracle
+    computes that count exactly), and the KMV distinct estimate must
+    sit within 5·(1/√(k−2)) of the exact distinct count (bound-boolean
+    oracle pattern, like hll_bound)."""
+    from gr_tdigest_spark.operators.companions import (
+        bottomk_agg, bottomk_distinct,
+    )
+    from gr_tdigest_spark.operators.sample import stratified_sample
+
+    d = _docs(spark, sf_dir)
+    samp = stratified_sample(d, "source", 16, "doc_id", seed=11)
+    n_samp = samp.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_sample")
+    )
+    k = 256
+    est = bottomk_agg(d, ["source"], "doc_id", k=k).select(
+        "source", bottomk_distinct("bottomk").alias("est")
+    )
+    exact = d.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("exact")
+    )
+    bound = 5.0 / (k - 2) ** 0.5
+    kmv = est.join(exact, "source").select(
+        "source",
+        (
+            F.abs(F.col("est") - F.col("exact"))
+            <= F.greatest(F.lit(bound) * F.col("exact"), F.lit(2.0))
+        ).alias("kmv_ok"),
+    )
+    return n_samp.join(kmv, "source")
+
+
 def q_embed_topk(spark, sf_dir):
     from gr_tdigest_spark.operators.similarity import cosine_topk
 
@@ -1408,8 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_merge_rollup": q_td_merge_rollup,
         "td_weighted": q_td_weighted,
         "td_scale": q_td_scale,
-        "td_wire_v2": q_td_wire_v2,
-        "td_f32": q_td_f32,
+        "td_wire": q_td_wire,
         "td_add": q_td_add,
         "td_infer_precision": q_td_infer_precision,
         "td_struct_roundtrip": q_td_struct_roundtrip,
@@ -1436,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
         "media_stats": q_media_stats,
+        "sample_docs": q_sample_docs,
         "embed_topk": q_embed_topk,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "embed_near_dups": q_embed_near_dups,
@@ -1559,13 +1591,11 @@ def oracle_sql() -> dict[str, str]:
             "2.0 * count(*) AS n2 "
             "FROM lineitem GROUP BY l_returnflag"
         ),
-        "td_wire_v2": (
+        "td_wire": (
             f"SELECT l_returnflag, quantile_disc(l_quantity, {Q1}) AS q_qty, "
-            "'f64' AS prec FROM lineitem GROUP BY l_returnflag"
-        ),
-        "td_f32": (
-            f"SELECT l_returnflag, quantile_disc(l_quantity, {Q1}) AS q_qty, "
-            "'f32' AS prec FROM lineitem GROUP BY l_returnflag"
+            "'f64' AS prec, "
+            f"quantile_disc(l_quantity, {Q1}) AS q_qty32, "
+            "'f32' AS prec32 FROM lineitem GROUP BY l_returnflag"
         ),
         "td_add": (
             f"""
@@ -1856,6 +1886,18 @@ def oracle_sql() -> dict[str, str]:
                    sum(nbytes)::BIGINT AS total_bytes,
                    count(*)::BIGINT AS n_ok
             FROM m GROUP BY kind
+            """
+        ),
+        # stratified-sample size is exact (the sketch keeps the k
+        # hash-smallest distinct ids, so the semi-join returns exactly
+        # least(k, distinct) docs); the KMV estimate check is the
+        # bound-boolean pattern
+        "sample_docs": (
+            """
+            SELECT source,
+                   least(16, count(DISTINCT doc_id))::BIGINT AS n_sample,
+                   TRUE AS kmv_ok
+            FROM documents GROUP BY source
             """
         ),
         "lang_id": (

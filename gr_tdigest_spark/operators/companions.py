@@ -22,6 +22,7 @@ from pyspark.sql.types import (
 
 from gr_tdigest_spark.operators.agg import SketchSpec, sketch_agg
 from gr_tdigest_spark.sketches.bloom import BloomFilter
+from gr_tdigest_spark.sketches.bottomk import BottomK
 from gr_tdigest_spark.sketches.cms import CMS
 from gr_tdigest_spark.sketches.hll import HLL
 from gr_tdigest_spark.sketches.kll import KLL
@@ -29,13 +30,16 @@ from gr_tdigest_spark.sketches.minhash import MinHash
 
 __all__ = [
     "HLLSpec", "CMSSpec", "BloomSpec", "KLLSpec", "MinHashSpec",
+    "BottomKSpec",
     "hll_agg", "cms_agg", "bloom_agg", "kll_agg", "minhash_agg",
+    "bottomk_agg",
     "hll_estimate", "hll_intersect_estimate", "cms_estimate",
     "bloom_contains", "minhash_jaccard", "cms_inner_product",
     "minhash_hll_intersect_estimate", "merge_sketches",
     "register_companion_sql",
     "kll_quantile", "kll_rank", "kll_count", "cms_topk",
     "bloom_filter_rows",
+    "bottomk_distinct", "bottomk_sample",
 ]
 
 
@@ -361,6 +365,22 @@ class MinHashSpec(_KernelSpec):
         return out
 
 
+class BottomKSpec(_KernelSpec):
+    """Bottom-k / KMV sketch: uniform distinct-sample + distinct-count
+    in one mergeable state (sketches/bottomk.py).  The deterministic
+    hash is the sampling priority, so the stored sample is identical
+    under ANY partition layout — no RNG state to synchronize."""
+
+    name = "bottomk"
+    kernel = BottomK
+
+    def __init__(self, k: int = 64, seed: int = 29):
+        self.k, self.seed = k, seed
+
+    def _new(self):
+        return BottomK(k=self.k, seed=self.seed)
+
+
 class KLLSpec(_KernelSpec):
     name = "kll"
     kernel = KLL
@@ -496,6 +516,26 @@ def minhash_agg(df: DataFrame, keys, col: str, k: int = 256,
                       salt_buckets=salt_buckets)
 
 
+def bottomk_agg(df: DataFrame, keys, col: str, k: int = 64,
+                seed: int = 29, out_col: str = "bottomk",
+                salt_buckets: Optional[int] = None,
+                pre_aggregate: bool = False) -> DataFrame:
+    """Bottom-k (KMV) sketch per group: a uniform sample of k distinct
+    values AND a distinct-count estimate in one bounded, mergeable
+    state.  The 100 TB sampling plan: facts are scanned once with
+    map-side combine (partial sketches are ≤ k entries regardless of
+    group size — a hot group costs the same as a cold one), and only
+    sketch-sized states shuffle.
+
+    ``pre_aggregate=True``: JVM ``distinct()`` first — the sketch is
+    duplicate-invariant, so results are identical while only distinct
+    (group, value) pairs cross Arrow."""
+    if pre_aggregate:
+        df = df.select(*(list(keys) if keys else []), col).distinct()
+    return sketch_agg(df, keys, col, BottomKSpec(k, seed), out_col=out_col,
+                      salt_buckets=salt_buckets)
+
+
 # ------------------------------------------------------------------ #
 # query functions (pandas UDFs over the sketch blob columns)
 # ------------------------------------------------------------------ #
@@ -561,6 +601,7 @@ def register_companion_sql(spark) -> None:
     spark.udf.register("bloom_merge", _merge_udf(BloomFilter))
     spark.udf.register("minhash_merge", _merge_udf(MinHash))
     spark.udf.register("kll_merge", _merge_udf(KLL))
+    spark.udf.register("bottomk_merge", _merge_udf(BottomK))
 
     @F.pandas_udf(DoubleType())
     def _hll_est(blobs: pd.Series) -> pd.Series:
@@ -816,6 +857,55 @@ def kll_count(col) -> Column:
         )
 
     return _n(col)
+
+
+def bottomk_distinct(col) -> Column:
+    """Distinct-count estimate from a bottom-k blob column (exact below
+    capacity; KMV (k−1)/U_(k) at it — rel. std error ≈ 1/√(k−2))."""
+
+    @F.pandas_udf(DoubleType())
+    def _d(blobs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if b is None else
+             BottomK.from_bytes(bytes(b)).distinct_estimate()
+             for b in blobs],
+            dtype="float64",
+        )
+
+    return _d(col)
+
+
+def bottomk_sample(col, dtype: str = "string") -> Column:
+    """The stored uniform sample as an array column.  ``dtype`` names
+    the element type of the sampled column: 'string', 'long', or
+    'double' (sampled values are returned with their original type;
+    'string' additionally stringifies non-string values for generic
+    inspection)."""
+    from pyspark.sql.types import StringType
+
+    elem = {
+        "string": StringType(), "long": LongType(),
+        "double": DoubleType(),
+    }.get(dtype)
+    if elem is None:
+        raise ValueError(
+            f"bottomk_sample dtype must be string/long/double, got {dtype!r}"
+        )
+
+    def conv(v):
+        if dtype == "string":
+            return v if isinstance(v, str) else str(v)
+        return int(v) if dtype == "long" else float(v)
+
+    @F.pandas_udf(ArrayType(elem))
+    def _s(blobs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if b is None else
+             [conv(v) for v in BottomK.from_bytes(bytes(b)).sample()]
+             for b in blobs],
+        )
+
+    return _s(col)
 
 
 # ------------------------------------------------------------------ #

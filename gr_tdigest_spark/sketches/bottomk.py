@@ -1,0 +1,232 @@
+"""Bottom-k (KMV) sketch: uniform distinct-sample + distinct-count.
+
+Training-data pipelines need cheap uniform samples ("show me 64 random
+documents per language over 100 TB") and the k-minimum-values sketch
+gives exactly that in one mergeable pass: keep the k values whose
+64-bit hashes are smallest.  Because the hash is a uniform permutation
+of the value space, the survivors are a uniform sample WITHOUT
+replacement of the *distinct* values, and the kth-smallest hash is a
+distinct-count estimator (Bar-Yossef et al., RANDOM'02):
+
+    D̂ = (k−1) / U_(k),   U_(k) = h_k / 2^64,
+    relative std error ≈ 1/sqrt(k−2).
+
+Mergeable monoid (same (k, seed) required):
+  merge = union of (hash, value) pairs, dedupe by hash, keep k smallest
+  — sig(A∪B) == merge(sig(A), sig(B)) EXACTLY, so merge is associative,
+  commutative, and idempotent with the empty sketch as identity, and
+  the stored sample is identical no matter how the data was
+  partitioned (the deterministic hash IS the priority; there is no RNG
+  state).
+
+Collision semantics: values are identified by their 64-bit hash, like
+HLL — two distinct values colliding (~2⁻⁶⁴ per pair) count once.
+Float values canonicalize −0.0 → +0.0 at ingest so the surviving
+representative can never depend on input order (same contract as the
+t-digest kernel, sketches/tdigest.py:_normalize).
+
+Wire: ``GSBK`` + version + k + seed + n_items + count + hashes +
+value-type tag + typed payload (int64/float64/utf-8 strings/bytes).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from gr_tdigest_spark.sketches.hashing import hash64
+
+__all__ = ["BottomK"]
+
+_MAGIC = b"GSBK"
+_HEAD = "<BIqd"  # version, k, seed, n_items
+_MAX_K = 65536
+
+
+def _canon_values(arr: np.ndarray) -> np.ndarray:
+    """-0.0 → +0.0 for float inputs (hash64 already canonicalizes the
+    HASH; this canonicalizes the stored representative too, so blobs
+    are partition-layout independent)."""
+    if arr.dtype.kind == "f":
+        return arr + 0.0
+    return arr
+
+
+@dataclass
+class BottomK:
+    k: int = 64
+    seed: int = 29
+    hashes: np.ndarray = field(default=None)   # uint64 ascending distinct
+    values: np.ndarray = field(default=None)   # object, aligned
+    n_items: float = 0.0  # rows ingested (not distinct; bookkeeping)
+
+    def __post_init__(self):
+        if not (1 <= self.k <= _MAX_K):
+            raise ValueError(f"BottomK k must be in [1, {_MAX_K}]")
+        if self.hashes is None:
+            self.hashes = np.empty(0, dtype=np.uint64)
+        if self.values is None:
+            self.values = np.empty(0, dtype=object)
+
+    # ---------------- build / merge ----------------
+
+    def _combine(self, h_new: np.ndarray, v_new: np.ndarray) -> None:
+        h_all = np.concatenate((self.hashes, h_new.astype(np.uint64)))
+        v_all = np.concatenate(
+            (self.values, np.asarray(v_new, dtype=object))
+        )
+        # stable sort: on (impossibly rare) cross-value hash ties the
+        # EXISTING entry wins, keeping merge deterministic
+        order = np.argsort(h_all, kind="stable")
+        h_all, v_all = h_all[order], v_all[order]
+        if h_all.size > 1:
+            keep = np.empty(h_all.size, dtype=bool)
+            keep[0] = True
+            np.not_equal(h_all[1:], h_all[:-1], out=keep[1:])
+            h_all, v_all = h_all[keep], v_all[keep]
+        self.hashes = h_all[: self.k]
+        self.values = v_all[: self.k]
+
+    def add(self, values) -> None:
+        arr = _canon_values(np.asarray(values))
+        if arr.size == 0:
+            return
+        self._combine(hash64(arr, seed=self.seed), arr)
+        self.n_items += float(arr.size)
+
+    def merge(self, other: "BottomK") -> "BottomK":
+        if (self.k, self.seed) != (other.k, other.seed):
+            raise ValueError("BottomK merge: incompatible (k, seed)")
+        out = BottomK(self.k, self.seed, self.hashes.copy(),
+                      self.values.copy(),
+                      self.n_items + other.n_items)
+        out._combine(other.hashes, other.values)
+        return out
+
+    # ---------------- queries ----------------
+
+    def sample(self) -> list:
+        """The stored uniform sample of distinct values (≤ k items,
+        ordered by hash — i.e. in uniform-random order)."""
+        return list(self.values)
+
+    def distinct_estimate(self) -> float:
+        """Exact below capacity; KMV estimator (k−1)/U_(k) at it."""
+        if self.hashes.size < self.k:
+            return float(self.hashes.size)
+        u_k = float(self.hashes[-1]) / 2.0 ** 64
+        if u_k <= 0.0:
+            return float(self.hashes.size)
+        return (self.k - 1) / u_k
+
+    @property
+    def std_error(self) -> float:
+        """Relative standard error of the distinct estimate."""
+        return 1.0 / math.sqrt(max(self.k - 2, 1))
+
+    @property
+    def is_empty(self) -> bool:
+        return self.hashes.size == 0
+
+    # ---------------- wire ----------------
+
+    def to_bytes(self) -> bytes:
+        n = int(self.hashes.size)
+        head = (
+            _MAGIC
+            + struct.pack(_HEAD, 1, self.k, self.seed, self.n_items)
+            + struct.pack("<I", n)
+            + self.hashes.astype("<u8").tobytes()
+        )
+        if n == 0:
+            return head + b"n"
+        first = self.values[0]
+        if isinstance(first, (bool, np.bool_)):
+            raise ValueError("BottomK wire: bool values unsupported")
+        if isinstance(first, (int, np.integer)):
+            return head + b"i" + np.asarray(
+                self.values, dtype=np.int64
+            ).astype("<i8").tobytes()
+        if isinstance(first, (float, np.floating)):
+            return head + b"f" + np.asarray(
+                self.values, dtype=np.float64
+            ).astype("<f8").tobytes()
+        if isinstance(first, (str, np.str_)):
+            enc = [str(v).encode("utf-8") for v in self.values]
+            lens = np.asarray([len(b) for b in enc], dtype="<u4")
+            return head + b"s" + lens.tobytes() + b"".join(enc)
+        if isinstance(first, (bytes, np.bytes_)):
+            enc = [bytes(v) for v in self.values]
+            lens = np.asarray([len(b) for b in enc], dtype="<u4")
+            return head + b"b" + lens.tobytes() + b"".join(enc)
+        raise ValueError(
+            f"BottomK wire: unsupported value type {type(first).__name__} "
+            "(int/float/str/bytes columns only)"
+        )
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "BottomK":
+        blob = bytes(blob)
+        if blob[:4] != _MAGIC:
+            raise ValueError("invalid GSBK magic")
+        version, k, seed, n_items = struct.unpack_from(_HEAD, blob, 4)
+        if version != 1:
+            raise ValueError(f"unsupported GSBK version {version}")
+        # validate header dims BEFORE any allocation (amplification
+        # guard — same rule as the sparse companion wires)
+        if not (1 <= k <= _MAX_K):
+            raise ValueError("GSBK k out of range")
+        off = 4 + struct.calcsize(_HEAD)
+        (n,) = struct.unpack_from("<I", blob, off)
+        if n > k:
+            raise ValueError("GSBK count exceeds k")
+        off += 4
+        if len(blob) < off + 8 * n + 1:
+            raise ValueError("GSBK truncated hash payload")
+        hashes = np.frombuffer(blob, dtype="<u8", offset=off, count=n)
+        off += 8 * n
+        tag = blob[off:off + 1]
+        off += 1
+        if tag == b"n":
+            if n != 0:
+                raise ValueError("GSBK empty tag with nonzero count")
+            values = np.empty(0, dtype=object)
+        elif tag in (b"i", b"f"):
+            dt = "<i8" if tag == b"i" else "<f8"
+            if len(blob) != off + 8 * n:
+                raise ValueError("GSBK numeric payload length mismatch")
+            arr = np.frombuffer(blob, dtype=dt, offset=off, count=n)
+            values = np.empty(n, dtype=object)
+            py = int if tag == b"i" else float
+            values[:] = [py(v) for v in arr]
+        elif tag in (b"s", b"b"):
+            if len(blob) < off + 4 * n:
+                raise ValueError("GSBK truncated length table")
+            lens = np.frombuffer(blob, dtype="<u4", offset=off, count=n)
+            off += 4 * n
+            total = int(lens.sum())
+            if len(blob) != off + total:
+                raise ValueError("GSBK string payload length mismatch")
+            values = np.empty(n, dtype=object)
+            pos = off
+            for i, ln in enumerate(lens):
+                chunk = blob[pos:pos + int(ln)]
+                values[i] = (
+                    chunk.decode("utf-8") if tag == b"s" else chunk
+                )
+                pos += int(ln)
+        else:
+            raise ValueError(f"GSBK unknown value tag {tag!r}")
+        out = cls(int(k), int(seed), hashes.astype(np.uint64).copy(),
+                  values, float(n_items))
+        if out.hashes.size > 1 and np.any(
+            out.hashes[1:] <= out.hashes[:-1]
+        ):
+            raise ValueError("GSBK hashes not strictly ascending")
+        return out
+
+    def __reduce__(self):
+        return (BottomK.from_bytes, (self.to_bytes(),))

@@ -1,0 +1,261 @@
+"""Bottom-k (KMV) sketch + deterministic sampling operators.
+
+Kernel laws, wire pins, the sketch_agg integration (layout
+independence), and the plan shapes / contracts of uniform_sample and
+stratified_sample."""
+
+import pickle
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from gr_tdigest_spark.sketches.bottomk import BottomK
+
+
+class TestBottomKKernel:
+    def test_merge_equals_single_build_byte_exact(self):
+        rng = np.random.default_rng(0)
+        vals = rng.integers(0, 10_000, 50_000)
+        whole = BottomK(k=128)
+        whole.add(vals)
+        for cut in (0, 1, 37, 25_000, 49_999):
+            a, b = BottomK(k=128), BottomK(k=128)
+            if cut:
+                a.add(vals[:cut])
+            if cut < len(vals):
+                b.add(vals[cut:])
+            assert a.merge(b).to_bytes() == whole.to_bytes()
+            assert b.merge(a).to_bytes() == whole.to_bytes()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        data=st.lists(st.integers(min_value=0, max_value=500),
+                      min_size=1, max_size=400),
+        split=st.integers(min_value=0, max_value=400),
+    )
+    def test_merge_law_property(self, data, split):
+        split = min(split, len(data))
+        arr = np.asarray(data)
+        a, b = BottomK(k=32), BottomK(k=32)
+        if split:
+            a.add(arr[:split])
+        if len(arr) - split:
+            b.add(arr[split:])
+        whole = BottomK(k=32)
+        whole.add(arr)
+        m = a.merge(b)
+        assert m.to_bytes() == whole.to_bytes()
+        assert m.n_items == len(arr)
+
+    def test_distinct_exact_below_capacity(self):
+        sk = BottomK(k=64)
+        sk.add(np.arange(40))
+        assert sk.distinct_estimate() == 40.0
+        assert sorted(sk.sample()) == list(range(40))
+
+    def test_distinct_estimate_within_bound(self):
+        rng = np.random.default_rng(7)
+        vals = rng.integers(0, 50_000, 300_000)
+        sk = BottomK(k=256)
+        sk.add(vals)
+        exact = len(np.unique(vals))
+        est = sk.distinct_estimate()
+        assert abs(est - exact) / exact <= 5 * sk.std_error
+
+    def test_duplicate_invariance(self):
+        a = BottomK(k=16)
+        a.add(np.array([1, 2, 3]))
+        b = BottomK(k=16)
+        b.add(np.array([1, 1, 2, 2, 3, 3, 3]))
+        assert np.array_equal(a.hashes, b.hashes)
+        assert a.sample() == b.sample()
+
+    def test_signed_zero_canonical(self):
+        a = BottomK(k=8)
+        a.add(np.array([0.0, -0.0, 1.5]))
+        b = BottomK(k=8)
+        b.add(np.array([-0.0, 0.0, 1.5]))
+        assert a.to_bytes() == b.to_bytes()
+
+    def test_wire_roundtrip_types(self):
+        for vals in (
+            np.arange(10),
+            np.linspace(0, 1, 10),
+            np.array(["x", "yy", "zzz", ""], dtype=object),
+            np.array([b"ab", b"", b"c"], dtype=object),
+        ):
+            sk = BottomK(k=8)
+            sk.add(vals)
+            rt = BottomK.from_bytes(sk.to_bytes())
+            assert np.array_equal(rt.hashes, sk.hashes)
+            assert rt.sample() == sk.sample()
+            assert rt.n_items == sk.n_items
+
+    def test_wire_corruption_matrix(self):
+        sk = BottomK(k=8)
+        sk.add(np.arange(20))
+        blob = sk.to_bytes()
+        with pytest.raises(ValueError, match="magic"):
+            BottomK.from_bytes(b"XXXX" + blob[4:])
+        with pytest.raises(ValueError):
+            BottomK.from_bytes(blob[:-3])  # truncated payload
+        forged = bytearray(blob)
+        # count > k in the header
+        struct.pack_into("<I", forged, 4 + struct.calcsize("<BIqd"), 99)
+        with pytest.raises(ValueError, match="count exceeds k"):
+            BottomK.from_bytes(bytes(forged))
+
+    def test_golden_wire_bytes(self):
+        """Hand-assembled GSBK v1 blob (change only with a version
+        bump): k=2, seed=29, two int64 values."""
+        sk = BottomK(k=2, seed=29)
+        sk.add(np.array([5, 9], dtype=np.int64))
+        h = sk.hashes
+        vals = sk.sample()
+        expect = (
+            b"GSBK"
+            + struct.pack("<BIqd", 1, 2, 29, 2.0)
+            + struct.pack("<I", 2)
+            + h.astype("<u8").tobytes()
+            + b"i"
+            + np.asarray(vals, dtype="<i8").tobytes()
+        )
+        assert sk.to_bytes() == expect
+
+    def test_pickle_roundtrip(self):
+        sk = BottomK(k=16)
+        sk.add(np.array(["a", "b", "c"], dtype=object))
+        rt = pickle.loads(pickle.dumps(sk))
+        assert rt.to_bytes() == sk.to_bytes()
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="k must be"):
+            BottomK(k=0)
+        with pytest.raises(ValueError, match="incompatible"):
+            BottomK(k=8).merge(BottomK(k=16))
+
+
+class TestBottomKSpark:
+    def test_agg_matches_kernel(self, spark):
+        from gr_tdigest_spark.operators.companions import (
+            bottomk_agg, bottomk_distinct,
+        )
+        from gr_tdigest_spark.sketches import bottomk as bk
+
+        rows = [(chr(65 + i % 3), i % 500) for i in range(3000)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        out = {
+            r["g"]: bytes(r["bottomk"])
+            for r in bottomk_agg(df, ["g"], "v", k=32).collect()
+        }
+        for g in "ABC":
+            direct = bk.BottomK(k=32)
+            direct.add(np.asarray(
+                [v for gg, v in rows if gg == g], dtype=np.int64))
+            assert out[g] == direct.to_bytes()
+        est = {
+            r["g"]: r["d"]
+            for r in bottomk_agg(df, ["g"], "v", k=32)
+            .select("g", bottomk_distinct("bottomk").alias("d")).collect()
+        }
+        # 500 distinct values round-robin over 3 groups
+        for g in "ABC":
+            exact = len({v for gg, v in rows if gg == g})
+            assert abs(est[g] - exact) / exact <= 5 / np.sqrt(30)
+
+    def test_layout_independence(self, spark):
+        from gr_tdigest_spark.operators.companions import bottomk_agg
+
+        rows = [(chr(65 + i % 2), f"id{i % 700}") for i in range(4000)]
+        df = spark.createDataFrame(rows, "g string, v string")
+        blobs = None
+        for parts in (1, 2, 6):
+            got = {
+                r["g"]: bytes(r["bottomk"])
+                for r in bottomk_agg(
+                    df.repartition(parts), ["g"], "v", k=48
+                ).collect()
+            }
+            if blobs is None:
+                blobs = got
+            else:
+                assert got == blobs, parts
+
+
+class TestSamplingOperators:
+    def test_uniform_sample_plan_and_determinism(self, spark):
+        from gr_tdigest_spark.operators.sample import uniform_sample
+
+        df = spark.range(0, 20_000).withColumnRenamed("id", "doc_id")
+        s = uniform_sample(df, 100, "doc_id", seed=1)
+        plan = s._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        ids1 = sorted(r["doc_id"] for r in s.collect())
+        assert len(ids1) == 100
+        # deterministic under repartitioning
+        ids2 = sorted(
+            r["doc_id"] for r in
+            uniform_sample(df.repartition(13), 100, "doc_id", seed=1)
+            .collect()
+        )
+        assert ids1 == ids2
+        # different seed → different draw
+        ids3 = sorted(
+            r["doc_id"] for r in
+            uniform_sample(df, 100, "doc_id", seed=2).collect()
+        )
+        assert ids1 != ids3
+
+    @pytest.mark.parametrize("method", ["sketch", "window"])
+    def test_stratified_sample_contract(self, spark, method):
+        from gr_tdigest_spark.operators.sample import stratified_sample
+
+        rows = [(chr(65 + i % 3), i, f"payload{i}") for i in range(2000)]
+        # group 'D' is tiny: fewer ids than k
+        rows += [("D", 100_000 + i, "small") for i in range(4)]
+        df = spark.createDataFrame(rows, "g string, doc_id long, txt string")
+        out = stratified_sample(df, "g", 10, "doc_id", seed=3,
+                                method=method).collect()
+        by_g = {}
+        for r in out:
+            by_g.setdefault(r["g"], []).append(r["doc_id"])
+        assert sorted(by_g) == ["A", "B", "C", "D"]
+        for g in "ABC":
+            assert len(by_g[g]) == 10
+            assert len(set(by_g[g])) == 10
+        assert sorted(by_g["D"]) == [100_000, 100_001, 100_002, 100_003]
+        # rows come back with full width (semi-join / filter, no proj loss)
+        assert {f.name for f in df.schema} == {
+            f.name for f in
+            stratified_sample(df, "g", 10, "doc_id", seed=3,
+                              method=method).schema
+        }
+
+    def test_stratified_sketch_deterministic_across_layouts(self, spark):
+        from gr_tdigest_spark.operators.sample import stratified_sample
+
+        rows = [(chr(65 + i % 3), i) for i in range(3000)]
+        df = spark.createDataFrame(rows, "g string, doc_id long")
+        a = sorted(
+            (r["g"], r["doc_id"]) for r in
+            stratified_sample(df, "g", 7, "doc_id", seed=5).collect()
+        )
+        b = sorted(
+            (r["g"], r["doc_id"]) for r in
+            stratified_sample(df.repartition(11), "g", 7, "doc_id",
+                              seed=5).collect()
+        )
+        assert a == b
+
+    def test_stratified_sketch_broadcast_plan(self, spark):
+        from gr_tdigest_spark.operators.sample import stratified_sample
+
+        df = spark.createDataFrame(
+            [(chr(65 + i % 2), i) for i in range(500)],
+            "g string, doc_id long",
+        )
+        s = stratified_sample(df, "g", 5, "doc_id")
+        plan = s._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
