@@ -232,6 +232,57 @@ def test_streaming_minhash_matches_batch(spark, tmp_path):
         )
 
 
+def test_streaming_bottomk_matches_batch(spark, tmp_path):
+    """Bottom-k through the same generic streaming plan: the streamed
+    sample/distinct state equals the batch sketch byte-for-byte (the
+    keep-k-smallest monoid is order-insensitive — the 'running uniform
+    sample over a stream' shape)."""
+    from gr_tdigest_spark.operators.companions import (
+        BottomKSpec, bottomk_agg,
+    )
+    from gr_tdigest_spark.streaming import sketch_stream_agg
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    rng = np.random.default_rng(13)
+    schema = "g string, doc long"
+    rows = [
+        (f"g{k}", int(u))
+        for k, u in zip(rng.integers(0, 2, 600), rng.integers(0, 400, 600))
+    ]
+    spark.createDataFrame(rows[:300], schema).write.mode("append").parquet(src)
+    spark.createDataFrame(rows[300:], schema).write.mode("append").parquet(src)
+
+    collected = []
+
+    def sink(df, epoch_id):
+        collected.extend(df.collect())
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        sketch_stream_agg(stream, ["g"], "doc", BottomKSpec(k=32))
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    latest = {}
+    for r in collected:
+        latest[r["g"]] = r
+    batch = {
+        r["g"]: bytes(r["bottomk"])
+        for r in bottomk_agg(
+            spark.createDataFrame(rows, schema), ["g"], "doc", k=32
+        ).collect()
+    }
+    for g, blob in batch.items():
+        assert bytes(latest[g]["bottomk"]) == blob, g
+
+
 def test_streaming_hll_stable_dtype_across_null_batches(spark, tmp_path):
     """Regression (review finding): a value ingested in a null-bearing
     micro-batch must hash identically to one ingested in a clean batch
