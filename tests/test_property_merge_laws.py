@@ -221,19 +221,21 @@ def test_minhash_merge_associative_idempotent_exact_state(data, split):
 
 @settings(max_examples=200, deadline=None)
 @given(payload=st.binary(min_size=0, max_size=64),
-      magic=st.sampled_from([b"GSHL", b"GSCM", b"GSBF", b"GSMH"]))
+      magic=st.sampled_from([b"GSHL", b"GSCM", b"GSBF", b"GSMH",
+                             b"GSBK"]))
 def test_wire_decoders_never_crash_on_garbage(payload, magic):
     """Corrupt/truncated blobs (valid magic + arbitrary bytes) must
     raise a clean ValueError/struct.error — never segfault, hang, or
     silently return a sketch built from garbage lengths."""
     import struct
     from gr_tdigest_spark.sketches.bloom import BloomFilter
+    from gr_tdigest_spark.sketches.bottomk import BottomK
     from gr_tdigest_spark.sketches.cms import CMS
     from gr_tdigest_spark.sketches.hll import HLL
     from gr_tdigest_spark.sketches.minhash import MinHash
 
     decoder = {b"GSHL": HLL, b"GSCM": CMS, b"GSBF": BloomFilter,
-               b"GSMH": MinHash}[magic]
+               b"GSMH": MinHash, b"GSBK": BottomK}[magic]
     blob = magic + payload
     try:
         sk = decoder.from_bytes(blob)
@@ -247,6 +249,9 @@ def test_wire_decoders_never_crash_on_garbage(payload, magic):
         np.testing.assert_array_equal(rt.table, sk.table)
     elif hasattr(sk, "words"):
         np.testing.assert_array_equal(rt.words, sk.words)
+    elif hasattr(sk, "hashes"):
+        np.testing.assert_array_equal(rt.hashes, sk.hashes)
+        assert rt.sample() == sk.sample()
     else:
         np.testing.assert_array_equal(rt.sig, sk.sig)
 
