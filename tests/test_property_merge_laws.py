@@ -273,13 +273,14 @@ def test_vectorized_build_groups_equals_default_path(rows):
     import pandas as pd
     from gr_tdigest_spark.operators.agg import SketchSpec
     from gr_tdigest_spark.operators.companions import (
-        BloomSpec, CMSSpec, HLLSpec, KLLSpec, MinHashSpec,
+        BloomSpec, BottomKSpec, CMSSpec, HLLSpec, KLLSpec, MinHashSpec,
     )
 
     pdf = pd.DataFrame(rows, columns=["g", "v"])
     for spec in (
         HLLSpec(p=8), BloomSpec(m_bits=256, k=3),
         CMSSpec(depth=3, width=64), MinHashSpec(k=16), KLLSpec(k=8),
+        BottomKSpec(k=8),
     ):
         got = spec.build_groups(pdf, ["g"], "v", None)
         exp = SketchSpec.build_groups(spec, pdf, ["g"], "v", None)
