@@ -662,8 +662,30 @@ def register_companion_sql(spark) -> None:
                     float(q))[0])
         return pd.Series(out)
 
+    @F.pandas_udf(DoubleType())
+    def _bk_distinct(blobs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if b is None else
+             BottomK.from_bytes(bytes(b)).distinct_estimate()
+             for b in blobs],
+            dtype="float64",
+        )
+
+    from pyspark.sql.types import StringType as _StringType
+
+    @F.pandas_udf(ArrayType(_StringType()))
+    def _bk_sample(blobs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if b is None else
+             [v if isinstance(v, str) else str(v)
+              for v in BottomK.from_bytes(bytes(b)).sample()]
+             for b in blobs],
+        )
+
     spark.udf.register("hll_estimate", _hll_est)
     spark.udf.register("kll_quantile", _kll_q)
+    spark.udf.register("bottomk_distinct", _bk_distinct)
+    spark.udf.register("bottomk_sample", _bk_sample)
     spark.udf.register("bloom_contains", _make_bloom_contains_udf())
     spark.udf.register("cms_estimate", _make_cms_estimate_col_udf())
     spark.udf.register("minhash_jaccard", _make_minhash_jaccard_udf())

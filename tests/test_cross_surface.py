@@ -229,3 +229,17 @@ class TestCompanionSQLSurface:
             "FROM t_cms a, t_cms b"
         ).collect()[0]["ip"]
         assert ip > 0
+
+        from gr_tdigest_spark.operators.companions import bottomk_agg
+
+        bottomk_agg(li, ["l_returnflag"], "l_orderkey", k=16) \
+            .createOrReplaceTempView("t_bk")
+        bk = spark.sql(
+            "SELECT l_returnflag, "
+            "bottomk_distinct(bottomk_merge(bottomk)) AS d, "
+            "size(bottomk_sample(bottomk_merge(bottomk))) AS s "
+            "FROM t_bk GROUP BY l_returnflag"
+        ).collect()
+        assert len(bk) == 3
+        for r in bk:
+            assert r["s"] == 16 and r["d"] >= 16.0
