@@ -398,7 +398,9 @@ class BottomKSpec(_KernelSpec):
         h = hash64(arr, seed=self.seed)
         order = np.lexsort((h, codes))
         codes_s, h_s = codes[order], h[order]
-        vals_s = np.asarray(arr, dtype=object)[order]
+        # permute/dedupe in the NATIVE dtype — boxing to object happens
+        # only on each group's ≤ k surviving entries, never the batch
+        vals_s = arr[order]
         if codes_s.size > 1:
             keep = np.empty(codes_s.size, dtype=bool)
             keep[0] = True
@@ -415,7 +417,7 @@ class BottomKSpec(_KernelSpec):
             sk = BottomK(
                 self.k, self.seed,
                 h_s[b0:hi].astype(np.uint64).copy(),
-                vals_s[b0:hi].copy(),
+                np.asarray(vals_s[b0:hi], dtype=object).copy(),
                 float(n_per_group[g]),
             )
             prev = out.get(key)
@@ -569,9 +571,13 @@ def bottomk_agg(df: DataFrame, keys, col: str, k: int = 64,
     group size — a hot group costs the same as a cold one), and only
     sketch-sized states shuffle.
 
-    ``pre_aggregate=True``: JVM ``distinct()`` first — the sketch is
-    duplicate-invariant, so results are identical while only distinct
-    (group, value) pairs cross Arrow."""
+    ``pre_aggregate=True``: JVM ``distinct()`` first — the sampled
+    hashes/values are identical (the sketch is duplicate-invariant)
+    while only distinct (group, value) pairs cross Arrow. NOTE: the
+    ``n_items`` bookkeeping field in the blob then records the
+    distinct-pair count rather than the row count, so blobs are NOT
+    byte-equal to the non-pre-aggregated build when duplicates exist —
+    compare samples/estimates, not raw bytes, across the two modes."""
     if pre_aggregate:
         df = df.select(*(list(keys) if keys else []), col).distinct()
     return sketch_agg(df, keys, col, BottomKSpec(k, seed), out_col=out_col,

@@ -20,9 +20,11 @@ unrelated rows never changes which ids are sampled, unlike
   Simpler plan, but the whole of every group flows through one task;
   use it when groups are known-small.
 
-Both stratified methods return exactly ``min(k, group distinct ids)``
-rows per group; the two methods draw DIFFERENT (equally uniform)
-samples because their priority hashes differ (xxhash64 vs splitmix64).
+Both stratified methods sample exactly ``min(k, distinct ids)``
+DISTINCT ids per group and return every row carrying a sampled id
+(min(k, n) rows when ids are row-unique); the two methods draw
+DIFFERENT (equally uniform) samples because their priority hashes
+differ (xxhash64 vs splitmix64).
 """
 
 from __future__ import annotations
@@ -31,7 +33,9 @@ from typing import List, Sequence, Union
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, FloatType, IntegerType, LongType
+from pyspark.sql.types import (
+    DoubleType, FloatType, IntegerType, LongType, StringType,
+)
 
 __all__ = ["sample_priority", "uniform_sample", "stratified_sample"]
 
@@ -55,7 +59,10 @@ def uniform_sample(df: DataFrame, k: int,
     ``orderBy(priority).limit(k)`` — Catalyst turns this into
     ``TakeOrderedAndProject`` (per-partition top-k + merge of k-sized
     heads), so no global sort or shuffle materializes.  Ties (only
-    possible for duplicate ids) break on the ids themselves."""
+    possible for duplicate ids) break on the ids themselves, so the
+    sampled ID SET is always deterministic; if duplicate ids carry
+    different payload columns, which duplicate row represents a tied
+    id may vary with partitioning (the sort key is fully tied)."""
     if k <= 0:
         raise ValueError("uniform_sample k must be > 0")
     ids = _cols(id_cols)
@@ -67,9 +74,13 @@ def stratified_sample(df: DataFrame, keys: Union[str, Sequence[str]],
                       k: int, id_col: str, seed: int = 0,
                       method: str = "sketch",
                       broadcast_ids: bool = True) -> DataFrame:
-    """k uniformly-sampled rows per group, deterministic in
-    (id_col, seed).  ``id_col`` must identify rows within a group
-    (duplicates sample once — the sample is over distinct ids).
+    """All rows whose id is among k uniformly-sampled DISTINCT ids per
+    group, deterministic in (id_col, seed).  Both methods share this
+    contract: exactly min(k, distinct ids) distinct ids survive per
+    group, and every row carrying a sampled id comes back — so when
+    ``id_col`` uniquely identifies rows (the normal case), the result
+    is exactly min(k, n) rows per group.  The two methods draw
+    different (equally uniform) samples — their priority hashes differ.
 
     method='sketch' (scale path): bottom-k sketch per group → explode
     the ≤ k sampled ids → semi-join the facts.  Partial state is
@@ -79,48 +90,70 @@ def stratified_sample(df: DataFrame, keys: Union[str, Sequence[str]],
     (n_groups·k)-row id table into a broadcast hash join; disable when
     n_groups·k is too large to broadcast.
 
-    method='window': row_number over (keys ORDER BY priority) ≤ k —
-    every row of a group shuffles to one task; fine for small groups.
+    method='window': row_number over the DISTINCT (keys, id) pairs ≤ k,
+    then the same semi-join — every distinct pair of a group shuffles
+    to one task; fine when groups are known-small.
+
+    Ids of types beyond int/float/string (dates, timestamps, decimals)
+    are sampled through a string cast — deterministic and collision-
+    free since ``CAST(x AS STRING)`` is injective for those types.
     """
     if k <= 0:
         raise ValueError("stratified_sample k must be > 0")
     key_list = _cols(keys)
-    if method == "window":
-        from pyspark.sql.window import Window
-
-        pr = sample_priority(id_col, seed)
-        w = Window.partitionBy(*key_list).orderBy(
-            pr.asc(), F.col(id_col).asc()
-        )
-        return (
-            df.withColumn("_sample_rn", F.row_number().over(w))
-            .filter(F.col("_sample_rn") <= k)
-            .drop("_sample_rn")
-        )
-    if method != "sketch":
+    if method not in ("sketch", "window"):
         raise ValueError(
             f"stratified_sample method must be sketch/window, got {method!r}"
         )
-    from gr_tdigest_spark.operators.companions import (
-        bottomk_agg, bottomk_sample,
-    )
 
     dt = df.schema[id_col].dataType
     if isinstance(dt, (IntegerType, LongType)):
-        sample_dtype = "long"
+        sample_dtype, join_col, fact = "long", id_col, df
     elif isinstance(dt, (FloatType, DoubleType)):
-        sample_dtype = "double"
+        sample_dtype, join_col, fact = "double", id_col, df
+    elif isinstance(dt, StringType):
+        sample_dtype, join_col, fact = "string", id_col, df
     else:
+        # the sketch wire (and hashing determinism) wants a primitive:
+        # sample over an injective string rendering of the id
         sample_dtype = "string"
-    sk = bottomk_agg(
-        df.select(*key_list, id_col), key_list, id_col, k=k, seed=seed
-    )
-    ids = sk.select(
-        *key_list,
-        F.explode(bottomk_sample("bottomk", sample_dtype)).alias(id_col),
-    )
-    if sample_dtype != "string":
-        ids = ids.withColumn(id_col, F.col(id_col).cast(dt))
+        join_col = "_sample_id"
+        fact = df.withColumn(join_col, F.col(id_col).cast("string"))
+
+    if method == "window":
+        from pyspark.sql.window import Window
+
+        pr = sample_priority(join_col, seed)
+        w = Window.partitionBy(*key_list).orderBy(
+            pr.asc(), F.col(join_col).asc()
+        )
+        ids = (
+            fact.select(*key_list, join_col).distinct()
+            .withColumn("_sample_rn", F.row_number().over(w))
+            .filter(F.col("_sample_rn") <= k)
+            .drop("_sample_rn")
+        )
+    else:
+        from gr_tdigest_spark.operators.companions import (
+            bottomk_agg, bottomk_sample,
+        )
+
+        sk = bottomk_agg(
+            fact.select(*key_list, join_col), key_list, join_col,
+            k=max(k, 2), seed=seed,
+        )
+        sample_col = bottomk_sample("bottomk", sample_dtype)
+        if k == 1:  # sketch k floor is 2; keep exactly one id
+            sample_col = F.slice(sample_col, 1, 1)
+        ids = sk.select(
+            *key_list,
+            F.explode(sample_col).alias(join_col),
+        )
+        if sample_dtype != "string":
+            ids = ids.withColumn(
+                join_col, F.col(join_col).cast(fact.schema[join_col].dataType)
+            )
     if broadcast_ids:
         ids = F.broadcast(ids)
-    return df.join(ids, on=key_list + [id_col], how="leftsemi")
+    out = fact.join(ids, on=key_list + [join_col], how="leftsemi")
+    return out.drop("_sample_id") if join_col == "_sample_id" else out

@@ -13,11 +13,13 @@ distinct-count estimator (Bar-Yossef et al., RANDOM'02):
 
 Mergeable monoid (same (k, seed) required):
   merge = union of (hash, value) pairs, dedupe by hash, keep k smallest
-  — sig(A∪B) == merge(sig(A), sig(B)) EXACTLY, so merge is associative,
-  commutative, and idempotent with the empty sketch as identity, and
-  the stored sample is identical no matter how the data was
-  partitioned (the deterministic hash IS the priority; there is no RNG
-  state).
+  — sig(A∪B) == merge(sig(A), sig(B)) EXACTLY, so merge is associative
+  and commutative with the empty sketch as identity, and the stored
+  sample is identical no matter how the data was partitioned (the
+  deterministic hash IS the priority; there is no RNG state).  The
+  sampled (hash, value) state is also idempotent under self-merge; the
+  ``n_items`` bookkeeping counter sums, so only disjoint shard splits
+  reproduce the single-build blob byte-for-byte.
 
 Collision semantics: values are identified by their 64-bit hash, like
 HLL — two distinct values colliding (~2⁻⁶⁴ per pair) count once.
@@ -64,8 +66,9 @@ class BottomK:
     n_items: float = 0.0  # rows ingested (not distinct; bookkeeping)
 
     def __post_init__(self):
-        if not (1 <= self.k <= _MAX_K):
-            raise ValueError(f"BottomK k must be in [1, {_MAX_K}]")
+        # k ≥ 2: the KMV estimator (k−1)/U_(k) degenerates to 0 at k=1
+        if not (2 <= self.k <= _MAX_K):
+            raise ValueError(f"BottomK k must be in [2, {_MAX_K}]")
         if self.hashes is None:
             self.hashes = np.empty(0, dtype=np.uint64)
         if self.values is None:

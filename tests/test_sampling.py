@@ -133,6 +133,9 @@ class TestBottomKKernel:
     def test_validation(self):
         with pytest.raises(ValueError, match="k must be"):
             BottomK(k=0)
+        # k=1 rejected: the KMV estimator (k−1)/U_(k) degenerates to 0
+        with pytest.raises(ValueError, match="k must be"):
+            BottomK(k=1)
         with pytest.raises(ValueError, match="incompatible"):
             BottomK(k=8).merge(BottomK(k=16))
 
@@ -248,6 +251,54 @@ class TestSamplingOperators:
                               seed=5).collect()
         )
         assert a == b
+
+    @pytest.mark.parametrize("method", ["sketch", "window"])
+    def test_stratified_duplicate_ids_sample_distinct(self, spark, method):
+        """Duplicate (group, id) rows: exactly min(k, DISTINCT ids)
+        distinct ids survive, and every row carrying a sampled id comes
+        back — same contract for both methods."""
+        from gr_tdigest_spark.operators.sample import stratified_sample
+
+        rows = [("A", i % 5, j) for i in range(20) for j in range(2)]
+        df = spark.createDataFrame(rows, "g string, doc_id long, rep long")
+        out = stratified_sample(df, "g", 3, "doc_id", seed=2,
+                                method=method).collect()
+        ids = [r["doc_id"] for r in out]
+        assert len(set(ids)) == 3
+        # each of the 5 candidate ids occurs 8 times in the input
+        assert len(ids) == 3 * 8
+
+    @pytest.mark.parametrize("method", ["sketch", "window"])
+    def test_stratified_nonprimitive_id_types(self, spark, method):
+        """Date/timestamp ids sample through an injective string cast
+        instead of crashing in the sketch wire."""
+        import datetime
+        from gr_tdigest_spark.operators.sample import stratified_sample
+
+        rows = [
+            ("A", datetime.date(2024, 1, 1) + datetime.timedelta(days=i))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "g string, d date")
+        out = stratified_sample(df, "g", 5, "d", seed=1, method=method)
+        got = out.collect()
+        assert len(got) == 5
+        assert {f.name for f in out.schema} == {"g", "d"}
+        assert all(isinstance(r["d"], datetime.date) for r in got)
+
+    def test_stratified_sketch_k1(self, spark):
+        from gr_tdigest_spark.operators.sample import stratified_sample
+
+        df = spark.createDataFrame(
+            [(chr(65 + i % 3), i) for i in range(300)],
+            "g string, doc_id long",
+        )
+        out = stratified_sample(df, "g", 1, "doc_id", seed=4).collect()
+        per = {}
+        for r in out:
+            per.setdefault(r["g"], []).append(r["doc_id"])
+        assert sorted(per) == ["A", "B", "C"]
+        assert all(len(v) == 1 for v in per.values())
 
     def test_stratified_sketch_broadcast_plan(self, spark):
         from gr_tdigest_spark.operators.sample import stratified_sample

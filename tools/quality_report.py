@@ -162,11 +162,23 @@ def companion_section():
             f"{1.04 / math.sqrt(1 << 14):.4f} |"
         )
     from gr_tdigest_spark.sketches.bottomk import BottomK
+    # measure the bias/variance claim instead of hardcoding it: 20
+    # seeds at (k=256, D=100k) — the caption regenerates with the code
+    _seed_keys = np.array(
+        [f"doc-{i:09d}" for i in range(100_000)], dtype=object
+    )
+    _rel = []
+    for _s in range(20):
+        _bk = BottomK(k=256, seed=_s)
+        _bk.add(_seed_keys)
+        _rel.append((_bk.distinct_estimate() - 100_000) / 100_000)
+    _rel = np.asarray(_rel)
     out.extend(["", "Bottom-k (KMV) |D̂−D|/D vs 1σ = 1/√(k−2), string "
                 "universe (single deterministic draw per cell — "
                 "individual cells land anywhere within a few σ; across "
-                "20 seeds the estimator measures unbiased, mean rel "
-                "err −0.003, std 0.077 ≈ theory at k=256):", "",
+                "20 seeds at k=256, D=100k the estimator measures "
+                f"mean rel err {_rel.mean():+.3f}, std {_rel.std():.3f} "
+                f"vs theory {1.0 / math.sqrt(254):.3f}):", "",
                 "| distinct D | k=64 | k=256 | k=1024 | 1σ @k=256 |",
                 "|---|---|---|---|---|"])
     for nn in (1_000, 100_000, 1_000_000):
