@@ -37,7 +37,10 @@ from pyspark.sql.types import (
     DoubleType, FloatType, IntegerType, LongType, StringType,
 )
 
-__all__ = ["sample_priority", "uniform_sample", "stratified_sample"]
+__all__ = [
+    "sample_priority", "uniform_sample", "stratified_sample",
+    "weighted_sample", "assign_split",
+]
 
 
 def _cols(cols: Union[str, Sequence[str]]) -> List[str]:
@@ -68,6 +71,95 @@ def uniform_sample(df: DataFrame, k: int,
     ids = _cols(id_cols)
     pr = sample_priority(ids, seed)
     return df.orderBy(pr.asc(), *ids).limit(k)
+
+
+def _unit_uniform(id_cols: Union[str, Sequence[str]], seed: int) -> Column:
+    """Deterministic u ∈ (0, 1): the low 53 bits of the id hash, offset
+    by 0.5 ulp so u is never exactly 0 or 1 — all JVM expressions."""
+    h = sample_priority(id_cols, seed)
+    # pmod: non-negative even at Long.MIN_VALUE (where abs() overflows)
+    mantissa = F.pmod(h, F.lit(1 << 53))
+    return (mantissa.cast("double") + F.lit(0.5)) / F.lit(float(1 << 53))
+
+
+def weighted_sample(df: DataFrame, k: int,
+                    id_cols: Union[str, Sequence[str]],
+                    weight_col: str, seed: int = 0,
+                    keys: Union[None, str, Sequence[str]] = None
+                    ) -> DataFrame:
+    """Weighted k-row sample without replacement (Efraimidis–Spirakis
+    A-ES, Inf. Proc. Lett. 97(5), 2006): each row gets the key
+    ``u^(1/w)`` with a deterministic hash-derived u ∈ (0,1); the k
+    LARGEST keys are a weighted sample without replacement — inclusion
+    probability increases with ``weight_col``.  The training-data use:
+    sample documents proportionally to a quality score.
+
+    Deterministic in (id_cols, weight, seed); rows with weight ≤ 0 or
+    NULL are never sampled.  Global (keys=None) plans as
+    ``TakeOrderedAndProject`` like :func:`uniform_sample`; with
+    ``keys`` the top-k runs per group over a window (each group's rows
+    flow through one task — pair with a distinct/bounded id space, or
+    pre-aggregate, for very hot groups).  All key arithmetic is JVM
+    expressions (log-space: ``ln(u)/w`` is monotone in ``u^(1/w)`` and
+    avoids underflow for large weights).
+    """
+    if k <= 0:
+        raise ValueError("weighted_sample k must be > 0")
+    ids = _cols(id_cols)
+    u = _unit_uniform(ids, seed)
+    w = F.col(weight_col).cast("double")
+    # maximize u^(1/w)  ⇔  maximize ln(u)/w  (ln(u) < 0, w > 0)
+    es_key = F.log(u) / w
+    eligible = df.filter(w.isNotNull() & (w > 0.0))
+    if keys is None:
+        return eligible.orderBy(es_key.desc(), *ids).limit(k)
+    from pyspark.sql.window import Window
+
+    key_list = _cols(keys)
+    win = Window.partitionBy(*key_list).orderBy(
+        es_key.desc(), *[F.col(c).asc() for c in ids]
+    )
+    return (
+        eligible.withColumn("_es_rn", F.row_number().over(win))
+        .filter(F.col("_es_rn") <= k)
+        .drop("_es_rn")
+    )
+
+
+def assign_split(df: DataFrame,
+                 id_cols: Union[str, Sequence[str]],
+                 fractions: dict, seed: int = 0,
+                 out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: a hash bucket of the id
+    maps each row to a named split with the given fractions.
+
+    The property that matters for training data: assignment is a pure
+    function of (id, seed) — stable across reruns, repartitioning, AND
+    dataset growth (new rows never move old rows between splits, unlike
+    ``randomSplit``).  Duplicate ids always land in the same split, so
+    near-duplicate leakage control composes by splitting on a cluster
+    or fingerprint id instead of the row id.
+
+    ``fractions`` maps name → weight (normalized; must be positive and
+    non-empty), e.g. ``{"train": 0.9, "val": 0.05, "test": 0.05}``.
+    Pure JVM expressions — whole-stage-codegen, no shuffle.
+    """
+    if not fractions:
+        raise ValueError("assign_split needs at least one fraction")
+    total = float(sum(fractions.values()))
+    if total <= 0 or any(v < 0 for v in fractions.values()):
+        raise ValueError("assign_split fractions must be positive")
+    u = _unit_uniform(id_cols, seed)
+    expr = None
+    acc = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        acc += float(frac) / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
 
 
 def stratified_sample(df: DataFrame, keys: Union[str, Sequence[str]],

@@ -10,6 +10,7 @@ import struct
 import numpy as np
 import pytest
 from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from gr_tdigest_spark.sketches.bottomk import BottomK
 
@@ -310,3 +311,98 @@ class TestSamplingOperators:
         s = stratified_sample(df, "g", 5, "doc_id")
         plan = s._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+class TestWeightedSample:
+    def test_plan_size_determinism(self, spark):
+        from gr_tdigest_spark.operators.sample import weighted_sample
+
+        df = spark.range(0, 5000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 7 + 1).cast("double").alias("w"),
+        )
+        s = weighted_sample(df, 50, "doc_id", "w", seed=3)
+        plan = s._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        a = sorted(r["doc_id"] for r in s.collect())
+        assert len(a) == 50
+        b = sorted(
+            r["doc_id"] for r in
+            weighted_sample(df.repartition(9), 50, "doc_id", "w",
+                            seed=3).collect()
+        )
+        assert a == b
+
+    def test_weight_bias_and_eligibility(self, spark):
+        """Inclusion tracks weight: a dominant-weight item is always
+        sampled; weight-0/NULL rows never are; and across seeds the
+        heavy stratum wins far more slots than the light one."""
+        from gr_tdigest_spark.operators.sample import weighted_sample
+
+        rows = [(i, 100.0 if i < 50 else 1.0) for i in range(500)]
+        rows += [(9_000, 1e9), (9_001, 0.0), (9_002, None)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        heavy_wins = 0
+        for seed in range(8):
+            got = {r["doc_id"] for r in
+                   weighted_sample(df, 25, "doc_id", "w", seed=seed)
+                   .collect()}
+            assert 9_000 in got          # ~1e9 weight dominates
+            assert 9_001 not in got and 9_002 not in got
+            heavy_wins += sum(1 for d in got if d < 50)
+        # 50 heavy (w=100) vs 450 light (w=1): heavy stratum holds
+        # ~92% of total weight → expect the large majority of slots
+        assert heavy_wins >= 0.6 * 8 * 25
+
+    def test_per_group_window(self, spark):
+        from gr_tdigest_spark.operators.sample import weighted_sample
+
+        df = spark.createDataFrame(
+            [(chr(65 + i % 3), i, float(1 + i % 4)) for i in range(600)],
+            "g string, doc_id long, w double",
+        )
+        out = weighted_sample(df, 6, "doc_id", "w", seed=1, keys="g")
+        per = {}
+        for r in out.collect():
+            per.setdefault(r["g"], set()).add(r["doc_id"])
+        assert sorted(per) == ["A", "B", "C"]
+        assert all(len(v) == 6 for v in per.values())
+
+
+class TestAssignSplit:
+    def test_exhaustive_disjoint_stable(self, spark):
+        from gr_tdigest_spark.operators.sample import assign_split
+
+        df = spark.range(0, 20_000).withColumnRenamed("id", "doc_id")
+        fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+        out = assign_split(df, "doc_id", fr, seed=7)
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").agg(F.count("*").alias("n"))
+                  .collect()}
+        assert sum(counts.values()) == 20_000
+        assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+        assert abs(counts["val"] / 20_000 - 0.1) < 0.01
+        # growth stability: assignments of the first 10k ids are
+        # unchanged when 10k more rows exist
+        small = {
+            r["doc_id"]: r["split"] for r in
+            assign_split(spark.range(0, 10_000)
+                         .withColumnRenamed("id", "doc_id"),
+                         "doc_id", fr, seed=7).collect()
+        }
+        big = {r["doc_id"]: r["split"] for r in out.collect()
+               if r["doc_id"] < 10_000}
+        assert small == big
+
+    def test_no_shuffle_plan_and_validation(self, spark):
+        import pytest
+        from gr_tdigest_spark.operators.sample import assign_split
+
+        df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+        out = assign_split(df, "doc_id", {"a": 1.0, "b": 1.0})
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        with pytest.raises(ValueError, match="at least one"):
+            assign_split(df, "doc_id", {})
+        with pytest.raises(ValueError, match="positive"):
+            assign_split(df, "doc_id", {"a": -1.0, "b": 2.0})
