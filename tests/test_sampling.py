@@ -237,6 +237,26 @@ class TestSamplingOperators:
                               method=method).schema
         }
 
+    def test_stratified_sketch_exact_expected_ids(self, spark):
+        """The sketch method must return EXACTLY the k hash-smallest
+        ids per group (not merely a deterministic set) — pinned against
+        a driver-side numpy recomputation of the same hash."""
+        from gr_tdigest_spark.operators.sample import stratified_sample
+        from gr_tdigest_spark.sketches.hashing import hash64
+
+        rows = [(chr(65 + i % 2), i) for i in range(400)]
+        df = spark.createDataFrame(rows, "g string, doc_id long")
+        seed = 6
+        got = {}
+        for r in stratified_sample(df, "g", 5, "doc_id",
+                                   seed=seed).collect():
+            got.setdefault(r["g"], set()).add(r["doc_id"])
+        for g in "AB":
+            ids = np.asarray([i for gg, i in rows if gg == g])
+            h = hash64(ids, seed=seed)
+            expect = set(ids[np.argsort(h)][:5].tolist())
+            assert got[g] == expect, g
+
     def test_stratified_sketch_deterministic_across_layouts(self, spark):
         from gr_tdigest_spark.operators.sample import stratified_sample
 
