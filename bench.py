@@ -51,10 +51,11 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def bench(name, fn):
-        # steady-state methodology: run twice, report the better pass
-        # (first pass pays one-off UDF-closure ship + plan compile)
+        # steady-state methodology: best-of-3 (first pass pays one-off
+        # UDF-closure ship + plan compile; a third pass damps the ±25%
+        # run-to-run scheduler noise observed on sub-2 s queries)
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
@@ -142,6 +143,16 @@ def main() -> None:
     bench(
         "q12_hll_highkey",
         lambda: hll_agg(li, ["l_orderkey"], "l_partkey", p=14)
+        .agg(F.count("*")).collect(),
+    )
+
+    # deterministic stratified sampling (bottom-k sketch path): 1000
+    # order-keys per returnflag out of 600k rows — bounded partial
+    # state per group + broadcast semi-join back
+    from gr_tdigest_spark.operators.sample import stratified_sample
+    bench(
+        "q13_stratified_sample",
+        lambda: stratified_sample(li, "l_returnflag", 1000, "l_orderkey")
         .agg(F.count("*")).collect(),
     )
 
