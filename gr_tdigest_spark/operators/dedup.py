@@ -29,6 +29,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_near_dups",
     "near_dup_clusters",
+    "winnow_overlap_pairs",
 ]
 
 
@@ -345,3 +346,52 @@ def near_dup_clusters(
             stacklevel=2,
         )
     return labels.select(F.col("id"), F.col("label").alias("cluster"))
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 16,
+    min_shared: int = 2,
+    max_bucket_size: Optional[int] = 10_000,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints
+    (text.with_winnow_fingerprints) — the substring-overlap /
+    plagiarism detector: any shared run of ≥ w + k − 1 characters
+    GUARANTEES a shared fingerprint, so contiguous copying cannot hide
+    (unlike MinHash, which measures bag-of-shingles similarity).
+
+    Same self-join discipline as the LSH family: explode fingerprints,
+    join within the fingerprint bucket only (never all-pairs), with the
+    secondary-hash sub-split guard on degenerate buckets (boilerplate
+    shared by thousands of docs). Output: (a, b, shared_fps), a < b.
+    """
+    from gr_tdigest_spark.operators.skew import subsplit_oversized_buckets
+    from gr_tdigest_spark.operators.text import with_winnow_fingerprints
+
+    fps = with_winnow_fingerprints(
+        df.select(id_col, text_col), text_col, "__wfp", k=k, w=w
+    )
+    ex = fps.select(
+        F.col(id_col).alias("__id"), F.explode("__wfp").alias("__fp")
+    )
+    ex = subsplit_oversized_buckets(
+        ex, ["__fp"], "__id", max_bucket_size
+    )
+    a = ex.select(
+        F.col("__id").alias("a"), "__fp", F.col("__sub").alias("__sub_a")
+    )
+    b = ex.select(
+        F.col("__id").alias("b"), "__fp", F.col("__sub").alias("__sub_b")
+    )
+    pairs = (
+        a.join(b, ["__fp"])
+        .where((F.col("a") < F.col("b"))
+               & (F.col("__sub_a") == F.col("__sub_b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+    return pairs

@@ -273,6 +273,50 @@ class TestTextOpsOnSpark:
         assert got[3] == "fr"
         assert got[4] == "und"
 
+    def test_winnow_guarantee_property(self):
+        """The winnowing guarantee (SIGMOD'03 Thm 1): two texts sharing
+        a substring of length ≥ w + k − 1 MUST share at least one
+        fingerprint — checked over 100 random pairs with planted shared
+        runs; and fingerprints are position-independent (a shared run
+        matches wherever it sits)."""
+        import numpy as np
+        from gr_tdigest_spark.operators.text import _winnow_hashes
+
+        rng = np.random.default_rng(21)
+        k, w = 5, 8
+        alphabet = np.frombuffer(b"abcdefgh", dtype=np.uint8)
+        for _ in range(100):
+            shared = bytes(
+                rng.choice(alphabet, size=w + k - 1).tobytes()
+            )
+            pre_a = bytes(rng.choice(alphabet, size=30).tobytes())
+            post_a = bytes(rng.choice(alphabet, size=30).tobytes())
+            pre_b = bytes(rng.choice(alphabet, size=17).tobytes())
+            post_b = bytes(rng.choice(alphabet, size=44).tobytes())
+            fa = set(_winnow_hashes(pre_a + shared + post_a, k, w).tolist())
+            fb = set(_winnow_hashes(pre_b + shared + post_b, k, w).tolist())
+            assert fa & fb, shared
+
+    def test_winnow_overlap_pairs_spark(self, spark):
+        """Contiguous copying is caught even when bag-of-words stays
+        dissimilar overall; unrelated docs produce no pair."""
+        from gr_tdigest_spark.operators.dedup import winnow_overlap_pairs
+
+        plag = ("the experiment demonstrates a significant improvement "
+                "over the established baseline configuration")
+        rows = [
+            (1, "alpha beta gamma " * 10 + plag + " delta epsilon " * 10),
+            (2, "totally unrelated framing text here " * 8 + plag),
+            (3, "nothing in common with the others at all " * 15),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = winnow_overlap_pairs(
+            df, "doc_id", "text", k=8, w=16, min_shared=2
+        ).collect()
+        assert {(r["a"], r["b"]) for r in pairs} == {(1, 2)}
+        shared = pairs[0]["shared_fps"]
+        assert shared >= 2
+
     def test_cosine_topk_exact(self, spark, sf_dir):
         from gr_tdigest_spark.operators.similarity import cosine_topk
 
