@@ -1,8 +1,20 @@
 """Hypothesis property tests for the sketch monoid laws
-(north_rule: merge associativity/commutativity)."""
+(north_rule: merge associativity/commutativity).
+
+``HYP_EXAMPLES_SCALE=N`` multiplies every test's example budget —
+normal runs stay fast, while ``tools/fuzz_kernel.py`` sets a large
+scale for long-haul fuzzing (how the r3 kernel bugs were found)."""
+
+import os
 
 import numpy as np
 from hypothesis import example, given, settings, strategies as st
+
+_SCALE = max(int(os.environ.get("HYP_EXAMPLES_SCALE", "1")), 1)
+
+
+def _n(base: int) -> int:
+    return base * _SCALE
 
 from gr_tdigest_spark.sketches.bloom import BloomFilter
 from gr_tdigest_spark.sketches.cms import CMS
@@ -16,7 +28,7 @@ finite_floats = st.floats(
 value_lists = st.lists(finite_floats, min_size=0, max_size=200)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=_n(40), deadline=None)
 @given(a=value_lists, b=value_lists)
 def test_tdigest_merge_commutative_exact_invariants(a, b):
     da = TDigest.from_values(a, max_size=100)
@@ -32,7 +44,7 @@ def test_tdigest_merge_commutative_exact_invariants(a, b):
         np.testing.assert_array_equal(ab.weights64, ba.weights64)
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_n(30), deadline=None)
 @given(a=value_lists, b=value_lists, c=value_lists)
 # r3 falsifying example (committed pin): dead-zone interpolation overshot
 # the [ml, mr] bracket by one ulp → quantile dipped by ~1.2e-7 between
@@ -55,7 +67,7 @@ def test_tdigest_quantiles_in_range_and_monotone(a, b, c):
     assert np.all((cdf >= 0) & (cdf <= 1))
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=_n(25), deadline=None)
 @given(
     data=st.lists(st.integers(min_value=0, max_value=10_000),
                   min_size=1, max_size=500),
@@ -75,7 +87,7 @@ def test_hll_merge_associative_exact_state(data, split):
     np.testing.assert_array_equal(hb.merge(ha).registers, whole.registers)
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=_n(25), deadline=None)
 @given(
     data=st.lists(st.text(min_size=1, max_size=8), min_size=1, max_size=300),
     split=st.integers(min_value=0, max_value=300),
@@ -100,7 +112,7 @@ def test_cms_and_bloom_merge_equal_single_build(data, split):
     np.testing.assert_array_equal(fa.merge(fb).words, fw.words)
 
 
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=_n(20), deadline=None)
 @given(vals=st.lists(finite_floats, min_size=1, max_size=400))
 def test_kll_weight_preservation_under_merge(vals):
     arr = np.asarray(vals)
@@ -118,7 +130,7 @@ def test_kll_weight_preservation_under_merge(vals):
     assert arr.min() <= q[0] <= q[1] <= q[2] <= arr.max()
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=_n(25), deadline=None)
 @given(
     vals=st.lists(
         st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
@@ -154,7 +166,7 @@ def test_pile_build_equals_row_build(vals, dup):
         assert abs(ca.quantile(q) - cb.quantile(q)) <= 0.2 * spread
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_n(30), deadline=None)
 @given(
     weights=st.lists(
         st.floats(min_value=0.01, max_value=1e4, allow_nan=False,
@@ -219,7 +231,7 @@ def test_minhash_merge_associative_idempotent_exact_state(data, split):
     np.testing.assert_array_equal(ab.merge(MinHash(k=64)).sig, ab.sig)
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=_n(200), deadline=None)
 @given(payload=st.binary(min_size=0, max_size=64),
       magic=st.sampled_from([b"GSHL", b"GSCM", b"GSBF", b"GSMH",
                              b"GSBK"]))
@@ -256,7 +268,7 @@ def test_wire_decoders_never_crash_on_garbage(payload, magic):
         np.testing.assert_array_equal(rt.sig, sk.sig)
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_n(30), deadline=None)
 @given(
     rows=st.lists(
         st.tuples(
@@ -290,7 +302,7 @@ def test_vectorized_build_groups_equals_default_path(rows):
                 spec.state_to_blob(exp[key]), (type(spec).__name__, key)
 
 
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=_n(20), deadline=None)
 @given(
     rows=st.lists(
         st.tuples(

@@ -4,6 +4,7 @@ Kernel laws, wire pins, the sketch_agg integration (layout
 independence), and the plan shapes / contracts of uniform_sample and
 stratified_sample."""
 
+import os
 import pickle
 import struct
 
@@ -13,6 +14,8 @@ from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from gr_tdigest_spark.sketches.bottomk import BottomK
+
+_SCALE = max(int(os.environ.get("HYP_EXAMPLES_SCALE", "1")), 1)
 
 
 class TestBottomKKernel:
@@ -30,7 +33,7 @@ class TestBottomKKernel:
             assert a.merge(b).to_bytes() == whole.to_bytes()
             assert b.merge(a).to_bytes() == whole.to_bytes()
 
-    @settings(max_examples=25, deadline=None)
+    @settings(max_examples=25 * _SCALE, deadline=None)
     @given(
         data=st.lists(st.integers(min_value=0, max_value=500),
                       min_size=1, max_size=400),
