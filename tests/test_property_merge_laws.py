@@ -268,6 +268,72 @@ def test_wire_decoders_never_crash_on_garbage(payload, magic):
         np.testing.assert_array_equal(rt.sig, sk.sig)
 
 
+def _valid_wire_blobs():
+    """One small valid blob per wire format (built once per process)."""
+    from gr_tdigest_spark.sketches import wire as td_wire
+    from gr_tdigest_spark.sketches.bloom import BloomFilter
+    from gr_tdigest_spark.sketches.bottomk import BottomK
+    from gr_tdigest_spark.sketches.cms import CMS
+    from gr_tdigest_spark.sketches.hll import HLL
+    from gr_tdigest_spark.sketches.kll import KLL
+    from gr_tdigest_spark.sketches.minhash import MinHash
+    from gr_tdigest_spark.sketches.tdigest import TDigest
+
+    vals = np.arange(40, dtype=np.float64)
+    objs = np.array([f"v{i}" for i in range(40)], dtype=object)
+    out = {}
+    td = TDigest.from_values(vals, max_size=16)
+    out["tdig"] = (td_wire.encode(td, 3), td_wire.decode)
+    h = HLL(p=6); h.add(objs)
+    out["hll"] = (h.to_bytes(), HLL.from_bytes)
+    c = CMS(depth=3, width=32); c.add(objs)
+    out["cms"] = (c.to_bytes(), CMS.from_bytes)
+    b = BloomFilter(m_bits=256, k=3); b.add(objs)
+    out["bloom"] = (b.to_bytes(), BloomFilter.from_bytes)
+    m = MinHash(k=16); m.add(objs)
+    out["minhash"] = (m.to_bytes(), MinHash.from_bytes)
+    kl = KLL(k=8); kl.add(vals)
+    out["kll"] = (kl.to_bytes(), KLL.from_bytes)
+    bk = BottomK(k=8); bk.add(objs)
+    out["bottomk"] = (bk.to_bytes(), BottomK.from_bytes)
+    return out
+
+
+_WIRE_BLOBS = _valid_wire_blobs()
+
+
+@settings(max_examples=_n(200), deadline=None)
+@given(
+    kind=st.sampled_from(sorted(_WIRE_BLOBS)),
+    pos=st.integers(min_value=0, max_value=1 << 30),
+    bit=st.integers(min_value=0, max_value=7),
+)
+def test_wire_single_bitflip_raises_or_roundtrips(kind, pos, bit):
+    """Mutation fuzz: flip ONE bit of a VALID blob.  The decoder must
+    either reject it cleanly or produce a sketch whose re-encoding
+    decodes back to the same state — structured corruption exercises
+    length/dimension fields that pure-garbage fuzzing rarely reaches."""
+    import struct
+
+    blob, decode = _WIRE_BLOBS[kind]
+    mut = bytearray(blob)
+    mut[pos % len(mut)] ^= 1 << bit
+    try:
+        sk = decode(bytes(mut))
+    except (ValueError, struct.error):
+        # a MemoryError here would be an amplification-guard bug —
+        # deliberately NOT caught
+        return
+    # survived decoding → its own wire must round-trip losslessly
+    blob2 = (
+        sk.to_bytes() if hasattr(sk, "to_bytes")
+        else __import__(
+            "gr_tdigest_spark.sketches.wire", fromlist=["encode"]
+        ).encode(sk, 3)
+    )
+    decode(blob2)
+
+
 @settings(max_examples=_n(30), deadline=None)
 @given(
     rows=st.lists(
