@@ -170,7 +170,7 @@ def main() -> None:
     t = t.withColumn("len", F.length("text")).select("role", "len").persist()
     n_turns = t.count()  # materialize generation outside the timed window
     dt = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         tdigest_agg(t, ["role"], "len", max_size=1000).select(
             "role", Fn.tdigest_quantile("tdigest", 0.5)
@@ -184,7 +184,7 @@ def main() -> None:
     # agg with map-side combine; only distinct values cross Arrow) —
     # the plan of choice for discrete metrics at the 100 TB target
     dtp = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         tdigest_agg(t, ["role"], "len", max_size=1000,
                     pre_aggregate=True).select(
@@ -200,7 +200,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     line = json.dumps({
         "metric": "sketch_suite_wall",
-        "methodology": "best-of-2 per query (steady state)",
+        "methodology": "best-of-3 per query (steady state)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -356,6 +356,7 @@ def winnow_overlap_pairs(
     w: int = 16,
     min_shared: int = 2,
     max_bucket_size: Optional[int] = 10_000,
+    persist_fingerprints: bool = True,
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints
     (text.with_winnow_fingerprints) — the substring-overlap /
@@ -367,6 +368,13 @@ def winnow_overlap_pairs(
     join within the fingerprint bucket only (never all-pairs), with the
     secondary-hash sub-split guard on degenerate buckets (boilerplate
     shared by thousands of docs). Output: (a, b, shared_fps), a < b.
+
+    ``persist_fingerprints`` (default True) caches the exploded
+    (id, fingerprint) table — two int64s per fingerprint, ~2/(w+1) of
+    the text's bytes — because the skew-guard size aggregate and both
+    self-join sides would otherwise re-run the winnowing UDF (the
+    expensive part) three times.  Pass False to trade recompute for
+    zero cache footprint.
     """
     from gr_tdigest_spark.operators.skew import subsplit_oversized_buckets
     from gr_tdigest_spark.operators.text import with_winnow_fingerprints
@@ -377,6 +385,8 @@ def winnow_overlap_pairs(
     ex = fps.select(
         F.col(id_col).alias("__id"), F.explode("__wfp").alias("__fp")
     )
+    if persist_fingerprints:
+        ex = ex.persist()
     ex = subsplit_oversized_buckets(
         ex, ["__fp"], "__id", max_bucket_size
     )

@@ -73,6 +73,14 @@ def uniform_sample(df: DataFrame, k: int,
     return df.orderBy(pr.asc(), *ids).limit(k)
 
 
+# distinct per-operator hash domains: composing weighted_sample and
+# assign_split at the SAME user seed must not correlate (both consume a
+# hash-derived u; with a shared domain, the weighted sample's u-quantile
+# selection would pile every sampled row into the last split)
+_WEIGHTED_SALT = 0x57ED
+_SPLIT_SALT = 0x5B11
+
+
 def _unit_uniform(id_cols: Union[str, Sequence[str]], seed: int) -> Column:
     """Deterministic u ∈ (0, 1): the low 53 bits of the id hash, offset
     by 0.5 ulp so u is never exactly 0 or 1 — all JVM expressions."""
@@ -94,8 +102,10 @@ def weighted_sample(df: DataFrame, k: int,
     probability increases with ``weight_col``.  The training-data use:
     sample documents proportionally to a quality score.
 
-    Deterministic in (id_cols, weight, seed); rows with weight ≤ 0 or
-    NULL are never sampled.  Global (keys=None) plans as
+    Deterministic in (id_cols, weight, seed); rows with weight ≤ 0,
+    NaN, or NULL are never sampled.  The hash domain is salted per
+    operator, so composing with :func:`assign_split` at the same seed
+    stays unbiased.  Global (keys=None) plans as
     ``TakeOrderedAndProject`` like :func:`uniform_sample`; with
     ``keys`` the top-k runs per group over a window (each group's rows
     flow through one task — pair with a distinct/bounded id space, or
@@ -106,11 +116,14 @@ def weighted_sample(df: DataFrame, k: int,
     if k <= 0:
         raise ValueError("weighted_sample k must be > 0")
     ids = _cols(id_cols)
-    u = _unit_uniform(ids, seed)
+    u = _unit_uniform(ids, seed + _WEIGHTED_SALT)
     w = F.col(weight_col).cast("double")
     # maximize u^(1/w)  ⇔  maximize ln(u)/w  (ln(u) < 0, w > 0)
     es_key = F.log(u) / w
-    eligible = df.filter(w.isNotNull() & (w > 0.0))
+    # NaN weights must be excluded explicitly: Spark orders NaN greater
+    # than any number, so `w > 0.0` passes NaN and a NaN es_key would
+    # sort FIRST under desc — silently dominating the sample
+    eligible = df.filter(w.isNotNull() & ~F.isnan(w) & (w > 0.0))
     if keys is None:
         return eligible.orderBy(es_key.desc(), *ids).limit(k)
     from pyspark.sql.window import Window
@@ -120,9 +133,9 @@ def weighted_sample(df: DataFrame, k: int,
         es_key.desc(), *[F.col(c).asc() for c in ids]
     )
     return (
-        eligible.withColumn("_es_rn", F.row_number().over(win))
-        .filter(F.col("_es_rn") <= k)
-        .drop("_es_rn")
+        eligible.withColumn("__es_rn", F.row_number().over(win))
+        .filter(F.col("__es_rn") <= k)
+        .drop("__es_rn")
     )
 
 
@@ -147,9 +160,9 @@ def assign_split(df: DataFrame,
     if not fractions:
         raise ValueError("assign_split needs at least one fraction")
     total = float(sum(fractions.values()))
-    if total <= 0 or any(v < 0 for v in fractions.values()):
+    if total <= 0 or any(v <= 0 for v in fractions.values()):
         raise ValueError("assign_split fractions must be positive")
-    u = _unit_uniform(id_cols, seed)
+    u = _unit_uniform(id_cols, seed + _SPLIT_SALT)
     expr = None
     acc = 0.0
     items = list(fractions.items())
@@ -209,7 +222,7 @@ def stratified_sample(df: DataFrame, keys: Union[str, Sequence[str]],
         # the sketch wire (and hashing determinism) wants a primitive:
         # sample over an injective string rendering of the id
         sample_dtype = "string"
-        join_col = "_sample_id"
+        join_col = "__sample_id"
         fact = df.withColumn(join_col, F.col(id_col).cast("string"))
 
     if method == "window":
@@ -221,9 +234,9 @@ def stratified_sample(df: DataFrame, keys: Union[str, Sequence[str]],
         )
         ids = (
             fact.select(*key_list, join_col).distinct()
-            .withColumn("_sample_rn", F.row_number().over(w))
-            .filter(F.col("_sample_rn") <= k)
-            .drop("_sample_rn")
+            .withColumn("__sample_rn", F.row_number().over(w))
+            .filter(F.col("__sample_rn") <= k)
+            .drop("__sample_rn")
         )
     else:
         from gr_tdigest_spark.operators.companions import (
@@ -248,4 +261,4 @@ def stratified_sample(df: DataFrame, keys: Union[str, Sequence[str]],
     if broadcast_ids:
         ids = F.broadcast(ids)
     out = fact.join(ids, on=key_list + [join_col], how="leftsemi")
-    return out.drop("_sample_id") if join_col == "_sample_id" else out
+    return out.drop("__sample_id") if join_col == "__sample_id" else out

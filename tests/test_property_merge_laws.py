@@ -324,14 +324,10 @@ def test_wire_single_bitflip_raises_or_roundtrips(kind, pos, bit):
         # a MemoryError here would be an amplification-guard bug —
         # deliberately NOT caught
         return
-    # survived decoding → its own wire must round-trip losslessly
-    blob2 = (
-        sk.to_bytes() if hasattr(sk, "to_bytes")
-        else __import__(
-            "gr_tdigest_spark.sketches.wire", fromlist=["encode"]
-        ).encode(sk, 3)
-    )
-    decode(blob2)
+    # survived decoding → its own wire must round-trip LOSSLESSLY:
+    # re-encoding the re-decoded sketch reproduces identical bytes
+    blob2 = sk.to_bytes()
+    assert decode(blob2).to_bytes() == blob2
 
 
 @settings(max_examples=_n(30), deadline=None)

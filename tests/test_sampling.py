@@ -392,6 +392,21 @@ class TestWeightedSample:
         assert all(len(v) == 6 for v in per.values())
 
 
+    def test_nan_weights_never_sampled(self, spark):
+        """Spark orders NaN greater than any number, so `w > 0` alone
+        would admit NaN rows whose NaN sort key dominates desc order —
+        they must be filtered out (r4 review pin)."""
+        from gr_tdigest_spark.operators.sample import weighted_sample
+
+        rows = [(i, 1.0) for i in range(100)]
+        rows += [(1000 + i, float("nan")) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = {r["doc_id"] for r in
+               weighted_sample(df, 20, "doc_id", "w", seed=0).collect()}
+        assert len(got) == 20
+        assert all(d < 1000 for d in got), "NaN-weight rows leaked in"
+
+
 class TestAssignSplit:
     def test_exhaustive_disjoint_stable(self, spark):
         from gr_tdigest_spark.operators.sample import assign_split
@@ -429,3 +444,28 @@ class TestAssignSplit:
             assign_split(df, "doc_id", {})
         with pytest.raises(ValueError, match="positive"):
             assign_split(df, "doc_id", {"a": -1.0, "b": 2.0})
+        # zero fractions are as unassignable as negative ones
+        with pytest.raises(ValueError, match="positive"):
+            assign_split(df, "doc_id", {"a": 0.0, "b": 1.0})
+
+    def test_composes_with_weighted_sample_unbiased(self, spark):
+        """r4 review pin: weighted_sample and assign_split use salted
+        hash domains, so sampling then splitting at the SAME seed must
+        still produce all splits in ~their fractions (a shared domain
+        would pile every sampled row into the last split)."""
+        from gr_tdigest_spark.operators.sample import (
+            assign_split, weighted_sample,
+        )
+
+        df = spark.range(0, 20_000).select(
+            F.col("id").alias("doc_id"), F.lit(1.0).alias("w")
+        )
+        sampled = weighted_sample(df, 2_000, "doc_id", "w", seed=0)
+        out = assign_split(sampled, "doc_id",
+                           {"train": 0.8, "val": 0.2}, seed=0)
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").agg(F.count("*").alias("n"))
+                  .collect()}
+        assert sum(counts.values()) == 2_000
+        assert abs(counts.get("train", 0) / 2_000 - 0.8) < 0.05
+        assert abs(counts.get("val", 0) / 2_000 - 0.2) < 0.05

@@ -27,10 +27,11 @@ TARGETS = [
 def main() -> int:
     scale = sys.argv[1] if len(sys.argv) > 1 else "50"
     env = dict(os.environ, HYP_EXAMPLES_SCALE=str(int(scale)))
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cmd = [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
            *TARGETS]
     print(f"fuzzing at {scale}× the CI example budget: {' '.join(cmd)}")
-    return subprocess.call(cmd, cwd="/root/repo", env=env)
+    return subprocess.call(cmd, cwd=repo_root, env=env)
 
 
 if __name__ == "__main__":
