@@ -26,6 +26,8 @@ __all__ = [
     "with_fingerprint",
     "with_simhash",
     "with_winnow_fingerprints",
+    "with_bpe_token_count",
+    "BPE_TOKEN_PATTERN",
     "STOPWORDS",
 ]
 
@@ -263,3 +265,29 @@ def with_winnow_fingerprints(
         return pd.Series(out)
 
     return df.withColumn(out_col, _fp(F.col(text_col)))
+
+
+# GPT-2-style pre-tokenizer pattern (contraction pieces, space-prefixed
+# letter/number runs, punctuation runs) with explicit unicode classes —
+# Java regex and RE2 agree on \p{L}/\p{N}, unlike the engine-dependent \w
+BPE_TOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[\p{L}\p{N}_]+"
+    r"| ?[^\s\p{L}\p{N}_]+"
+)
+
+
+def with_bpe_token_count(
+    df: DataFrame, text_col: str = "text", out_col: str = "n_bpe_tokens"
+) -> DataFrame:
+    """Approximate BPE token count via the GPT-2-style pre-tokenizer
+    regex — the standard "how many tokens will this document cost"
+    estimator when the real tokenizer isn't on the cluster.  Counts the
+    pre-tokenizer pieces (each piece maps to ≥1 BPE token, so this is a
+    lower bound that tracks real counts closely for natural text).
+    Pure ``regexp_count`` — JVM-side, whole-stage codegen, no UDF."""
+    return df.withColumn(
+        out_col,
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN))
+        .cast("long"),
+    )

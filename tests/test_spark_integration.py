@@ -273,6 +273,34 @@ class TestTextOpsOnSpark:
         assert got[3] == "fr"
         assert got[4] == "und"
 
+    def test_bpe_token_count(self, spark):
+        """GPT-2-style pre-tokenizer counts against hand-computed
+        fixtures (Java regex \\p{L}/\\p{N} classes; Python re lacks
+        them, so the reference counts are worked by hand)."""
+        from gr_tdigest_spark.operators.text import with_bpe_token_count
+
+        rows = [
+            # Hello | ' world' | ',' | ' it' | 's | ' 2024' | '!'
+            (1, "Hello world, it's 2024!", 7),
+            (2, "", 0),
+            (3, "   ", 0),
+            # don | 't | ' stop' (apostrophe inside handled as 't)
+            (4, "don't stop", 3),
+            # a | ' b' (double space folds into one piece's prefix)
+            (5, "a  b", 2),
+            # unicode letters count as letter runs: über | ' straße'
+            (6, "über straße", 2),
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t, _ in rows], "id long, text string"
+        )
+        got = {
+            r["id"]: r["n_bpe_tokens"]
+            for r in with_bpe_token_count(df).collect()
+        }
+        for i, _, expect in rows:
+            assert got[i] == expect, (i, got[i], expect)
+
     def test_winnow_guarantee_property(self):
         """The winnowing guarantee (SIGMOD'03 Thm 1): two texts sharing
         a substring of length ≥ w + k − 1 MUST share at least one
