@@ -798,6 +798,68 @@ class TestAnnIndex:
         txt = plan.getvalue()
         assert "PartitionFilters" in txt and "bucket" in txt
 
+    def test_ivf_index_exact_at_full_probe_and_pruned(self, spark,
+                                                      tmp_path):
+        """IVF (k-means inverted-file) index: probing ALL lists equals
+        the exact brute-force top-k; a small nprobe keeps high recall
+        on clustered data, scans only probed partitions
+        (PartitionFilters), and rebuilding reproduces the index."""
+        import io
+        from contextlib import redirect_stdout
+
+        import numpy as np
+        import pandas as pd
+
+        from gr_tdigest_spark.operators.similarity import (
+            build_ivf_index, cosine_topk, ivf_index_topk,
+        )
+
+        rng = np.random.default_rng(33)
+        n, dim = 400, 64
+        base = rng.standard_normal((8, dim))
+        M = (base[rng.integers(0, 8, n)]
+             + 0.15 * rng.standard_normal((n, dim))).astype(np.float32)
+        df = spark.createDataFrame(
+            pd.DataFrame({
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": list(M),
+            }),
+            schema="vec_id long, embedding array<float>",
+        )
+        path = str(tmp_path / "ivfidx")
+        build_ivf_index(df, path, n_lists=8, n_iter=8, seed=29)
+        q = M[3].astype(np.float64)
+
+        exact = [(r["vec_id"], round(r["cosine"], 9))
+                 for r in cosine_topk(df, q, k=10).collect()]
+        full = [(r["vec_id"], round(r["cosine"], 9))
+                for r in ivf_index_topk(spark, path, q, k=10,
+                                        nprobe=8).collect()]
+        assert full == exact  # nprobe == n_lists degrades to exact
+
+        pruned = {r["vec_id"] for r in
+                  ivf_index_topk(spark, path, q, k=10, nprobe=2).collect()}
+        recall = len(pruned & {v for v, _ in exact}) / 10
+        assert recall >= 0.8, recall  # clustered data → high recall
+
+        plan = io.StringIO()
+        with redirect_stdout(plan):
+            ivf_index_topk(spark, path, q, k=10,
+                           nprobe=2).explain("formatted")
+        txt = plan.getvalue()
+        assert "PartitionFilters" in txt and "list_id" in txt
+
+        # deterministic rebuild: same data + seed → same assignments
+        path2 = str(tmp_path / "ivfidx2")
+        build_ivf_index(df, path2, n_lists=8, n_iter=8, seed=29)
+        a1 = {(r["vec_id"], r["list_id"]) for r in
+              spark.read.parquet(path).select("vec_id", "list_id")
+              .collect()}
+        a2 = {(r["vec_id"], r["list_id"]) for r in
+              spark.read.parquet(path2).select("vec_id", "list_id")
+              .collect()}
+        assert a1 == a2
+
 
 class TestRealMultimodalDecoders:
     """PPM (P6) and WAV (PCM16) are decoded for real — struct/numpy
