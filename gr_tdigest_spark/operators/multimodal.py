@@ -38,6 +38,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "decode_image_features",
     "decode_audio_features",
+    "resize_images",
     "sample_video_frames",
     "media_stats",
 ]
@@ -264,6 +265,80 @@ def decode_audio_features(
                     )
                 feats.append(_fake_features(payload_b, bins + 1).tolist())
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def _resize_nn(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize via numpy index gather — pixel-center
+    sampling (the standard NN convention), no interpolation libs."""
+    h, w, _ = img.shape
+    ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64),
+                    h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64),
+                    w - 1)
+    return img[ys[:, None], xs[None, :], :]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    stub_mode: str = "fake",
+) -> DataFrame:
+    """Resize image payloads → (id, payload, width, height).
+
+    PPM (P6) payloads (or anything the optional Pillow path decodes)
+    are REALLY resized — nearest-neighbor index gather — and re-encoded
+    as P6, so downstream decode/feature stages consume them unchanged.
+    Undecodable payloads follow the stub contract: ``'strict'`` raises,
+    ``'fake'`` yields a deterministic payload-derived gray image of the
+    target size.  Payloads stream per Arrow batch via ``mapInPandas``
+    (never accumulate per partition), matching the other media ops."""
+    if width <= 0 or height <= 0:
+        raise ValueError("resize_images needs width > 0 and height > 0")
+    out_schema = StructType([
+        df.schema[id_col],
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+    ])
+    header = b"P6\n%d %d\n255\n" % (width, height)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    payloads.append(None)
+                    continue
+                payload_b = bytes(payload)
+                img = _decode_ppm(payload_b)
+                if img is None:
+                    img = _decode_with_pil(payload_b)
+                if img is not None:
+                    small = _resize_nn(img, width, height)
+                    payloads.append(header + small.tobytes())
+                    continue
+                if stub_mode == "strict":
+                    raise NotImplementedError(
+                        "compressed image resize requires Pillow (install "
+                        "it on the cluster); use stub_mode='fake' or PPM "
+                        "(P6) payloads"
+                    )
+                # deterministic gray fake of the target geometry
+                shade = hashlib.sha256(payload_b).digest()[0]
+                payloads.append(
+                    header + bytes([shade]) * (width * height * 3)
+                )
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "payload": payloads,
+                "width": np.full(len(pdf), width, dtype=np.int32),
+                "height": np.full(len(pdf), height, dtype=np.int32),
+            })
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 

@@ -1015,6 +1015,39 @@ class TestRealMultimodalDecoders:
         rows = decode_audio_features(df, stub_mode="fake").collect()
         assert all(r["features"] is not None for r in rows)
 
+    def test_resize_images_real_geometry(self, spark):
+        """PPM payloads are REALLY resized: downscaling a half-black /
+        half-white image preserves the spatial split, the output is a
+        valid P6 the decoder round-trips, and resized payloads feed the
+        feature op unchanged. Corrupt payloads follow the stub."""
+        import numpy as np
+        from gr_tdigest_spark.operators.multimodal import (
+            _decode_ppm, decode_image_features, resize_images,
+        )
+
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        img[:, 8:, :] = 255  # left black, right white
+        payload = b"P6\n16 16\n255\n" + img.tobytes()
+        df = spark.createDataFrame(
+            [(1, bytearray(payload)), (2, bytearray(b"\x89PNG garbage"))],
+            "media_id long, payload binary",
+        )
+        out = {r["media_id"]: r for r in
+               resize_images(df, 4, 4, stub_mode="fake").collect()}
+        assert out[1]["width"] == 4 and out[1]["height"] == 4
+        small = _decode_ppm(bytes(out[1]["payload"]))
+        assert small.shape == (4, 4, 3)
+        assert np.all(small[:, :2, :] == 0) and np.all(small[:, 2:, :] == 255)
+        # fake path: right geometry, uniform deterministic shade
+        fake = _decode_ppm(bytes(out[2]["payload"]))
+        assert fake.shape == (4, 4, 3) and len(np.unique(fake)) == 1
+        # resized output composes with the feature op (strict = real)
+        feats = decode_image_features(
+            resize_images(df.filter("media_id = 1"), 8, 8),
+            stub_mode="strict",
+        ).collect()
+        assert feats[0]["features"] is not None
+
     def test_pil_path_absent_and_injected(self, monkeypatch):
         """Without Pillow, _decode_with_pil returns None (this container
         has no PIL); with a fake PIL injected, the decoded array routes
