@@ -114,6 +114,16 @@ def _decode_with_pil(payload: bytes) -> Optional[np.ndarray]:
         return None
 
 
+def _decode_image(payload: bytes) -> Optional[np.ndarray]:
+    """THE image decode ladder, shared by every image operator: real
+    PPM (P6) parser first, then the import-gated Pillow path; None when
+    neither decodes (callers apply the stub/strict contract)."""
+    img = _decode_ppm(payload)
+    if img is None:
+        img = _decode_with_pil(payload)
+    return img
+
+
 def _ppm_grid_features(img: np.ndarray, grid: int = 4) -> np.ndarray:
     """Real image features: per-channel mean over a grid×grid block
     partition (crop to multiples), L2-normalized → 3·grid² floats."""
@@ -209,9 +219,7 @@ def decode_image_features(
                     feats.append(None)
                     continue
                 payload_b = bytes(payload)
-                img = _decode_ppm(payload_b)
-                if img is None:
-                    img = _decode_with_pil(payload_b)
+                img = _decode_image(payload_b)
                 if img is not None:
                     feats.append(_ppm_grid_features(img).tolist())
                     continue
@@ -315,9 +323,7 @@ def resize_images(
                     payloads.append(None)
                     continue
                 payload_b = bytes(payload)
-                img = _decode_ppm(payload_b)
-                if img is None:
-                    img = _decode_with_pil(payload_b)
+                img = _decode_image(payload_b)
                 if img is not None:
                     small = _resize_nn(img, width, height)
                     payloads.append(header + small.tobytes())

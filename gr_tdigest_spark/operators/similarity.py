@@ -296,9 +296,15 @@ def _kmeans_fit(
     x: np.ndarray, n_lists: int, n_iter: int, seed: int
 ) -> np.ndarray:
     """Deterministic spherical k-means on L2-normalized vectors
-    (classic IVF coarse quantizer). Greedy k-means++-style seeding from
-    a seeded RNG; empty clusters keep their previous centroid. Returns
-    (n_lists, dim) normalized centroids."""
+    (classic IVF coarse quantizer). Seeded UNIFORM initialization
+    (distinct sample rows from a seeded RNG — simple and reproducible;
+    not k-means++ distance weighting); empty clusters keep their
+    previous centroid. Returns (n_lists, dim) normalized centroids."""
+    if x.ndim != 2 or x.shape[0] == 0:
+        raise ValueError(
+            "IVF k-means needs a non-empty 2-D training matrix "
+            f"(got shape {x.shape})"
+        )
     rng = np.random.default_rng(seed)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     xn = x / np.where(norms > 0, norms, 1.0)
@@ -341,10 +347,18 @@ def build_ivf_index(
     hyperplanes win on uniform data)."""
     from gr_tdigest_spark.operators.sample import uniform_sample
 
+    # NULL embeddings carry no position — drop them up front (an ANN
+    # index entry for a NULL vector is meaningless, and a None inside
+    # the training matrix would crash the numpy paths mid-job)
+    df = df.where(F.col(vec_col).isNotNull())
     cap = train_size if train_size is not None else n_lists * 64
     train = uniform_sample(
         df.select(id_col, vec_col), cap, id_col, seed=seed
     ).collect()
+    if not train:
+        raise ValueError(
+            "build_ivf_index: no non-NULL embeddings to train on"
+        )
     x = np.asarray([list(r[vec_col]) for r in train], dtype=np.float64)
     centers = _kmeans_fit(x, n_lists, n_iter, seed)
 

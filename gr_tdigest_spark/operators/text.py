@@ -268,12 +268,18 @@ def with_winnow_fingerprints(
 
 
 # GPT-2-style pre-tokenizer pattern (contraction pieces, space-prefixed
-# letter/number runs, punctuation runs) with explicit unicode classes —
-# Java regex and RE2 agree on \p{L}/\p{N}, unlike the engine-dependent \w
+# letter runs, digit runs, punctuation runs) with explicit unicode
+# classes — Java regex and RE2 agree on \p{L}/\p{N}, unlike the
+# engine-dependent \w.  Class membership mirrors the GPT-2 original:
+# letters and digits split into separate runs, and `_` belongs to the
+# punctuation class, so the piece count stays a faithful lower bound on
+# real BPE token counts (a looser combined class would OVERcount
+# underscore-adjacent punctuation common in code/markdown).
 BPE_TOKEN_PATTERN = (
     r"'s|'t|'re|'ve|'m|'ll|'d"
-    r"| ?[\p{L}\p{N}_]+"
-    r"| ?[^\s\p{L}\p{N}_]+"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
 )
 
 

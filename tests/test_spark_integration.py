@@ -290,6 +290,10 @@ class TestTextOpsOnSpark:
             (5, "a  b", 2),
             # unicode letters count as letter runs: über | ' straße'
             (6, "über straße", 2),
+            # letters and digits split (GPT-2 classes): x | 2 | go
+            (7, "x2go", 3),
+            # _ belongs to the punctuation class: one punct run
+            (8, "!_!", 1),
         ]
         df = spark.createDataFrame(
             [(i, t) for i, t, _ in rows], "id long, text string"
@@ -859,6 +863,23 @@ class TestAnnIndex:
               spark.read.parquet(path2).select("vec_id", "list_id")
               .collect()}
         assert a1 == a2
+
+        # NULL embeddings are dropped, not crashed on; empty input is a
+        # clear error
+        import pytest
+        with_null = df.unionByName(
+            spark.createDataFrame(
+                [(9999, None)], "vec_id long, embedding array<float>"
+            )
+        )
+        path3 = str(tmp_path / "ivfidx3")
+        build_ivf_index(with_null, path3, n_lists=8, n_iter=2, seed=29)
+        assert spark.read.parquet(path3).count() == n  # null row dropped
+        with pytest.raises(ValueError, match="no non-NULL"):
+            build_ivf_index(
+                df.where("vec_id < 0"), str(tmp_path / "ivfidx4"),
+                n_lists=4,
+            )
 
 
 class TestRealMultimodalDecoders:
