@@ -28,6 +28,9 @@ __all__ = [
     "with_winnow_fingerprints",
     "with_bpe_token_count",
     "BPE_TOKEN_PATTERN",
+    "with_repetition_stats",
+    "redact_pii",
+    "PII_PATTERNS",
     "STOPWORDS",
 ]
 
@@ -297,3 +300,111 @@ def with_bpe_token_count(
         F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN))
         .cast("long"),
     )
+
+
+def with_repetition_stats(
+    df: DataFrame, text_col: str = "text", prefix: str = "rep_"
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/RefinedWeb-style
+    quality filters): fraction of duplicate lines, fraction of
+    characters inside duplicate lines, and the character fraction
+    covered by the single most frequent word {2,3}-gram.  Highly
+    repetitive documents (boilerplate, scraper loops, degenerate
+    generations) score high and get filtered before training.
+
+    One vectorized pandas UDF emitting a struct — counting n-gram
+    multiplicities needs per-document grouping that plain Catalyst
+    expressions cannot express."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_t = StructType([
+        StructField("dup_line_frac", DoubleType(), False),
+        StructField("dup_line_char_frac", DoubleType(), False),
+        StructField("top_bigram_char_frac", DoubleType(), False),
+        StructField("top_trigram_char_frac", DoubleType(), False),
+    ])
+
+    def _doc_stats(t: str):
+        if not t:
+            return (0.0, 0.0, 0.0, 0.0)
+        lines = [ln for ln in t.splitlines() if ln.strip()]
+        if lines:
+            from collections import Counter
+
+            cnt = Counter(lines)
+            dup_lines = sum(c for c in cnt.values() if c > 1)
+            dup_chars = sum(
+                len(ln) * c for ln, c in cnt.items() if c > 1
+            )
+            dlf = dup_lines / len(lines)
+            dcf = dup_chars / max(sum(len(ln) for ln in lines), 1)
+        else:
+            dlf = dcf = 0.0
+        toks = t.split()
+        total_chars = max(len(t), 1)
+        grams = []
+        for n in (2, 3):
+            if len(toks) < n:
+                grams.append(0.0)
+                continue
+            from collections import Counter
+
+            c = Counter(
+                tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)
+            )
+            gram, occ = c.most_common(1)[0]
+            gram_chars = sum(len(w) for w in gram) + (n - 1)
+            grams.append(
+                min(occ * gram_chars / total_chars, 1.0) if occ > 1
+                else 0.0
+            )
+        return (dlf, dcf, grams[0], grams[1])
+
+    @F.pandas_udf(out_t)
+    def _rep(texts: pd.Series) -> pd.DataFrame:
+        rows = [
+            _doc_stats(t) if t is not None else (0.0, 0.0, 0.0, 0.0)
+            for t in texts
+        ]
+        return pd.DataFrame(rows, columns=[f.name for f in out_t.fields])
+
+    tmp = "__rep_struct"
+    out = df.withColumn(tmp, _rep(F.col(text_col)))
+    for f in out_t.fields:
+        out = out.withColumn(f"{prefix}{f.name}", F.col(f"{tmp}.{f.name}"))
+    return out.drop(tmp)
+
+
+# Conservative PII patterns — emails, international-ish phone numbers,
+# and IPv4 addresses. Deliberately precision-leaning (no bare 9-digit
+# runs, which would eat order ids): pretraining scrubbing wants low
+# false-positive damage to clean text.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{1,3}[-. (]{1,2}\d{3}[-. )]{1,2}\d{3}[-. ]?\d{2,4}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: Optional[str] = None,
+    kinds: Optional[List[str]] = None,
+) -> DataFrame:
+    """Replace PII matches with ``<KIND>`` placeholders — pure chained
+    ``regexp_replace`` (JVM, whole-stage codegen, no UDF).  ``kinds``
+    selects a subset of :data:`PII_PATTERNS` (default: all, applied in
+    dict order — email first so its digits never half-match as phones).
+    """
+    out_col = out_col or text_col
+    expr = F.col(text_col)
+    for kind in (kinds if kinds is not None else list(PII_PATTERNS)):
+        if kind not in PII_PATTERNS:
+            raise ValueError(
+                f"unknown PII kind {kind!r}; known: {sorted(PII_PATTERNS)}"
+            )
+        expr = F.regexp_replace(
+            expr, PII_PATTERNS[kind], f"<{kind.upper()}>"
+        )
+    return df.withColumn(out_col, expr)

@@ -305,6 +305,56 @@ class TestTextOpsOnSpark:
         for i, _, expect in rows:
             assert got[i] == expect, (i, got[i], expect)
 
+    def test_repetition_stats(self, spark):
+        """Gopher-style repetition filters: duplicate-line and top
+        n-gram fractions against hand-computed fixtures."""
+        from gr_tdigest_spark.operators.text import with_repetition_stats
+
+        clean = "every line here is unique\nand so is this one"
+        loops = "buy now\nbuy now\nbuy now\nsomething else"
+        gram = "spam ham spam ham spam ham spam ham"
+        df = spark.createDataFrame(
+            [(1, clean), (2, loops), (3, gram), (4, ""), (5, None)],
+            "id long, text string",
+        )
+        got = {r["id"]: r for r in with_repetition_stats(df).collect()}
+        assert got[1]["rep_dup_line_frac"] == 0.0
+        assert got[1]["rep_top_bigram_char_frac"] == 0.0
+        # 3 of 4 lines are the duplicated 'buy now' (7 chars each)
+        assert abs(got[2]["rep_dup_line_frac"] - 3 / 4) < 1e-12
+        expected_dcf = 21 / (21 + len("something else"))
+        assert abs(got[2]["rep_dup_line_char_frac"] - expected_dcf) < 1e-12
+        # 'spam ham' bigram: 4 occurrences x 8 chars over 35 chars
+        assert abs(got[3]["rep_top_bigram_char_frac"] - 32 / 35) < 1e-12
+        assert got[4]["rep_dup_line_frac"] == 0.0
+        assert got[5]["rep_dup_line_frac"] == 0.0
+
+    def test_redact_pii(self, spark):
+        from gr_tdigest_spark.operators.text import redact_pii
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail me at jane.doe+x@example.co.uk or call "
+                    "+1 (555) 123-4567, server at 10.0.0.1"),
+                (2, "order 123456789 shipped"),  # bare digits untouched
+            ],
+            "id long, text string",
+        )
+        got = {r["id"]: r["text"] for r in redact_pii(df).collect()}
+        assert "<EMAIL>" in got[1] and "jane" not in got[1]
+        assert "<PHONE>" in got[1] and "123-4567" not in got[1]
+        assert "<IPV4>" in got[1] and "10.0.0.1" not in got[1]
+        assert got[2] == "order 123456789 shipped"
+        # subset selection + unknown kind validation
+        only_mail = {
+            r["id"]: r["text"]
+            for r in redact_pii(df, kinds=["email"]).collect()
+        }
+        assert "<EMAIL>" in only_mail[1] and "555" in only_mail[1]
+        import pytest
+        with pytest.raises(ValueError, match="unknown PII kind"):
+            redact_pii(df, kinds=["ssn"]).collect()
+
     def test_winnow_guarantee_property(self):
         """The winnowing guarantee (SIGMOD'03 Thm 1): two texts sharing
         a substring of length ≥ w + k − 1 MUST share at least one
