@@ -48,6 +48,29 @@ def test_checkpointed_matches_direct(spark, sf_dir, ckpt):
     assert got == exp
 
 
+def test_checkpointed_bottomk_matches_direct(spark, sf_dir, ckpt):
+    """The checkpoint surface is spec-generic: a bottom-k build through
+    shards + resume-store merges equals the direct aggregate blob-for-
+    blob (the sketch's partition-layout independence makes the shard
+    split invisible)."""
+    from gr_tdigest_spark.operators.companions import (
+        BottomKSpec, bottomk_agg,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    spec = BottomKSpec(k=32)
+    out = checkpointed_sketch_agg(
+        li, ["l_returnflag"], "l_orderkey", spec, ckpt, n_shards=6,
+        out_col="bottomk",
+    )
+    got = {r[0]: bytes(r[1]) for r in
+           out.select("l_returnflag", "bottomk").collect()}
+    exp = {r[0]: bytes(r[1]) for r in
+           bottomk_agg(li, ["l_returnflag"], "l_orderkey", k=32)
+           .collect()}
+    assert got == exp
+
+
 def test_resume_skips_completed_shards(spark, sf_dir, ckpt):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     spec = TDigestSpec(max_size=1000)
