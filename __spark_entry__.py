@@ -937,6 +937,8 @@ def q_text_stats(spark, sf_dir):
     identical semantics in Java regex and RE2, and immune to
     trailing-empty-split differences.
     """
+    from gr_tdigest_spark.operators.text import BPE_TOKEN_PATTERN
+
     t = F.col("text")
     d = _docs(spark, sf_dir).select(
         "lang",
@@ -945,11 +947,17 @@ def q_text_stats(spark, sf_dir):
         F.length(
             F.regexp_replace(t, r"[^.,;:!?'\"()\[\]-]", "")
         ).alias("n_punct"),
+        # GPT-2-style pre-tokenizer piece count (text.py
+        # BPE_TOKEN_PATTERN): Java regex and RE2 agree on both the
+        # \p{L}/\p{N} classes and leftmost-first alternation, verified
+        # exact across engines on this table
+        F.regexp_count(t, F.lit(BPE_TOKEN_PATTERN)).alias("n_bpe"),
     )
     return d.groupBy("lang").agg(
         F.sum("n_tok").alias("tot_tokens"),
         F.sum("n_chars").alias("tot_chars"),
         F.sum("n_punct").alias("tot_punct"),
+        F.sum("n_bpe").alias("tot_bpe_tokens"),
     )
 
 
@@ -1818,7 +1826,11 @@ def oracle_sql() -> dict[str, str]:
                    sum(len(text))::BIGINT AS tot_chars,
                    sum(len(regexp_replace(text,
                        '[^.,;:!?''"()\\[\\]-]', '', 'g')))::BIGINT
-                     AS tot_punct
+                     AS tot_punct,
+                   sum(len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d'
+                       || '| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')))
+                     ::BIGINT AS tot_bpe_tokens
             FROM documents GROUP BY lang
             """
         ),
