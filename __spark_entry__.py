@@ -917,12 +917,25 @@ def q_kll_rank_docs(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    from gr_tdigest_spark.operators.text import with_fingerprint
+    """Exact dedup fingerprints + PII detection counts (redact_pii's
+    patterns are plain character-class regexes — Java regex and RE2
+    agree, so the per-kind doc counts hash-match DuckDB exactly)."""
+    from gr_tdigest_spark.operators.text import (
+        PII_PATTERNS, redact_pii, with_fingerprint,
+    )
 
     d = with_fingerprint(_docs(spark, sf_dir), "text", "fp")
-    return d.agg(
+    red = redact_pii(d, "text", out_col="red")
+    return red.agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("fp").alias("n_unique"),
+        F.sum(
+            F.col("text").rlike(PII_PATTERNS["email"]).cast("long")
+        ).alias("n_email_docs"),
+        # after redaction no email pattern may survive
+        F.sum(
+            F.col("red").rlike(PII_PATTERNS["email"]).cast("long")
+        ).alias("n_email_after_redact"),
     )
 
 
@@ -1815,7 +1828,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact": (
             "SELECT count(*) AS n_docs, count(DISTINCT md5(lower(trim("
-            "regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_unique "
+            "regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_unique, "
+            "sum(CASE WHEN regexp_matches(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') "
+            "THEN 1 ELSE 0 END)::BIGINT AS n_email_docs, "
+            "0::BIGINT AS n_email_after_redact "
             "FROM documents"
         ),
         "text_stats": (
