@@ -1120,14 +1120,40 @@ def q_sample_docs(spark, sf_dir):
 
 
 def q_embed_topk(spark, sf_dir):
-    from gr_tdigest_spark.operators.similarity import cosine_topk
+    """Brute-force cosine top-k, cross-checked against the IVF index:
+    at nprobe == n_lists the inverted file degrades to the exact
+    answer (similarity.py ivf_index_topk contract), so joining the two
+    results must reproduce every (vec_id, cosine) pair — the oracle
+    sees TRUE booleans and a row-count mismatch if IVF ever diverges."""
+    import os
+    from gr_tdigest_spark.operators.similarity import (
+        build_ivf_index, cosine_topk, ivf_index_topk,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    top = cosine_topk(
-        emb.filter(F.col("vec_id") != 0), qvec, k=5
+    rest = emb.filter(F.col("vec_id") != 0)
+    top = cosine_topk(rest, qvec, k=5)
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/root/repo/.cache/ivfidx_{sf_tag}"
+    n_lists = 4
+    build_ivf_index(rest, path, n_lists=n_lists, n_iter=5, seed=29)
+    ivf = ivf_index_topk(spark, path, qvec, k=5, nprobe=n_lists)
+
+    return (
+        top.select("vec_id", F.round("cosine", 6).alias("cos_sim"))
+        .join(
+            ivf.select(
+                "vec_id", F.round("cosine", 6).alias("__cos_ivf")
+            ),
+            "vec_id",
+        )
+        .select(
+            "vec_id", "cos_sim",
+            (F.col("cos_sim") == F.col("__cos_ivf")).alias("ivf_exact"),
+        )
     )
-    return top.select("vec_id", F.round("cosine", 6).alias("cos_sim"))
 
 
 _EMB768_PATH = "/root/repo/.cache/embeddings768.parquet"
@@ -2023,7 +2049,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id,
                    round(list_cosine_similarity(embedding::DOUBLE[],
-                                                qv::DOUBLE[]), 6) AS cos_sim
+                                                qv::DOUBLE[]), 6) AS cos_sim,
+                   TRUE AS ivf_exact
             FROM embeddings, q WHERE vec_id != 0
             ORDER BY cos_sim DESC, vec_id LIMIT 5
             """
