@@ -965,12 +965,24 @@ def q_text_stats(spark, sf_dir):
         # \p{L}/\p{N} classes and leftmost-first alternation, verified
         # exact across engines on this table
         F.regexp_count(t, F.lit(BPE_TOKEN_PATTERN)).alias("n_bpe"),
+        # duplicate-line signal (repetition-filter family): nonempty
+        # lines minus distinct nonempty lines — integer, so the
+        # cross-engine hash is exact
+        (
+            F.size(F.filter(
+                F.split(t, "\n"), lambda ln: F.trim(ln) != ""
+            ))
+            - F.size(F.array_distinct(F.filter(
+                F.split(t, "\n"), lambda ln: F.trim(ln) != ""
+            )))
+        ).alias("n_dup_lines"),
     )
     return d.groupBy("lang").agg(
         F.sum("n_tok").alias("tot_tokens"),
         F.sum("n_chars").alias("tot_chars"),
         F.sum("n_punct").alias("tot_punct"),
         F.sum("n_bpe").alias("tot_bpe_tokens"),
+        F.sum("n_dup_lines").alias("tot_dup_lines"),
     )
 
 
@@ -1116,7 +1128,40 @@ def q_sample_docs(spark, sf_dir):
             <= F.greatest(F.lit(bound) * F.col("exact"), F.lit(2.0))
         ).alias("kmv_ok"),
     )
-    return n_samp.join(kmv, "source")
+
+    # global sampling/split contracts, attached as constant booleans
+    # (bound-boolean oracle pattern): uniform and weighted samples must
+    # return exactly least(k, eligible rows); assign_split must cover
+    # every row with every declared split non-empty
+    from gr_tdigest_spark.operators.sample import (
+        assign_split, uniform_sample, weighted_sample,
+    )
+
+    full = _docs(spark, sf_dir)
+    n_total = full.count()
+    n_uni = uniform_sample(full, 100, "doc_id", seed=7).count()
+    weighted = full.withColumn(
+        "w", (F.length("text") % 7 + 1).cast("double")
+    )
+    n_wtd = weighted_sample(weighted, 100, "doc_id", "w", seed=7).count()
+    split_counts = {
+        r["split"]: r["n"]
+        for r in assign_split(
+            full, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+            seed=7,
+        ).groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    expect = min(100, n_total)
+    ok = (
+        n_uni == expect
+        and n_wtd == expect
+        and sum(split_counts.values()) == n_total
+        and all(split_counts.get(s, 0) > 0
+                for s in ("train", "val", "test"))
+    )
+    return n_samp.join(kmv, "source").withColumn(
+        "sampling_ok", F.lit(bool(ok))
+    )
 
 
 def q_embed_topk(spark, sf_dir):
@@ -1873,7 +1918,14 @@ def oracle_sql() -> dict[str, str]:
                    sum(len(regexp_extract_all(text,
                        '''s|''t|''re|''ve|''m|''ll|''d'
                        || '| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')))
-                     ::BIGINT AS tot_bpe_tokens
+                     ::BIGINT AS tot_bpe_tokens,
+                   sum(
+                     len(list_filter(string_split(text, chr(10)),
+                                     ln -> trim(ln) <> ''))
+                     - len(list_distinct(list_filter(
+                         string_split(text, chr(10)),
+                         ln -> trim(ln) <> '')))
+                   )::BIGINT AS tot_dup_lines
             FROM documents GROUP BY lang
             """
         ),
@@ -1951,7 +2003,8 @@ def oracle_sql() -> dict[str, str]:
             """
             SELECT source,
                    least(16, count(DISTINCT doc_id))::BIGINT AS n_sample,
-                   TRUE AS kmv_ok
+                   TRUE AS kmv_ok,
+                   TRUE AS sampling_ok
             FROM documents GROUP BY source
             """
         ),
