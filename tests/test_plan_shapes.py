@@ -73,6 +73,33 @@ class TestTDigestAggPlans:
 
 
 class TestQueryPlans:
+    def test_bottomk_agg_single_exchange_pruned(self, spark, sf_dir):
+        """The bottom-k sampler aggregates like every other sketch:
+        one shuffle of sketch-sized partials, scan pruned to
+        (keys, value)."""
+        from gr_tdigest_spark.operators.companions import bottomk_agg
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        sk = bottomk_agg(li, ["l_returnflag"], "l_orderkey", k=32)
+        assert _n_exchanges(sk) == 1
+        m = re.search(r"ReadSchema: struct<([^>]*)>", _plan(sk))
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols == {"l_returnflag", "l_orderkey"}
+
+    def test_assign_split_zero_exchanges(self, spark, sf_dir):
+        from gr_tdigest_spark.operators.sample import assign_split
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        out = assign_split(li, "l_orderkey", {"a": 0.5, "b": 0.5})
+        assert _n_exchanges(out) == 0
+
+    def test_weighted_sample_take_ordered(self, spark, sf_dir):
+        from gr_tdigest_spark.operators.sample import weighted_sample
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        s = weighted_sample(li, 50, "l_orderkey", "l_quantity")
+        assert "TakeOrderedAndProject" in _plan(s)
+
     def test_cosine_topk_is_take_ordered(self, spark, sf_dir):
         from gr_tdigest_spark.operators.similarity import cosine_topk
 
