@@ -917,14 +917,28 @@ def q_kll_rank_docs(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup fingerprints + PII detection counts (redact_pii's
-    patterns are plain character-class regexes — Java regex and RE2
-    agree, so the per-kind doc counts hash-match DuckDB exactly)."""
+    """Exact dedup fingerprints + PII detection counts.
+
+    The fixture corpus contains no PII, which would make the email
+    columns a vacuous 0 == 0 — so the query APPENDS deterministic
+    email-bearing rows built from doc_id (the media_stats synthesize-
+    what-you-test pattern; the oracle constructs the identical rows in
+    SQL).  redact_pii's email pattern is plain character classes, so
+    Java regex and RE2 agree and the counts hash-match exactly; a
+    broken redaction now shows up as n_email_after_redact != 0."""
     from gr_tdigest_spark.operators.text import (
         PII_PATTERNS, redact_pii, with_fingerprint,
     )
 
-    d = with_fingerprint(_docs(spark, sf_dir), "text", "fp")
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    synth = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com about "), F.col("text"),
+        ).alias("text"),
+    )
+    d = with_fingerprint(base.unionByName(synth), "text", "fp")
     red = redact_pii(d, "text", out_col="red")
     return red.agg(
         F.count("*").alias("n_docs"),
@@ -953,7 +967,18 @@ def q_text_stats(spark, sf_dir):
     from gr_tdigest_spark.operators.text import BPE_TOKEN_PATTERN
 
     t = F.col("text")
-    d = _docs(spark, sf_dir).select(
+    base = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    # the fixture docs are single-line, which would leave the
+    # duplicate-line column a vacuous 0 == 0: append deterministic
+    # multiline rows (text repeated over '\n') so the dup-line
+    # expression is genuinely exercised (oracle builds the same rows)
+    src = base.select("lang", "text").unionByName(
+        base.filter(F.col("doc_id") % 10 == 0).select(
+            "lang",
+            F.concat(t, F.lit("\n"), t, F.lit("\n"), t).alias("text"),
+        )
+    )
+    d = src.select(
         "lang",
         F.regexp_count(t, F.lit(r"[^ \t\n\r\f]+")).alias("n_tok"),
         F.length(t).alias("n_chars"),
@@ -1137,25 +1162,29 @@ def q_sample_docs(spark, sf_dir):
         assign_split, uniform_sample, weighted_sample,
     )
 
-    full = _docs(spark, sf_dir)
-    n_total = full.count()
-    n_uni = uniform_sample(full, 100, "doc_id", seed=7).count()
-    weighted = full.withColumn(
-        "w", (F.length("text") % 7 + 1).cast("double")
-    )
-    n_wtd = weighted_sample(weighted, 100, "doc_id", "w", seed=7).count()
     split_counts = {
         r["split"]: r["n"]
         for r in assign_split(
-            full, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+            d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
             seed=7,
         ).groupBy("split").agg(F.count("*").alias("n")).collect()
     }
-    expect = min(100, n_total)
+    n_total = sum(split_counts.values())  # assign covers every row
+    n_uni = uniform_sample(d, 100, "doc_id", seed=7).count()
+    weighted = d.withColumn(
+        "w", (F.length("text") % 7 + 1).cast("double")
+    )
+    # expected size counts the operator's OWN eligibility rule (NULL /
+    # NaN / non-positive weights are never sampled), so a future
+    # fixture with NULL texts cannot false-fail the gate
+    w = F.col("w")
+    n_elig = weighted.filter(
+        w.isNotNull() & ~F.isnan(w) & (w > 0.0)
+    ).count()
+    n_wtd = weighted_sample(weighted, 100, "doc_id", "w", seed=7).count()
     ok = (
-        n_uni == expect
-        and n_wtd == expect
-        and sum(split_counts.values()) == n_total
+        n_uni == min(100, n_total)
+        and n_wtd == min(100, n_elig)
         and all(split_counts.get(s, 0) > 0
                 for s in ("train", "val", "test"))
     )
@@ -1898,16 +1927,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY source"
         ),
         "dedup_exact": (
-            "SELECT count(*) AS n_docs, count(DISTINCT md5(lower(trim("
-            "regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_unique, "
-            "sum(CASE WHEN regexp_matches(text, "
-            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') "
-            "THEN 1 ELSE 0 END)::BIGINT AS n_email_docs, "
-            "0::BIGINT AS n_email_after_redact "
-            "FROM documents"
+            """
+            WITH synth AS (
+              SELECT doc_id + 1000000 AS doc_id,
+                     'contact user' || doc_id::VARCHAR
+                       || '@example.com about ' || text AS text
+              FROM documents WHERE doc_id % 10 = 0
+            ), corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id, text FROM synth
+            )
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT md5(lower(trim(
+                     regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_unique,
+                   sum(CASE WHEN regexp_matches(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+                     THEN 1 ELSE 0 END)::BIGINT AS n_email_docs,
+                   0::BIGINT AS n_email_after_redact
+            FROM corpus
+            """
         ),
         "text_stats": (
             """
+            WITH corpus AS (
+              SELECT lang, text FROM documents
+              UNION ALL
+              SELECT lang, text || chr(10) || text || chr(10) || text
+              FROM documents WHERE doc_id % 10 = 0
+            )
             SELECT lang,
                    sum(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')))
                      ::BIGINT AS tot_tokens,
@@ -1917,7 +1964,7 @@ def oracle_sql() -> dict[str, str]:
                      AS tot_punct,
                    sum(len(regexp_extract_all(text,
                        '''s|''t|''re|''ve|''m|''ll|''d'
-                       || '| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')))
+                       || '| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+')))
                      ::BIGINT AS tot_bpe_tokens,
                    sum(
                      len(list_filter(string_split(text, chr(10)),
@@ -1926,7 +1973,7 @@ def oracle_sql() -> dict[str, str]:
                          string_split(text, chr(10)),
                          ln -> trim(ln) <> '')))
                    )::BIGINT AS tot_dup_lines
-            FROM documents GROUP BY lang
+            FROM corpus GROUP BY lang
             """
         ),
         # replicates with_quality_score's expression tree in the same

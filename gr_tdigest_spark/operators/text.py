@@ -10,6 +10,7 @@ n-gram heuristic), document fingerprinting.
 
 from __future__ import annotations
 
+from collections import Counter
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -277,12 +278,15 @@ def with_winnow_fingerprints(
 # letters and digits split into separate runs, and `_` belongs to the
 # punctuation class, so the piece count stays a faithful lower bound on
 # real BPE token counts (a looser combined class would OVERcount
-# underscore-adjacent punctuation common in code/markdown).
+# underscore-adjacent punctuation common in code/markdown).  The
+# whitespace exclusion is the EXPLICIT class [ \t\n\x0B\f\r], never \s:
+# Java's \s includes \x0B while RE2's does not — the exact cross-engine
+# divergence the r3 text_stats fix documented as a hash killer.
 BPE_TOKEN_PATTERN = (
     r"'s|'t|'re|'ve|'m|'ll|'d"
     r"| ?\p{L}+"
     r"| ?\p{N}+"
-    r"| ?[^\s\p{L}\p{N}]+"
+    r"| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+"
 )
 
 
@@ -329,8 +333,6 @@ def with_repetition_stats(
             return (0.0, 0.0, 0.0, 0.0)
         lines = [ln for ln in t.splitlines() if ln.strip()]
         if lines:
-            from collections import Counter
-
             cnt = Counter(lines)
             dup_lines = sum(c for c in cnt.values() if c > 1)
             dup_chars = sum(
@@ -347,8 +349,6 @@ def with_repetition_stats(
             if len(toks) < n:
                 grams.append(0.0)
                 continue
-            from collections import Counter
-
             c = Counter(
                 tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)
             )
@@ -375,14 +375,17 @@ def with_repetition_stats(
     return out.drop(tmp)
 
 
-# Conservative PII patterns — emails, international-ish phone numbers,
-# and IPv4 addresses. Deliberately precision-leaning (no bare 9-digit
-# runs, which would eat order ids): pretraining scrubbing wants low
-# false-positive damage to clean text.
+# Conservative PII patterns — emails, IPv4 addresses, NANP-shaped
+# phone numbers. Deliberately precision-leaning (no bare digit runs,
+# which would eat order ids; the phone form requires the 3-3-4
+# grouping with separators): pretraining scrubbing wants low
+# false-positive damage to clean text. ORDER MATTERS and is the dict
+# order redact_pii applies: ipv4 must run before phone so a dotted
+# address is never half-eaten as a phone number.
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\+?\d{1,3}[-. (]{1,2}\d{3}[-. )]{1,2}\d{3}[-. ]?\d{2,4}",
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"(?:\+\d{1,3}[-. ]?)?(?:\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}\b",
 }
 
 
@@ -395,7 +398,10 @@ def redact_pii(
     """Replace PII matches with ``<KIND>`` placeholders — pure chained
     ``regexp_replace`` (JVM, whole-stage codegen, no UDF).  ``kinds``
     selects a subset of :data:`PII_PATTERNS` (default: all, applied in
-    dict order — email first so its digits never half-match as phones).
+    dict order — email first, then ipv4 BEFORE phone so a dotted
+    address is never half-eaten as a phone number).  Residual known
+    false-positive class: a bare 3-3-4 digit grouping with separators
+    is phone-shaped and gets redacted.
     """
     out_col = out_col or text_col
     expr = F.col(text_col)

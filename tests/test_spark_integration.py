@@ -337,6 +337,9 @@ class TestTextOpsOnSpark:
                 (1, "mail me at jane.doe+x@example.co.uk or call "
                     "+1 (555) 123-4567, server at 10.0.0.1"),
                 (2, "order 123456789 shipped"),  # bare digits untouched
+                # 3-digit octets must tag as IP, not phone (ipv4 runs
+                # before phone in PII_PATTERNS order)
+                (3, "gateway 203.120.145.210 up; pi is 3.141 592 65"),
             ],
             "id long, text string",
         )
@@ -345,6 +348,8 @@ class TestTextOpsOnSpark:
         assert "<PHONE>" in got[1] and "123-4567" not in got[1]
         assert "<IPV4>" in got[1] and "10.0.0.1" not in got[1]
         assert got[2] == "order 123456789 shipped"
+        assert "<IPV4>" in got[3] and "<PHONE>" not in got[3]
+        assert "3.141 592 65" in got[3]  # not phone-shaped (no 4-digit tail)
         # subset selection + unknown kind validation
         only_mail = {
             r["id"]: r["text"]
