@@ -348,6 +348,10 @@ def near_dup_clusters(
     return labels.select(F.col("id"), F.col("label").alias("cluster"))
 
 
+# one-slot cache for winnow_overlap_pairs' fingerprint table (see below)
+_WINNOW_FP_CACHE = None
+
+
 def winnow_overlap_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -386,7 +390,17 @@ def winnow_overlap_pairs(
         F.col(id_col).alias("__id"), F.explode("__wfp").alias("__fp")
     )
     if persist_fingerprints:
+        # bounded slot: each call evicts the PREVIOUS call's cached
+        # fingerprint table, so long-lived sessions hold at most one
+        # (same pattern as the entry queries' _persist_replacing)
+        global _WINNOW_FP_CACHE
+        if _WINNOW_FP_CACHE is not None:
+            try:
+                _WINNOW_FP_CACHE.unpersist()
+            except Exception:
+                pass
         ex = ex.persist()
+        _WINNOW_FP_CACHE = ex
     ex = subsplit_oversized_buckets(
         ex, ["__fp"], "__id", max_bucket_size
     )

@@ -233,7 +233,12 @@ def stratified_sample(df: DataFrame, keys: Union[str, Sequence[str]],
             pr.asc(), F.col(join_col).asc()
         )
         ids = (
-            fact.select(*key_list, join_col).distinct()
+            # NULL ids can never survive the semi-join below, so they
+            # must not win sample slots here either (the sketch method
+            # skips NULLs at ingest — same contract)
+            fact.select(*key_list, join_col)
+            .where(F.col(join_col).isNotNull())
+            .distinct()
             .withColumn("__sample_rn", F.row_number().over(w))
             .filter(F.col("__sample_rn") <= k)
             .drop("__sample_rn")

@@ -149,19 +149,38 @@ class BottomK:
         first = self.values[0]
         if isinstance(first, (bool, np.bool_)):
             raise ValueError("BottomK wire: bool values unsupported")
+
+        def _homogeneous(types) -> None:
+            # the tag is dispatched on values[0]; a mixed object array
+            # would otherwise be silently COERCED (e.g. 2.5 → int 2),
+            # corrupting the sample while its hash stays hash64(2.5)
+            for v in self.values:
+                if not isinstance(v, types) or isinstance(
+                    v, (bool, np.bool_)
+                ):
+                    raise ValueError(
+                        "BottomK wire: mixed value types "
+                        f"({type(first).__name__} vs {type(v).__name__}); "
+                        "columns must be homogeneous"
+                    )
+
         if isinstance(first, (int, np.integer)):
+            _homogeneous((int, np.integer))
             return head + b"i" + np.asarray(
                 self.values, dtype=np.int64
             ).astype("<i8").tobytes()
         if isinstance(first, (float, np.floating)):
+            _homogeneous((float, np.floating))
             return head + b"f" + np.asarray(
                 self.values, dtype=np.float64
             ).astype("<f8").tobytes()
         if isinstance(first, (str, np.str_)):
+            _homogeneous((str, np.str_))
             enc = [str(v).encode("utf-8") for v in self.values]
             lens = np.asarray([len(b) for b in enc], dtype="<u4")
             return head + b"s" + lens.tobytes() + b"".join(enc)
         if isinstance(first, (bytes, np.bytes_)):
+            _homogeneous((bytes, np.bytes_))
             enc = [bytes(v) for v in self.values]
             lens = np.asarray([len(b) for b in enc], dtype="<u4")
             return head + b"b" + lens.tobytes() + b"".join(enc)

@@ -143,6 +143,15 @@ class TestBottomKKernel:
         with pytest.raises(ValueError, match="incompatible"):
             BottomK(k=8).merge(BottomK(k=16))
 
+    def test_mixed_value_types_rejected_at_wire(self):
+        """The wire tag dispatches on values[0]; a mixed object array
+        must raise, never silently coerce (2.5 → int 2 would desync
+        the stored value from its hash)."""
+        sk = BottomK(k=8)
+        sk.add(np.array([1, 2.5], dtype=object))
+        with pytest.raises(ValueError, match="mixed value types"):
+            sk.to_bytes()
+
 
 class TestBottomKSpark:
     def test_agg_matches_kernel(self, spark):
@@ -309,6 +318,20 @@ class TestSamplingOperators:
         assert len(got) == 5
         assert {f.name for f in out.schema} == {"g", "d"}
         assert all(isinstance(r["d"], datetime.date) for r in got)
+
+    @pytest.mark.parametrize("method", ["sketch", "window"])
+    def test_stratified_null_ids_never_win_slots(self, spark, method):
+        """NULL ids cannot survive the semi-join, so they must not
+        occupy sample slots in either method (r4 review pin: the
+        window method previously ranked NULL priorities)."""
+        from gr_tdigest_spark.operators.sample import stratified_sample
+
+        rows = [("A", i) for i in range(10)] + [("A", None)] * 5
+        df = spark.createDataFrame(rows, "g string, doc_id long")
+        out = stratified_sample(df, "g", 10, "doc_id", seed=1,
+                                method=method).collect()
+        ids = {r["doc_id"] for r in out}
+        assert ids == set(range(10)), (method, sorted(ids))
 
     def test_stratified_sketch_k1(self, spark):
         from gr_tdigest_spark.operators.sample import stratified_sample
