@@ -247,12 +247,12 @@ def build_ann_index(
     b = df.withColumn("bucket", _bucket_expr(F.col(vec_col), planes))
     b.write.partitionBy("bucket").mode("overwrite").parquet(path)
     spark = df.sparkSession
-    ppdf = pd.DataFrame({
-        "plane_id": np.arange(n_planes, dtype=np.int64),
-        "vec": list(planes),
-    })
+    # Plain Python rows: numpy scalars/arrays are rejected by the
+    # non-Arrow createDataFrame row verifier, and the library must not
+    # assume the caller's session enables Arrow conversion.
+    plane_rows = [(i, planes[i].tolist()) for i in range(n_planes)]
     spark.createDataFrame(
-        ppdf, schema="plane_id long, vec array<double>"
+        plane_rows, schema="plane_id long, vec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}_planes")
 
 
@@ -372,12 +372,13 @@ def build_ivf_index(
     assigned = df.withColumn("list_id", _assign(F.col(vec_col)))
     assigned.write.partitionBy("list_id").mode("overwrite").parquet(path)
     spark = df.sparkSession
-    cpdf = pd.DataFrame({
-        "list_id": np.arange(centers.shape[0], dtype=np.int64),
-        "vec": list(centers),
-    })
+    # Plain Python rows — see build_ann_index: must work with Arrow
+    # conversion disabled (foreign sessions don't set it).
+    center_rows = [
+        (i, centers[i].tolist()) for i in range(centers.shape[0])
+    ]
     spark.createDataFrame(
-        cpdf, schema="list_id long, vec array<double>"
+        center_rows, schema="list_id long, vec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}_centroids")
 
 
