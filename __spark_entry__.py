@@ -1182,11 +1182,31 @@ def q_sample_docs(spark, sf_dir):
         w.isNotNull() & ~F.isnan(w) & (w > 0.0)
     ).count()
     n_wtd = weighted_sample(weighted, 100, "doc_id", "w", seed=7).count()
+    # keyed weighted sampling through the bounded-state sketch path
+    # (operators/sample.py method='sketch'): per source, exactly
+    # least(20, distinct eligible doc_ids) distinct documents
+    kw_sizes = {
+        r["source"]: r["n"]
+        for r in weighted_sample(weighted, 20, "doc_id", "w", seed=7,
+                                 keys="source")
+        .groupBy("source").agg(F.countDistinct("doc_id").alias("n"))
+        .collect()
+    }
+    kw_expect = {
+        r["source"]: r["n"]
+        for r in weighted.filter(
+            w.isNotNull() & ~F.isnan(w) & (w > 0.0)
+            & F.col("doc_id").isNotNull()
+        ).groupBy("source").agg(F.countDistinct("doc_id").alias("n"))
+        .collect()
+    }
     ok = (
         n_uni == min(100, n_total)
         and n_wtd == min(100, n_elig)
         and all(split_counts.get(s, 0) > 0
                 for s in ("train", "val", "test"))
+        and set(kw_sizes) == set(kw_expect)
+        and all(kw_sizes[s] == min(20, n) for s, n in kw_expect.items())
     )
     return n_samp.join(kmv, "source").withColumn(
         "sampling_ok", F.lit(bool(ok))

@@ -30,7 +30,7 @@ from gr_tdigest_spark.sketches.minhash import MinHash
 
 __all__ = [
     "HLLSpec", "CMSSpec", "BloomSpec", "KLLSpec", "MinHashSpec",
-    "BottomKSpec",
+    "BottomKSpec", "WeightedBottomKSpec",
     "hll_agg", "cms_agg", "bloom_agg", "kll_agg", "minhash_agg",
     "bottomk_agg",
     "hll_estimate", "hll_intersect_estimate", "cms_estimate",
@@ -380,6 +380,14 @@ class BottomKSpec(_KernelSpec):
     def _new(self):
         return BottomK(k=self.k, seed=self.seed)
 
+    def _priority(self, arr: np.ndarray,
+                  ws: "np.ndarray | None") -> np.ndarray:
+        """uint64 sampling priority per value. Base spec: the value's
+        deterministic hash (uniform distinct sampling + KMV)."""
+        from gr_tdigest_spark.sketches.hashing import hash64
+
+        return hash64(arr, seed=self.seed)
+
     def build_groups(self, pdf, key_cols, value_col, weight_col):
         """Vectorized multi-group build (the per-conversation sampling
         shape at high group cardinality): hash the batch once, one
@@ -388,14 +396,13 @@ class BottomKSpec(_KernelSpec):
         numpy dispatch. Byte-identical to the per-group path (same
         stable tie order, same truncation)."""
         from gr_tdigest_spark.sketches.bottomk import _canon_values
-        from gr_tdigest_spark.sketches.hashing import hash64
 
-        fac = _factorize_groups(pdf, key_cols, value_col)
+        fac = _factorize_groups(pdf, key_cols, value_col, weight_col)
         if fac is None:
             return {}
-        codes, keys_by_gid, arr, _ = fac
+        codes, keys_by_gid, arr, ws = fac
         arr = _canon_values(np.asarray(arr))
-        h = hash64(arr, seed=self.seed)
+        h = self._priority(arr, ws)
         order = np.lexsort((h, codes))
         codes_s, h_s = codes[order], h[order]
         # permute/dedupe in the NATIVE dtype — boxing to object happens
@@ -423,6 +430,39 @@ class BottomKSpec(_KernelSpec):
             prev = out.get(key)
             out[key] = sk if prev is None else self.merge_states(prev, sk)
         return out
+
+
+class WeightedBottomKSpec(BottomKSpec):
+    """Bounded-state per-group WEIGHTED sampler (Efraimidis–Spirakis
+    A-ES via the exponential race): the priority is not a hash of the
+    value but the caller-computed race key ``E = -ln(u)/w`` (a strictly
+    positive double, delivered through the weight column), viewed as
+    its IEEE-754 uint64 bit pattern — order-preserving for positive
+    doubles, so "k smallest bit patterns" ≡ "k smallest race keys" ≡ a
+    weighted sample without replacement.  The state is then literally a
+    :class:`BottomK` (same wire, same merge), giving the same scale
+    shape as ``stratified_sample(method='sketch')``: ≤ k entries of
+    map-side-combinable state per group per executor, so a hot group
+    with 10⁹ rows shuffles the same few hundred bytes as a 10-row one.
+
+    Internal to :func:`gr_tdigest_spark.operators.sample.weighted_sample`
+    — the race key must be a deterministic pure function of
+    (id, seed, weight) or layout independence is lost, so it is always
+    built by that operator's JVM expressions, never user-supplied.
+    """
+
+    name = "wbottomk"
+
+    def _priority(self, arr, ws):
+        if ws is None:
+            raise ValueError(
+                "WeightedBottomKSpec needs the race-key column "
+                "(sketch_agg weight_col)"
+            )
+        # positive doubles sort identically to their uint64 bit views
+        return np.ascontiguousarray(
+            np.asarray(ws, dtype=np.float64)
+        ).view(np.uint64)
 
 
 class KLLSpec(_KernelSpec):

@@ -93,8 +93,9 @@ def _unit_uniform(id_cols: Union[str, Sequence[str]], seed: int) -> Column:
 def weighted_sample(df: DataFrame, k: int,
                     id_cols: Union[str, Sequence[str]],
                     weight_col: str, seed: int = 0,
-                    keys: Union[None, str, Sequence[str]] = None
-                    ) -> DataFrame:
+                    keys: Union[None, str, Sequence[str]] = None,
+                    method: str = "sketch",
+                    broadcast_ids: bool = True) -> DataFrame:
     """Weighted k-row sample without replacement (Efraimidis–Spirakis
     A-ES, Inf. Proc. Lett. 97(5), 2006): each row gets the key
     ``u^(1/w)`` with a deterministic hash-derived u ∈ (0,1); the k
@@ -105,16 +106,43 @@ def weighted_sample(df: DataFrame, k: int,
     Deterministic in (id_cols, weight, seed); rows with weight ≤ 0,
     NaN, or NULL are never sampled.  The hash domain is salted per
     operator, so composing with :func:`assign_split` at the same seed
-    stays unbiased.  Global (keys=None) plans as
-    ``TakeOrderedAndProject`` like :func:`uniform_sample`; with
-    ``keys`` the top-k runs per group over a window (each group's rows
-    flow through one task — pair with a distinct/bounded id space, or
-    pre-aggregate, for very hot groups).  All key arithmetic is JVM
-    expressions (log-space: ``ln(u)/w`` is monotone in ``u^(1/w)`` and
-    avoids underflow for large weights).
+    stays unbiased.  All key arithmetic is JVM expressions (log-space:
+    ``ln(u)/w`` is monotone in ``u^(1/w)`` and avoids underflow for
+    large weights).
+
+    Global (keys=None) plans as ``TakeOrderedAndProject`` like
+    :func:`uniform_sample` — already bounded; ``method`` is ignored.
+    With ``keys``, two methods sharing the stratified_sample contract
+    (min(k, distinct eligible ids) distinct ids per group, every
+    eligible row carrying a sampled id comes back; NULL ids are never
+    sampled):
+
+    - ``method='sketch'`` (default, the scale path): per-group bottom-k
+      of the exponential race key ``E = -ln(u)/w`` via a bounded
+      mergeable state (``WeightedBottomKSpec`` — a BottomK ordered on
+      E's uint64 bit view instead of the value hash), then a semi-join
+      back for the full rows.  Partial state is ≤ k entries per group
+      on every executor (map-side combine), so a hot group costs the
+      same shuffle bytes as a cold one — no per-group window, no skew
+      hazard.  ``broadcast_ids`` as in :func:`stratified_sample`.
+    - ``method='window'``: classic ``row_number() OVER (PARTITION BY
+      keys ORDER BY es_key DESC)`` — every row of a group flows
+      through one task; fine when groups are known-small.  (Unlike the
+      sketch path this ranks ROWS, so duplicate/NULL ids can each take
+      a slot.)
+
+    The two methods draw DIFFERENT (equally weighted-uniform) samples:
+    the race key is the same, but the sketch path samples distinct ids
+    while the window path ranks rows.  If duplicate ids carry different
+    weights, the sketch path may keep several race entries for one id —
+    give each id one weight (the normal case) for exact-k semantics.
     """
     if k <= 0:
         raise ValueError("weighted_sample k must be > 0")
+    if method not in ("sketch", "window"):
+        raise ValueError(
+            f"weighted_sample method must be sketch/window, got {method!r}"
+        )
     ids = _cols(id_cols)
     u = _unit_uniform(ids, seed + _WEIGHTED_SALT)
     w = F.col(weight_col).cast("double")
@@ -126,17 +154,84 @@ def weighted_sample(df: DataFrame, k: int,
     eligible = df.filter(w.isNotNull() & ~F.isnan(w) & (w > 0.0))
     if keys is None:
         return eligible.orderBy(es_key.desc(), *ids).limit(k)
-    from pyspark.sql.window import Window
-
     key_list = _cols(keys)
-    win = Window.partitionBy(*key_list).orderBy(
-        es_key.desc(), *[F.col(c).asc() for c in ids]
+    if method == "window":
+        from pyspark.sql.window import Window
+
+        win = Window.partitionBy(*key_list).orderBy(
+            es_key.desc(), *[F.col(c).asc() for c in ids]
+        )
+        return (
+            eligible.withColumn("__es_rn", F.row_number().over(win))
+            .filter(F.col("__es_rn") <= k)
+            .drop("__es_rn")
+        )
+    return _weighted_sketch_sample(
+        eligible, k, ids, es_key, key_list, seed, broadcast_ids
     )
-    return (
-        eligible.withColumn("__es_rn", F.row_number().over(win))
-        .filter(F.col("__es_rn") <= k)
-        .drop("__es_rn")
+
+
+def _weighted_sketch_sample(eligible: DataFrame, k: int, ids: List[str],
+                            es_key: Column, key_list: List[str],
+                            seed: int, broadcast_ids: bool) -> DataFrame:
+    """The bounded-state keys path of :func:`weighted_sample`: keep the
+    k smallest exponential-race keys ``E = -es_key = -ln(u)/w`` per
+    group in a mergeable ≤ k-entry sketch, then semi-join the sampled
+    ids back.  E is strictly positive (u ∈ (0,1) exclusive, w > 0), so
+    its IEEE-754 uint64 bit view is order-preserving and slots straight
+    into the BottomK priority order."""
+    from gr_tdigest_spark.operators.companions import (
+        WeightedBottomKSpec, bottomk_sample,
     )
+    from gr_tdigest_spark.operators.agg import sketch_agg
+
+    # NULL ids could never survive the semi-join below, so they must
+    # not win race slots either (same contract as stratified_sample)
+    for c in ids:
+        eligible = eligible.where(F.col(c).isNotNull())
+
+    if len(ids) == 1:
+        dt = eligible.schema[ids[0]].dataType
+        if isinstance(dt, (IntegerType, LongType)):
+            sample_dtype, join_col, fact = "long", ids[0], eligible
+        elif isinstance(dt, (FloatType, DoubleType)):
+            sample_dtype, join_col, fact = "double", ids[0], eligible
+        elif isinstance(dt, StringType):
+            sample_dtype, join_col, fact = "string", ids[0], eligible
+        else:
+            sample_dtype, join_col = "string", "__sample_id"
+            fact = eligible.withColumn(
+                join_col, F.col(ids[0]).cast("string")
+            )
+    else:
+        # injective rendering of the id tuple: JSON escapes field
+        # boundaries, unlike concat_ws
+        sample_dtype, join_col = "string", "__sample_id"
+        fact = eligible.withColumn(
+            join_col, F.to_json(F.struct(*ids))
+        )
+
+    race = fact.withColumn("__es_e", -es_key)
+    sk = sketch_agg(
+        race.select(*key_list, join_col, "__es_e"),
+        key_list, join_col,
+        WeightedBottomKSpec(k=max(k, 2), seed=seed),
+        weight_col="__es_e",
+    )
+    sample_col = bottomk_sample("wbottomk", sample_dtype)
+    if k == 1:  # sketch k floor is 2; keep exactly one id
+        sample_col = F.slice(sample_col, 1, 1)
+    id_rows = sk.select(
+        *key_list, F.explode(sample_col).alias(join_col)
+    )
+    if sample_dtype != "string":
+        id_rows = id_rows.withColumn(
+            join_col, F.col(join_col).cast(fact.schema[join_col].dataType)
+        )
+    if broadcast_ids:
+        id_rows = F.broadcast(id_rows)
+    out = fact.join(id_rows, on=key_list + [join_col], how="leftsemi")
+    return out.drop("__sample_id") if join_col == "__sample_id" else out
 
 
 def assign_split(df: DataFrame,

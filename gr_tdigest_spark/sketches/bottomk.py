@@ -198,8 +198,12 @@ class BottomK:
         if version != 1:
             raise ValueError(f"unsupported GSBK version {version}")
         # validate header dims BEFORE any allocation (amplification
-        # guard — same rule as the sparse companion wires)
-        if not (1 <= k <= _MAX_K):
+        # guard — same rule as the sparse companion wires). Lower bound
+        # matches the constructor (k ≥ 2): a k=1 header can never come
+        # from a legal encoder, so reject it at the wire level with the
+        # wire-level message rather than letting __post_init__ raise a
+        # different one later.
+        if not (2 <= k <= _MAX_K):
             raise ValueError("GSBK k out of range")
         off = 4 + struct.calcsize(_HEAD)
         (n,) = struct.unpack_from("<I", blob, off)

@@ -110,6 +110,13 @@ class TestBottomKKernel:
         struct.pack_into("<I", forged, 4 + struct.calcsize("<BIqd"), 99)
         with pytest.raises(ValueError, match="count exceeds k"):
             BottomK.from_bytes(bytes(forged))
+        # k=1 in the header: no legal encoder writes it (constructor
+        # requires k ≥ 2) — the decoder must reject it with the
+        # wire-level message, not let __post_init__ raise later
+        forged = bytearray(blob)
+        struct.pack_into("<BIqd", forged, 4, 1, 1, 29, 2.0)
+        with pytest.raises(ValueError, match="k out of range"):
+            BottomK.from_bytes(bytes(forged))
 
     def test_golden_wire_bytes(self):
         """Hand-assembled GSBK v1 blob (change only with a version
@@ -428,6 +435,172 @@ class TestWeightedSample:
                weighted_sample(df, 20, "doc_id", "w", seed=0).collect()}
         assert len(got) == 20
         assert all(d < 1000 for d in got), "NaN-weight rows leaked in"
+
+
+class TestWeightedSketchSample:
+    """weighted_sample(keys=, method='sketch'): the bounded-state
+    per-group path (WeightedBottomKSpec — a BottomK ordered on the
+    exponential-race key's uint64 bit view)."""
+
+    @staticmethod
+    def _collect_sets(out):
+        per = {}
+        for r in out.collect():
+            per.setdefault(r["g"], set()).add(r["doc_id"])
+        return per
+
+    def test_exact_aes_oracle_and_layout_independence(self, spark):
+        """The sketch path must select EXACTLY the k smallest race keys
+        E = -ln(u)/w per group — computable as a driver-side oracle from
+        the same JVM expressions — and the selection must be identical
+        under any partition layout."""
+        from gr_tdigest_spark.operators.sample import (
+            _WEIGHTED_SALT, _unit_uniform, weighted_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(chr(65 + i % 3), i, float(1 + i % 5)) for i in range(900)],
+            "g string, doc_id long, w double",
+        )
+        per = self._collect_sets(
+            weighted_sample(df, 7, "doc_id", "w", seed=4, keys="g")
+        )
+        assert sorted(per) == ["A", "B", "C"]
+        assert all(len(v) == 7 for v in per.values())
+
+        u = _unit_uniform(["doc_id"], 4 + _WEIGHTED_SALT)
+        E = -F.log(u) / F.col("w")
+        byg = {}
+        for r in df.select("g", "doc_id", E.alias("E")).collect():
+            byg.setdefault(r["g"], []).append((r["E"], r["doc_id"]))
+        expect = {g: {d for _, d in sorted(v)[:7]} for g, v in byg.items()}
+        assert expect == per
+
+        for parts in (1, 2, 6, 13):
+            got = self._collect_sets(
+                weighted_sample(df.repartition(parts), 7, "doc_id", "w",
+                                seed=4, keys="g")
+            )
+            assert got == per, parts
+
+    def test_contract_sizes_and_eligibility(self, spark):
+        """min(k, distinct eligible ids) distinct ids per group; NULL /
+        NaN / non-positive weights and NULL ids never sampled; k=1
+        (below the sketch's k≥2 floor) keeps exactly one id."""
+        from gr_tdigest_spark.operators.sample import weighted_sample
+
+        rows = [("A", i, 1.0) for i in range(50)]
+        rows += [("B", i, 2.0) for i in range(3)]          # under k
+        rows += [("A", 900, 0.0), ("A", 901, None),
+                 ("A", 902, float("nan")), ("A", None, 5.0)]
+        df = spark.createDataFrame(rows, "g string, doc_id long, w double")
+        per = self._collect_sets(
+            weighted_sample(df, 10, "doc_id", "w", seed=2, keys="g")
+        )
+        assert len(per["A"]) == 10 and len(per["B"]) == 3
+        assert all(d is not None and d < 900 for d in per["A"])
+
+        one = self._collect_sets(
+            weighted_sample(df, 1, "doc_id", "w", seed=2, keys="g")
+        )
+        assert len(one["A"]) == 1 and len(one["B"]) == 1
+
+    def test_weight_bias(self, spark):
+        """A dominant-weight id is always sampled; across seeds the
+        heavy stratum wins far more slots (same law as the global
+        path, now per group through the sketch)."""
+        from gr_tdigest_spark.operators.sample import weighted_sample
+
+        rows = [("G", i, 100.0 if i < 40 else 1.0) for i in range(400)]
+        rows += [("G", 9_000, 1e9)]
+        df = spark.createDataFrame(rows, "g string, doc_id long, w double")
+        heavy = 0
+        for seed in range(6):
+            got = self._collect_sets(
+                weighted_sample(df, 20, "doc_id", "w", seed=seed,
+                                keys="g")
+            )["G"]
+            assert 9_000 in got
+            heavy += sum(1 for d in got if d < 40)
+        # 40×w=100 vs 360×w=1 → heavy stratum holds ~92% of weight
+        assert heavy >= 0.6 * 6 * 20
+
+    def test_plan_no_window_bounded_state(self, spark):
+        """The scale pin: no per-group Window anywhere in the plan —
+        partial mapInPandas states (≤ k entries/group) + one keyed
+        Exchange + a broadcast LEFT SEMI join back."""
+        from gr_tdigest_spark.operators.sample import weighted_sample
+
+        df = spark.createDataFrame(
+            [(chr(65 + i % 3), i, float(1 + i % 4)) for i in range(600)],
+            "g string, doc_id long, w double",
+        )
+        out = weighted_sample(df, 6, "doc_id", "w", seed=1, keys="g")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+        win = weighted_sample(df, 6, "doc_id", "w", seed=1, keys="g",
+                              method="window")
+        wplan = win._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in wplan  # the documented small-group path
+
+    @pytest.mark.slow
+    def test_hot_group_million_rows(self, spark):
+        """The skew shape the sketch path exists for: one group with
+        ≥ 10⁶ rows costs bounded per-executor state and returns the
+        exact contract sizes."""
+        from gr_tdigest_spark.operators.sample import weighted_sample
+
+        df = (
+            spark.range(0, 1_200_000, 1, 16)
+            .select(
+                F.when(F.col("id") < 1_000_000, F.lit("hot"))
+                .otherwise(F.lit("cold")).alias("g"),
+                F.col("id").alias("doc_id"),
+                (F.col("id") % 9 + 1).cast("double").alias("w"),
+            )
+        )
+        per = self._collect_sets(
+            weighted_sample(df, 100, "doc_id", "w", seed=5, keys="g")
+        )
+        assert len(per["hot"]) == 100 and len(per["cold"]) == 100
+        # determinism at a different layout even at this size
+        per2 = self._collect_sets(
+            weighted_sample(df.repartition(7), 100, "doc_id", "w",
+                            seed=5, keys="g")
+        )
+        assert per2 == per
+
+    def test_multi_and_nonprimitive_id_cols(self, spark):
+        """Multi-column ids sample through an injective JSON rendering;
+        dates through a string cast — both deterministic and exact."""
+        from gr_tdigest_spark.operators.sample import weighted_sample
+
+        df = spark.createDataFrame(
+            [("A", i % 10, f"s{i}", float(1 + i % 3))
+             for i in range(200)],
+            "g string, part int, name string, w double",
+        )
+        out = weighted_sample(df, 5, ["part", "name"], "w", seed=3,
+                              keys="g")
+        rows = {(r["part"], r["name"]) for r in out.collect()}
+        assert len(rows) == 5
+        assert "__sample_id" not in out.columns
+        rows2 = {
+            (r["part"], r["name"])
+            for r in weighted_sample(df.repartition(5), 5,
+                                     ["part", "name"], "w", seed=3,
+                                     keys="g").collect()
+        }
+        assert rows2 == rows
+
+        # one weight per id (the A-ES model): duplicate ids carrying
+        # different weights keep several race entries — documented
+        dd = df.withColumn(
+            "d", F.date_add(F.lit("2024-01-01").cast("date"), F.col("part"))
+        ).withColumn("w", (F.col("part") % 3 + 1).cast("double"))
+        od = weighted_sample(dd, 4, "d", "w", seed=3, keys="g")
+        assert len({r["d"] for r in od.collect()}) == 4
 
 
 class TestAssignSplit:
