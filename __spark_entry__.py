@@ -1235,6 +1235,23 @@ def q_embed_topk(spark, sf_dir):
     build_ivf_index(rest, path, n_lists=n_lists, n_iter=5, seed=29)
     ivf = ivf_index_topk(spark, path, qvec, k=5, nprobe=n_lists)
 
+    # partition-pruning gate (similarity.py:237-243 claims query cost
+    # scales with selectivity): a 1-list probe's index scan must carry a
+    # NON-EMPTY PartitionFilters on list_id — i.e. Spark prunes the
+    # unprobed list directories at planning time, it doesn't scan the
+    # whole index and filter rows. Checked on the executed plan of the
+    # actual pruned query, attached as a bound boolean the oracle
+    # expects TRUE (hash-fails the day pruning stops happening).
+    pruned = ivf_index_topk(spark, path, qvec, k=5, nprobe=1)
+    pruned_plan = pruned._jdf.queryExecution().executedPlan().toString()
+    after = pruned_plan.split("PartitionFilters: [", 1)
+    pruning_ok = (
+        len(after) == 2
+        and not after[1].lstrip().startswith("]")
+        and "list_id" in after[1][:300]
+        and pruned.count() >= 1
+    )
+
     return (
         top.select("vec_id", F.round("cosine", 6).alias("cos_sim"))
         .join(
@@ -1247,6 +1264,7 @@ def q_embed_topk(spark, sf_dir):
             "vec_id", "cos_sim",
             (F.col("cos_sim") == F.col("__cos_ivf")).alias("ivf_exact"),
         )
+        .withColumn("pruned_scan_ok", F.lit(bool(pruning_ok)))
     )
 
 
@@ -2170,7 +2188,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    round(list_cosine_similarity(embedding::DOUBLE[],
                                                 qv::DOUBLE[]), 6) AS cos_sim,
-                   TRUE AS ivf_exact
+                   TRUE AS ivf_exact,
+                   TRUE AS pruned_scan_ok
             FROM embeddings, q WHERE vec_id != 0
             ORDER BY cos_sim DESC, vec_id LIMIT 5
             """
