@@ -14,3 +14,9 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return "/root/testdata/sf0.001"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running perf-law / hot-group tests"
+    )

@@ -514,3 +514,53 @@ class TestDeltaMode:
             max_size=100, scale="k2norm", policy="off", delta=20.0,
         )
         assert len(td) == 4
+
+
+class TestMergeStrategyPerfLaw:
+    """Lightweight analogue of the reference's merge-strategy
+    relative-perf proof (tdigest.rs:1267-1410; SURVEY §7.2.9's last
+    deferral): the library's single k-way merge (concat every shard's
+    centroid runs → ONE stable sort → ONE compress pass) must beat the
+    naive sequential pairwise fold a user would otherwise write (s
+    shards → s−1 sort+compress passes) — documenting that
+    merge_digests' strategy is load-bearing, not incidental."""
+
+    @pytest.mark.slow
+    def test_kway_merge_beats_sequential_fold(self):
+        import time
+
+        rng = np.random.default_rng(7)
+        shards = [
+            TDigest.from_values(rng.lognormal(0.0, 1.0, 20_000),
+                                max_size=1000)
+            for _ in range(40)
+        ]
+
+        def best_of(fn, n=3):
+            ts = []
+            for _ in range(n):
+                t0 = time.perf_counter()
+                out = fn()
+                ts.append(time.perf_counter() - t0)
+            return min(ts), out
+
+        t_kway, d_kway = best_of(lambda: TDigest.merge_digests(shards))
+
+        def fold():
+            acc = shards[0]
+            for s in shards[1:]:
+                acc = acc.merge(s)
+            return acc
+
+        t_fold, d_fold = best_of(fold)
+
+        # both strategies produce a valid digest of the same stream
+        assert d_kway.count == d_fold.count == 40 * 20_000
+        for q in (0.01, 0.5, 0.99):
+            a, b = d_kway.quantile(q), d_fold.quantile(q)
+            assert abs(a - b) / max(abs(a), abs(b)) < 0.05, q
+
+        # the perf law, with loose slack for CI noise: one pass over
+        # 40k centroids must not lose to 39 passes of ~2k each (in
+        # practice it wins severalfold; 1.0 would already pass)
+        assert t_kway < 0.8 * t_fold, (t_kway, t_fold)
