@@ -149,10 +149,26 @@ def main() -> None:
     # deterministic stratified sampling (bottom-k sketch path): 1000
     # order-keys per returnflag out of 600k rows — bounded partial
     # state per group + broadcast semi-join back
-    from gr_tdigest_spark.operators.sample import stratified_sample
+    from gr_tdigest_spark.operators.sample import (
+        stratified_sample, weighted_sample,
+    )
     bench(
         "q13_stratified_sample",
         lambda: stratified_sample(li, "l_returnflag", 1000, "l_orderkey")
+        .agg(F.count("*")).collect(),
+    )
+
+    # keyed WEIGHTED sampling through the bounded-state race sketch
+    # (r5): 1000 weighted order-keys per returnflag — the same
+    # hot-group shape as q13 but with the Efraimidis–Spirakis priority.
+    # Weight is a function of the id (the A-ES model: one weight per id)
+    liw = li.withColumn(
+        "__w", (F.col("l_orderkey") % 97 + 1).cast("double")
+    )
+    bench(
+        "q14_weighted_sample_keys",
+        lambda: weighted_sample(liw, 1000, "l_orderkey", "__w",
+                                seed=5, keys="l_returnflag")
         .agg(F.count("*")).collect(),
     )
 
