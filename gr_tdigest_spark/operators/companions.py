@@ -22,7 +22,7 @@ from pyspark.sql.types import (
 
 from gr_tdigest_spark.operators.agg import SketchSpec, sketch_agg
 from gr_tdigest_spark.sketches.bloom import BloomFilter
-from gr_tdigest_spark.sketches.bottomk import BottomK
+from gr_tdigest_spark.sketches.bottomk import BottomK, WeightedBottomK
 from gr_tdigest_spark.sketches.cms import CMS
 from gr_tdigest_spark.sketches.hll import HLL
 from gr_tdigest_spark.sketches.kll import KLL
@@ -421,7 +421,7 @@ class BottomKSpec(_KernelSpec):
             if b1 <= b0:
                 continue
             hi = min(b1, b0 + self.k)
-            sk = BottomK(
+            sk = self.kernel(
                 self.k, self.seed,
                 h_s[b0:hi].astype(np.uint64).copy(),
                 np.asarray(vals_s[b0:hi], dtype=object).copy(),
@@ -435,13 +435,16 @@ class BottomKSpec(_KernelSpec):
 class WeightedBottomKSpec(BottomKSpec):
     """Bounded-state per-group WEIGHTED sampler (Efraimidis–Spirakis
     A-ES via the exponential race): the priority is not a hash of the
-    value but the caller-computed race key ``E = -ln(u)/w`` (a strictly
-    positive double, delivered through the weight column), viewed as
-    its IEEE-754 uint64 bit pattern — order-preserving for positive
-    doubles, so "k smallest bit patterns" ≡ "k smallest race keys" ≡ a
-    weighted sample without replacement.  The state is then literally a
-    :class:`BottomK` (same wire, same merge), giving the same scale
-    shape as ``stratified_sample(method='sketch')``: ≤ k entries of
+    value but the caller-computed race key ``E = -ln(u)/w`` (a
+    non-negative double, delivered through the weight column), viewed
+    as its IEEE-754 uint64 bit pattern — order-preserving for
+    non-negative doubles, so "k smallest bit patterns" ≡ "k smallest
+    race keys" ≡ a weighted sample without replacement.  The state is a
+    :class:`WeightedBottomK` (value tie-break: priority TIES are real
+    — every ``w=+inf`` row races at E=0, and 53-bit-u collisions are
+    expected in 10⁹-row groups with few distinct weights — and must
+    neither drop ids nor resolve layout-dependently).  Same scale shape
+    as ``stratified_sample(method='sketch')``: ≤ k entries of
     map-side-combinable state per group per executor, so a hot group
     with 10⁹ rows shuffles the same few hundred bytes as a 10-row one.
 
@@ -452,6 +455,10 @@ class WeightedBottomKSpec(BottomKSpec):
     """
 
     name = "wbottomk"
+    kernel = WeightedBottomK
+
+    def _new(self):
+        return WeightedBottomK(k=self.k, seed=self.seed)
 
     def _priority(self, arr, ws):
         if ws is None:
@@ -459,10 +466,58 @@ class WeightedBottomKSpec(BottomKSpec):
                 "WeightedBottomKSpec needs the race-key column "
                 "(sketch_agg weight_col)"
             )
-        # positive doubles sort identically to their uint64 bit views
+        # +0.0 canonicalization first (a -0.0 race key would bit-view
+        # to 2^63 and sort LAST instead of first), then the uint64
+        # view: non-negative doubles sort identically to their bits
         return np.ascontiguousarray(
-            np.asarray(ws, dtype=np.float64)
+            np.asarray(ws, dtype=np.float64) + 0.0
         ).view(np.uint64)
+
+    def build_groups(self, pdf, key_cols, value_col, weight_col):
+        """Like the base builder, but lexicographic (group, priority,
+        value) order with ties KEPT: only exact duplicate (group,
+        priority, value) triples collapse, so the per-group slice
+        selects the same set the kernel's tie-break merge would."""
+        from gr_tdigest_spark.sketches.bottomk import _canon_values
+
+        fac = _factorize_groups(pdf, key_cols, value_col, weight_col)
+        if fac is None:
+            return {}
+        codes, keys_by_gid, arr, ws = fac
+        arr = _canon_values(np.asarray(arr))
+        h = self._priority(arr, ws)
+        # value-stable argsort first (object-safe), then a stable
+        # lexsort on (group, priority) preserves value order on ties
+        ov = np.argsort(arr, kind="stable")
+        codes1, h1, vals1 = codes[ov], h[ov], arr[ov]
+        order = np.lexsort((h1, codes1))
+        codes_s, h_s, vals_s = codes1[order], h1[order], vals1[order]
+        if codes_s.size > 1:
+            keep = np.empty(codes_s.size, dtype=bool)
+            keep[0] = True
+            keep[1:] = (
+                (codes_s[1:] != codes_s[:-1])
+                | (h_s[1:] != h_s[:-1])
+                | np.asarray(vals_s[1:] != vals_s[:-1], dtype=bool)
+            )
+            codes_s, h_s, vals_s = codes_s[keep], h_s[keep], vals_s[keep]
+        n_per_group = np.bincount(codes, minlength=len(keys_by_gid))
+        bounds = np.searchsorted(codes_s, np.arange(len(keys_by_gid) + 1))
+        out = {}
+        for g, key in enumerate(keys_by_gid):
+            b0, b1 = int(bounds[g]), int(bounds[g + 1])
+            if b1 <= b0:
+                continue
+            hi = min(b1, b0 + self.k)
+            sk = self.kernel(
+                self.k, self.seed,
+                h_s[b0:hi].astype(np.uint64).copy(),
+                np.asarray(vals_s[b0:hi], dtype=object).copy(),
+                float(n_per_group[g]),
+            )
+            prev = out.get(key)
+            out[key] = sk if prev is None else self.merge_states(prev, sk)
+        return out
 
 
 class KLLSpec(_KernelSpec):
@@ -985,12 +1040,11 @@ def bottomk_distinct(col) -> Column:
     return _d(col)
 
 
-def bottomk_sample(col, dtype: str = "string") -> Column:
-    """The stored uniform sample as an array column.  ``dtype`` names
-    the element type of the sampled column: 'string', 'long', or
-    'double' (sampled values are returned with their original type;
-    'string' additionally stringifies non-string values for generic
-    inspection)."""
+def _sketch_sample_col(col, dtype: str, kernel) -> Column:
+    """Shared decode for the sample-bearing bottom-k wires: the stored
+    sample as an array column, decoded with ``kernel.from_bytes``
+    (BottomK for GSBK KMV blobs, WeightedBottomK for GSWK race blobs —
+    the magics differ, so the right decoder must be picked)."""
     from pyspark.sql.types import StringType
 
     elem = {
@@ -1011,11 +1065,20 @@ def bottomk_sample(col, dtype: str = "string") -> Column:
     def _s(blobs: pd.Series) -> pd.Series:
         return pd.Series(
             [None if b is None else
-             [conv(v) for v in BottomK.from_bytes(bytes(b)).sample()]
+             [conv(v) for v in kernel.from_bytes(bytes(b)).sample()]
              for b in blobs],
         )
 
     return _s(col)
+
+
+def bottomk_sample(col, dtype: str = "string") -> Column:
+    """The stored uniform sample as an array column.  ``dtype`` names
+    the element type of the sampled column: 'string', 'long', or
+    'double' (sampled values are returned with their original type;
+    'string' additionally stringifies non-string values for generic
+    inspection)."""
+    return _sketch_sample_col(col, dtype, BottomK)
 
 
 # ------------------------------------------------------------------ #

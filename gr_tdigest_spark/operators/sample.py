@@ -90,6 +90,65 @@ def _unit_uniform(id_cols: Union[str, Sequence[str]], seed: int) -> Column:
     return (mantissa.cast("double") + F.lit(0.5)) / F.lit(float(1 << 53))
 
 
+def _sample_join_col(df: DataFrame, ids: List[str]):
+    """Map the id column(s) onto ONE primitive sampling/join column for
+    the sketch-method samplers.  Returns ``(sample_dtype, join_col,
+    fact)``: a single int/float/string id passes through; other types
+    go through an injective string cast; multiple id columns through an
+    injective JSON rendering (JSON escapes field boundaries, unlike
+    concat_ws)."""
+    if len(ids) == 1:
+        dt = df.schema[ids[0]].dataType
+        if isinstance(dt, (IntegerType, LongType)):
+            return "long", ids[0], df
+        if isinstance(dt, (FloatType, DoubleType)):
+            return "double", ids[0], df
+        if isinstance(dt, StringType):
+            return "string", ids[0], df
+        return "string", "__sample_id", df.withColumn(
+            "__sample_id", F.col(ids[0]).cast("string")
+        )
+    return "string", "__sample_id", df.withColumn(
+        "__sample_id", F.to_json(F.struct(*ids))
+    )
+
+
+def _explode_sampled_ids(sk: DataFrame, key_list: List[str],
+                         sample_col: Column, k: int, join_col: str,
+                         fact: DataFrame, sample_dtype: str) -> DataFrame:
+    """Shared sketch-method tail: per-group sampled-id array → one row
+    per id, cast back to the fact column's exact type for the join."""
+    if k == 1:  # sketch k floor is 2; keep exactly one id
+        sample_col = F.slice(sample_col, 1, 1)
+    ids_df = sk.select(*key_list, F.explode(sample_col).alias(join_col))
+    if sample_dtype != "string":
+        ids_df = ids_df.withColumn(
+            join_col, F.col(join_col).cast(fact.schema[join_col].dataType)
+        )
+    return ids_df
+
+
+def _semi_join_sampled(fact: DataFrame, key_list: List[str],
+                       ids_df: DataFrame, join_col: str,
+                       broadcast_ids: bool) -> DataFrame:
+    """Shared sketch-method join-back: every fact row carrying a
+    sampled id, via a (broadcastable) LEFT SEMI join."""
+    if broadcast_ids:
+        ids_df = F.broadcast(ids_df)
+    out = fact.join(ids_df, on=key_list + [join_col], how="leftsemi")
+    return out.drop("__sample_id") if join_col == "__sample_id" else out
+
+
+def _drop_unjoinable_ids(df: DataFrame, ids: List[str]) -> DataFrame:
+    """NULL ids (and NaN float ids) can never survive the sampled-id
+    semi-join, so they must not win sample slots on any path."""
+    for c in ids:
+        df = df.where(F.col(c).isNotNull())
+        if isinstance(df.schema[c].dataType, (FloatType, DoubleType)):
+            df = df.where(~F.isnan(F.col(c)))
+    return df
+
+
 def weighted_sample(df: DataFrame, k: int,
                     id_cols: Union[str, Sequence[str]],
                     weight_col: str, seed: int = 0,
@@ -114,28 +173,33 @@ def weighted_sample(df: DataFrame, k: int,
     :func:`uniform_sample` — already bounded; ``method`` is ignored.
     With ``keys``, two methods sharing the stratified_sample contract
     (min(k, distinct eligible ids) distinct ids per group, every
-    eligible row carrying a sampled id comes back; NULL ids are never
-    sampled):
+    eligible row carrying a sampled id comes back; NULL ids — and NaN
+    float ids — are never sampled on either keyed method):
 
     - ``method='sketch'`` (default, the scale path): per-group bottom-k
       of the exponential race key ``E = -ln(u)/w`` via a bounded
-      mergeable state (``WeightedBottomKSpec`` — a BottomK ordered on
-      E's uint64 bit view instead of the value hash), then a semi-join
-      back for the full rows.  Partial state is ≤ k entries per group
-      on every executor (map-side combine), so a hot group costs the
-      same shuffle bytes as a cold one — no per-group window, no skew
-      hazard.  ``broadcast_ids`` as in :func:`stratified_sample`.
+      mergeable state (``WeightedBottomKSpec`` — a WeightedBottomK
+      ordered on E's uint64 bit view with value tie-break), then a
+      semi-join back for the full rows.  Partial state is ≤ k entries
+      per group on every executor (map-side combine), so a hot group
+      costs the same shuffle bytes as a cold one — no per-group window,
+      no skew hazard.  ``broadcast_ids`` as in
+      :func:`stratified_sample`.  k is bounded by the sketch capacity
+      (65536); use method='window' beyond it.
     - ``method='window'``: classic ``row_number() OVER (PARTITION BY
       keys ORDER BY es_key DESC)`` — every row of a group flows
-      through one task; fine when groups are known-small.  (Unlike the
-      sketch path this ranks ROWS, so duplicate/NULL ids can each take
-      a slot.)
+      through one task; fine when groups are known-small, and the only
+      keyed path for k > 65536.  (Unlike the sketch path this ranks
+      ROWS, so duplicate ids can each take a slot.)
 
     The two methods draw DIFFERENT (equally weighted-uniform) samples:
     the race key is the same, but the sketch path samples distinct ids
-    while the window path ranks rows.  If duplicate ids carry different
-    weights, the sketch path may keep several race entries for one id —
-    give each id one weight (the normal case) for exact-k semantics.
+    while the window path ranks rows.  Race-key TIES (e.g. several
+    ``w=+inf`` ids, all racing at E=0) resolve identically on both
+    paths: ascending id order, deterministically.  If duplicate ids
+    carry different weights, the sketch path may keep several race
+    entries for one id — give each id one weight (the normal case)
+    for exact-k semantics.
     """
     if k <= 0:
         raise ValueError("weighted_sample k must be > 0")
@@ -144,6 +208,14 @@ def weighted_sample(df: DataFrame, k: int,
             f"weighted_sample method must be sketch/window, got {method!r}"
         )
     ids = _cols(id_cols)
+    if keys is not None and method == "sketch":
+        from gr_tdigest_spark.sketches.bottomk import _MAX_K
+
+        if max(k, 2) > _MAX_K:
+            raise ValueError(
+                f"weighted_sample k={k} exceeds the sketch capacity "
+                f"{_MAX_K}; pass method='window' for larger k"
+            )
     u = _unit_uniform(ids, seed + _WEIGHTED_SALT)
     w = F.col(weight_col).cast("double")
     # maximize u^(1/w)  ⇔  maximize ln(u)/w  (ln(u) < 0, w > 0)
@@ -155,6 +227,8 @@ def weighted_sample(df: DataFrame, k: int,
     if keys is None:
         return eligible.orderBy(es_key.desc(), *ids).limit(k)
     key_list = _cols(keys)
+    # shared keyed contract: unjoinable (NULL/NaN) ids never win slots
+    eligible = _drop_unjoinable_ids(eligible, ids)
     if method == "window":
         from pyspark.sql.window import Window
 
@@ -177,40 +251,17 @@ def _weighted_sketch_sample(eligible: DataFrame, k: int, ids: List[str],
     """The bounded-state keys path of :func:`weighted_sample`: keep the
     k smallest exponential-race keys ``E = -es_key = -ln(u)/w`` per
     group in a mergeable ≤ k-entry sketch, then semi-join the sampled
-    ids back.  E is strictly positive (u ∈ (0,1) exclusive, w > 0), so
-    its IEEE-754 uint64 bit view is order-preserving and slots straight
-    into the BottomK priority order."""
-    from gr_tdigest_spark.operators.companions import (
-        WeightedBottomKSpec, bottomk_sample,
-    )
+    ids back.  E is non-negative (u ∈ (0,1) exclusive, w > 0; w=+inf
+    gives E=+0.0), so its IEEE-754 uint64 bit view is order-preserving
+    and slots straight into the WeightedBottomK priority order, whose
+    value tie-break keeps E-collisions deterministic."""
     from gr_tdigest_spark.operators.agg import sketch_agg
+    from gr_tdigest_spark.operators.companions import (
+        WeightedBottomKSpec, _sketch_sample_col,
+    )
+    from gr_tdigest_spark.sketches.bottomk import WeightedBottomK
 
-    # NULL ids could never survive the semi-join below, so they must
-    # not win race slots either (same contract as stratified_sample)
-    for c in ids:
-        eligible = eligible.where(F.col(c).isNotNull())
-
-    if len(ids) == 1:
-        dt = eligible.schema[ids[0]].dataType
-        if isinstance(dt, (IntegerType, LongType)):
-            sample_dtype, join_col, fact = "long", ids[0], eligible
-        elif isinstance(dt, (FloatType, DoubleType)):
-            sample_dtype, join_col, fact = "double", ids[0], eligible
-        elif isinstance(dt, StringType):
-            sample_dtype, join_col, fact = "string", ids[0], eligible
-        else:
-            sample_dtype, join_col = "string", "__sample_id"
-            fact = eligible.withColumn(
-                join_col, F.col(ids[0]).cast("string")
-            )
-    else:
-        # injective rendering of the id tuple: JSON escapes field
-        # boundaries, unlike concat_ws
-        sample_dtype, join_col = "string", "__sample_id"
-        fact = eligible.withColumn(
-            join_col, F.to_json(F.struct(*ids))
-        )
-
+    sample_dtype, join_col, fact = _sample_join_col(eligible, ids)
     race = fact.withColumn("__es_e", -es_key)
     sk = sketch_agg(
         race.select(*key_list, join_col, "__es_e"),
@@ -218,20 +269,12 @@ def _weighted_sketch_sample(eligible: DataFrame, k: int, ids: List[str],
         WeightedBottomKSpec(k=max(k, 2), seed=seed),
         weight_col="__es_e",
     )
-    sample_col = bottomk_sample("wbottomk", sample_dtype)
-    if k == 1:  # sketch k floor is 2; keep exactly one id
-        sample_col = F.slice(sample_col, 1, 1)
-    id_rows = sk.select(
-        *key_list, F.explode(sample_col).alias(join_col)
-    )
-    if sample_dtype != "string":
-        id_rows = id_rows.withColumn(
-            join_col, F.col(join_col).cast(fact.schema[join_col].dataType)
-        )
-    if broadcast_ids:
-        id_rows = F.broadcast(id_rows)
-    out = fact.join(id_rows, on=key_list + [join_col], how="leftsemi")
-    return out.drop("__sample_id") if join_col == "__sample_id" else out
+    sample_col = _sketch_sample_col("wbottomk", sample_dtype,
+                                    WeightedBottomK)
+    id_rows = _explode_sampled_ids(sk, key_list, sample_col, k,
+                                   join_col, fact, sample_dtype)
+    return _semi_join_sampled(fact, key_list, id_rows, join_col,
+                              broadcast_ids)
 
 
 def assign_split(df: DataFrame,
@@ -305,20 +348,18 @@ def stratified_sample(df: DataFrame, keys: Union[str, Sequence[str]],
         raise ValueError(
             f"stratified_sample method must be sketch/window, got {method!r}"
         )
+    if method == "sketch":
+        from gr_tdigest_spark.sketches.bottomk import _MAX_K
 
-    dt = df.schema[id_col].dataType
-    if isinstance(dt, (IntegerType, LongType)):
-        sample_dtype, join_col, fact = "long", id_col, df
-    elif isinstance(dt, (FloatType, DoubleType)):
-        sample_dtype, join_col, fact = "double", id_col, df
-    elif isinstance(dt, StringType):
-        sample_dtype, join_col, fact = "string", id_col, df
-    else:
-        # the sketch wire (and hashing determinism) wants a primitive:
-        # sample over an injective string rendering of the id
-        sample_dtype = "string"
-        join_col = "__sample_id"
-        fact = df.withColumn(join_col, F.col(id_col).cast("string"))
+        if max(k, 2) > _MAX_K:
+            raise ValueError(
+                f"stratified_sample k={k} exceeds the sketch capacity "
+                f"{_MAX_K}; pass method='window' for larger k"
+            )
+
+    # the sketch wire (and hashing determinism) wants a primitive:
+    # non-primitive ids sample over an injective string rendering
+    sample_dtype, join_col, fact = _sample_join_col(df, [id_col])
 
     if method == "window":
         from pyspark.sql.window import Window
@@ -348,17 +389,7 @@ def stratified_sample(df: DataFrame, keys: Union[str, Sequence[str]],
             k=max(k, 2), seed=seed,
         )
         sample_col = bottomk_sample("bottomk", sample_dtype)
-        if k == 1:  # sketch k floor is 2; keep exactly one id
-            sample_col = F.slice(sample_col, 1, 1)
-        ids = sk.select(
-            *key_list,
-            F.explode(sample_col).alias(join_col),
-        )
-        if sample_dtype != "string":
-            ids = ids.withColumn(
-                join_col, F.col(join_col).cast(fact.schema[join_col].dataType)
-            )
-    if broadcast_ids:
-        ids = F.broadcast(ids)
-    out = fact.join(ids, on=key_list + [join_col], how="leftsemi")
-    return out.drop("__sample_id") if join_col == "__sample_id" else out
+        ids = _explode_sampled_ids(sk, key_list, sample_col, k,
+                                   join_col, fact, sample_dtype)
+    return _semi_join_sampled(fact, key_list, ids, join_col,
+                              broadcast_ids)

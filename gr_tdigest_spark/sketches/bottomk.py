@@ -41,7 +41,7 @@ import numpy as np
 
 from gr_tdigest_spark.sketches.hashing import hash64
 
-__all__ = ["BottomK"]
+__all__ = ["BottomK", "WeightedBottomK"]
 
 _MAGIC = b"GSBK"
 _HEAD = "<BIqd"  # version, k, seed, n_items
@@ -64,6 +64,12 @@ class BottomK:
     hashes: np.ndarray = field(default=None)   # uint64 ascending distinct
     values: np.ndarray = field(default=None)   # object, aligned
     n_items: float = 0.0  # rows ingested (not distinct; bookkeeping)
+
+    # wire identity + hash-order rule; WeightedBottomK overrides both
+    # (its priorities are race keys, where duplicates are legal and
+    # ties break on the value)
+    wire_magic = _MAGIC
+    _strict_hash_order = True
 
     def __post_init__(self):
         # k ≥ 2: the KMV estimator (k−1)/U_(k) degenerates to 0 at k=1
@@ -101,11 +107,13 @@ class BottomK:
         self.n_items += float(arr.size)
 
     def merge(self, other: "BottomK") -> "BottomK":
+        if type(self) is not type(other):
+            raise ValueError("BottomK merge: incompatible sketch kinds")
         if (self.k, self.seed) != (other.k, other.seed):
             raise ValueError("BottomK merge: incompatible (k, seed)")
-        out = BottomK(self.k, self.seed, self.hashes.copy(),
-                      self.values.copy(),
-                      self.n_items + other.n_items)
+        out = type(self)(self.k, self.seed, self.hashes.copy(),
+                         self.values.copy(),
+                         self.n_items + other.n_items)
         out._combine(other.hashes, other.values)
         return out
 
@@ -139,7 +147,7 @@ class BottomK:
     def to_bytes(self) -> bytes:
         n = int(self.hashes.size)
         head = (
-            _MAGIC
+            type(self).wire_magic
             + struct.pack(_HEAD, 1, self.k, self.seed, self.n_items)
             + struct.pack("<I", n)
             + self.hashes.astype("<u8").tobytes()
@@ -192,8 +200,8 @@ class BottomK:
     @classmethod
     def from_bytes(cls, blob: bytes) -> "BottomK":
         blob = bytes(blob)
-        if blob[:4] != _MAGIC:
-            raise ValueError("invalid GSBK magic")
+        if blob[:4] != cls.wire_magic:
+            raise ValueError(f"invalid {cls.wire_magic.decode()} magic")
         version, k, seed, n_items = struct.unpack_from(_HEAD, blob, 4)
         if version != 1:
             raise ValueError(f"unsupported GSBK version {version}")
@@ -248,11 +256,73 @@ class BottomK:
             raise ValueError(f"GSBK unknown value tag {tag!r}")
         out = cls(int(k), int(seed), hashes.astype(np.uint64).copy(),
                   values, float(n_items))
-        if out.hashes.size > 1 and np.any(
-            out.hashes[1:] <= out.hashes[:-1]
-        ):
-            raise ValueError("GSBK hashes not strictly ascending")
+        if out.hashes.size > 1:
+            h = out.hashes
+            bad = (
+                np.any(h[1:] <= h[:-1]) if cls._strict_hash_order
+                else np.any(h[1:] < h[:-1])
+            )
+            if bad:
+                raise ValueError(
+                    f"{cls.wire_magic.decode()} hashes not "
+                    f"{'strictly ' if cls._strict_hash_order else ''}"
+                    "ascending"
+                )
         return out
 
     def __reduce__(self):
-        return (BottomK.from_bytes, (self.to_bytes(),))
+        return (type(self).from_bytes, (self.to_bytes(),))
+
+
+class WeightedBottomK(BottomK):
+    """Bottom-k by a CALLER-SUPPLIED uint64 priority with VALUE
+    tie-break — the state behind per-group weighted sampling
+    (operators/sample.py ``weighted_sample(keys=, method='sketch')``,
+    priority = the Efraimidis–Spirakis race key's IEEE-754 bit view).
+
+    Two semantic differences from the KMV base:
+
+    - Only exact duplicate ``(priority, value)`` pairs collapse.
+      Distinct values that TIE on priority each keep a slot, ordered by
+      value — ties are real here (every ``w=+inf`` row races at E=0;
+      53-bit-u collisions are expected in 10⁹-row groups with few
+      distinct weights), and collapsing them would both drop
+      should-be-sampled ids and make the survivor depend on partition
+      layout / merge order.  With the value tie-break the selected set
+      is a pure function of the (priority, value) multiset.
+    - Wire magic ``GSWK``: priorities may repeat, so the decoder
+      requires non-decreasing (not strictly ascending) hashes, and the
+      distinct magic keeps these blobs out of KMV decoders (whose
+      strict-ascent validation and distinct-count estimator would both
+      be wrong here) and vice versa.
+
+    ``add()`` is inherited but meaningless (it would hash values);
+    states are built by ``WeightedBottomKSpec`` with explicit
+    priorities.  ``distinct_estimate`` is likewise not meaningful on
+    race priorities.
+    """
+
+    wire_magic = b"GSWK"
+    _strict_hash_order = False
+
+    def _combine(self, h_new: np.ndarray, v_new: np.ndarray) -> None:
+        h_all = np.concatenate((self.hashes, h_new.astype(np.uint64)))
+        v_all = np.concatenate(
+            (self.values, np.asarray(v_new, dtype=object))
+        )
+        # lexicographic (priority, value): value-stable argsort first
+        # (object-safe; values within one sketch are homogeneous), then
+        # a stable sort by priority preserves the value order on ties
+        ov = np.argsort(v_all, kind="stable")
+        h_all, v_all = h_all[ov], v_all[ov]
+        oh = np.argsort(h_all, kind="stable")
+        h_all, v_all = h_all[oh], v_all[oh]
+        if h_all.size > 1:
+            keep = np.empty(h_all.size, dtype=bool)
+            keep[0] = True
+            keep[1:] = (h_all[1:] != h_all[:-1]) | np.asarray(
+                v_all[1:] != v_all[:-1], dtype=bool
+            )
+            h_all, v_all = h_all[keep], v_all[keep]
+        self.hashes = h_all[: self.k]
+        self.values = v_all[: self.k]

@@ -234,7 +234,7 @@ def test_minhash_merge_associative_idempotent_exact_state(data, split):
 @settings(max_examples=_n(200), deadline=None)
 @given(payload=st.binary(min_size=0, max_size=64),
       magic=st.sampled_from([b"GSHL", b"GSCM", b"GSBF", b"GSMH",
-                             b"GSBK"]))
+                             b"GSBK", b"GSWK"]))
 def test_wire_decoders_never_crash_on_garbage(payload, magic):
     """Corrupt/truncated blobs (valid magic + arbitrary bytes) must
     raise a clean ValueError/struct.error — never segfault, hang, or
@@ -246,8 +246,11 @@ def test_wire_decoders_never_crash_on_garbage(payload, magic):
     from gr_tdigest_spark.sketches.hll import HLL
     from gr_tdigest_spark.sketches.minhash import MinHash
 
+    from gr_tdigest_spark.sketches.bottomk import WeightedBottomK
+
     decoder = {b"GSHL": HLL, b"GSCM": CMS, b"GSBF": BloomFilter,
-               b"GSMH": MinHash, b"GSBK": BottomK}[magic]
+               b"GSMH": MinHash, b"GSBK": BottomK,
+               b"GSWK": WeightedBottomK}[magic]
     blob = magic + payload
     try:
         sk = decoder.from_bytes(blob)
@@ -296,6 +299,14 @@ def _valid_wire_blobs():
     out["kll"] = (kl.to_bytes(), KLL.from_bytes)
     bk = BottomK(k=8); bk.add(objs)
     out["bottomk"] = (bk.to_bytes(), BottomK.from_bytes)
+    from gr_tdigest_spark.sketches.bottomk import WeightedBottomK
+    wk = WeightedBottomK(k=8, seed=0)
+    wk._combine(
+        np.array([0, 0, 3, 9], dtype=np.uint64),
+        np.array(["a", "b", "c", "d"], dtype=object),
+    )
+    wk.n_items = 4.0
+    out["wbottomk"] = (wk.to_bytes(), WeightedBottomK.from_bytes)
     return out
 
 

@@ -665,3 +665,159 @@ class TestAssignSplit:
         assert sum(counts.values()) == 2_000
         assert abs(counts.get("train", 0) / 2_000 - 0.8) < 0.05
         assert abs(counts.get("val", 0) / 2_000 - 0.2) < 0.05
+
+
+class TestWeightedTieSemantics:
+    """The race-key tie fixes (r5 review): priority ties are real
+    (w=+inf ⇒ E=0; 53-bit-u collisions at 10⁹-row scale) and must
+    neither drop ids nor resolve layout-dependently."""
+
+    def test_kernel_keeps_distinct_values_on_priority_tie(self):
+        from gr_tdigest_spark.sketches.bottomk import WeightedBottomK
+
+        a = WeightedBottomK(k=4, seed=0)
+        a._combine(np.array([5, 5, 9], dtype=np.uint64),
+                   np.array([20, 10, 30], dtype=object))
+        # both ids with priority 5 kept, value-ordered; exact duplicate
+        # (priority, value) pairs collapse
+        assert list(a.hashes) == [5, 5, 9]
+        assert list(a.values) == [10, 20, 30]
+        a._combine(np.array([5, 5], dtype=np.uint64),
+                   np.array([10, 15], dtype=object))
+        assert list(a.values) == [10, 15, 20, 30]  # k=4 cap, E=9 evicted
+
+    def test_kernel_merge_order_independent_under_ties(self):
+        from gr_tdigest_spark.sketches.bottomk import WeightedBottomK
+
+        def mk(pairs):
+            sk = WeightedBottomK(k=3, seed=0)
+            sk._combine(
+                np.array([p for p, _ in pairs], dtype=np.uint64),
+                np.array([v for _, v in pairs], dtype=object),
+            )
+            return sk
+
+        x = mk([(0, 7), (0, 3)])
+        y = mk([(0, 5), (1, 1)])
+        z = mk([(0, 9), (0, 3)])
+        ab = x.merge(y).merge(z)
+        ba = z.merge(x).merge(y)
+        assert list(ab.hashes) == list(ba.hashes)
+        assert list(ab.values) == list(ba.values) == [3, 5, 7]
+
+    def test_wire_roundtrip_with_duplicate_priorities(self):
+        from gr_tdigest_spark.sketches.bottomk import (
+            BottomK, WeightedBottomK,
+        )
+
+        sk = WeightedBottomK(k=8, seed=3)
+        sk._combine(np.array([0, 0, 0, 2], dtype=np.uint64),
+                    np.array(["a", "b", "c", "d"], dtype=object))
+        sk.n_items = 4.0
+        blob = sk.to_bytes()
+        assert blob[:4] == b"GSWK"
+        rt = WeightedBottomK.from_bytes(blob)
+        assert list(rt.hashes) == [0, 0, 0, 2]
+        assert list(rt.values) == ["a", "b", "c", "d"]
+        assert rt.to_bytes() == blob
+        # cross-kind decode is rejected by magic on both sides
+        with pytest.raises(ValueError, match="magic"):
+            BottomK.from_bytes(blob)
+        with pytest.raises(ValueError, match="magic"):
+            WeightedBottomK.from_bytes(BottomK(k=2).to_bytes())
+        # GSWK allows equal adjacent priorities but not descending ones
+        forged = bytearray(blob)
+        import struct as _st
+        off = 4 + _st.calcsize("<BIqd") + 4
+        _st.pack_into("<QQ", forged, off, 9, 1)
+        with pytest.raises(ValueError, match="ascending"):
+            WeightedBottomK.from_bytes(bytes(forged))
+        # the KMV wire still requires STRICT ascent
+        bk = BottomK(k=8, seed=3)
+        bk.add(np.array([1, 2, 3], dtype=np.int64))
+        forged = bytearray(bk.to_bytes())
+        off = 4 + _st.calcsize("<BIqd") + 4
+        _st.pack_into("<QQ", forged, off, 7, 7)
+        with pytest.raises(ValueError, match="strictly"):
+            BottomK.from_bytes(bytes(forged))
+
+    def test_inf_weights_deterministic_and_match_window(self, spark):
+        """All w=+inf rows race at E=+0.0: the sketch path must keep
+        the k smallest ids (value tie-break) — the same set the window
+        path's id-asc tie-break selects — under any layout."""
+        from gr_tdigest_spark.operators.sample import weighted_sample
+
+        rows = [("G", i, float("inf")) for i in range(20)]
+        rows += [("G", 100 + i, 1.0) for i in range(50)]
+        df = spark.createDataFrame(rows, "g string, doc_id long, w double")
+        want = set(range(8))  # 8 smallest inf-weight ids
+        for parts in (1, 3, 7):
+            got = {r["doc_id"] for r in
+                   weighted_sample(df.repartition(parts), 8, "doc_id",
+                                   "w", seed=2, keys="g").collect()}
+            assert got == want, parts
+        win = {r["doc_id"] for r in
+               weighted_sample(df, 8, "doc_id", "w", seed=2, keys="g",
+                               method="window").collect()}
+        assert win == want
+
+    def test_spec_tie_collision_layout_independent(self):
+        """Drive the spec's build_groups directly with crafted race-key
+        collisions split across flushes in different orders — the merged
+        state must be identical (the r5 review's failure scenario)."""
+        import pandas as pd
+        from gr_tdigest_spark.operators.companions import (
+            WeightedBottomKSpec,
+        )
+
+        spec = WeightedBottomKSpec(k=3, seed=0)
+        ids = [30, 10, 20, 40, 50]
+        es = [0.5, 0.5, 0.5, 0.5, 7.0]  # four-way collision
+        pdf = pd.DataFrame({"g": ["A"] * 5, "id": ids, "e": es})
+        whole = spec.build_groups(pdf, ["g"], "id", "e")[("A",)]
+        assert list(whole.values) == [10, 20, 30]
+        for split in ([2, 5], [1, 3, 5], [4, 5]):
+            prev = 0
+            state = None
+            for hi in split:
+                part = spec.build_groups(
+                    pdf.iloc[prev:hi], ["g"], "id", "e"
+                ).get(("A",))
+                if part is not None:
+                    state = part if state is None else \
+                        spec.merge_states(state, part)
+                prev = hi
+            assert list(state.values) == list(whole.values), split
+            assert list(state.hashes) == list(whole.hashes), split
+
+    def test_k_capacity_validated_upfront(self, spark):
+        from gr_tdigest_spark.operators.sample import (
+            stratified_sample, weighted_sample,
+        )
+
+        df = spark.createDataFrame(
+            [("A", 1, 1.0)], "g string, doc_id long, w double"
+        )
+        with pytest.raises(ValueError, match="sketch capacity"):
+            weighted_sample(df, 100_000, "doc_id", "w", keys="g")
+        with pytest.raises(ValueError, match="sketch capacity"):
+            stratified_sample(df, "g", 100_000, "doc_id")
+        # window has no such bound — plan construction must succeed
+        weighted_sample(df, 100_000, "doc_id", "w", keys="g",
+                        method="window")
+        stratified_sample(df, "g", 100_000, "doc_id", method="window")
+
+    def test_window_method_drops_nan_and_null_ids(self, spark):
+        """r5 contract alignment: the keyed WINDOW path excludes NULL
+        and NaN ids, matching the sketch path."""
+        from gr_tdigest_spark.operators.sample import weighted_sample
+
+        rows = [("G", float(i), 1.0) for i in range(10)]
+        rows += [("G", float("nan"), 1e9), ("G", None, 1e9)]
+        df = spark.createDataFrame(rows, "g string, doc_id double, w double")
+        for method in ("sketch", "window"):
+            got = [r["doc_id"] for r in
+                   weighted_sample(df, 5, "doc_id", "w", seed=0,
+                                   keys="g", method=method).collect()]
+            assert len(got) == 5, method
+            assert all(d is not None and d == d for d in got), method
