@@ -1,0 +1,129 @@
+"""Deterministic sequence packing for training-data pipelines.
+
+Pretraining dataloaders concatenate documents into fixed-size context
+windows ("packing").  The upstream job is assigning every document to a
+pack so that each pack holds ~``max_tokens`` tokens — at 100 TB this
+must be a distributed, deterministic, one-pass assignment, not a
+driver-side bin packer.
+
+:func:`pack_sequences` implements offset packing (the streaming
+packing rule used by block-concatenation dataloaders): documents are
+laid out in a deterministic order, the running token offset is computed
+with a window cumulative sum, and a document belongs to the pack its
+STARTING offset falls in::
+
+    pack_slot = floor((cumsum(tokens) - tokens) / max_tokens)
+
+Properties (all tested):
+
+- Deterministic in (ids, seed) and partition-layout independent — the
+  layout order is the hashed-id priority (``sample_priority``), never
+  physical row order.
+- Every pack's token total is < ``max_tokens`` + the longest document
+  in it (a document that straddles a boundary is assigned to the pack
+  it starts in — the dataloader splits it across the boundary, exactly
+  like block concatenation).  Packs other than a bucket's last are
+  never UNDER-full below ``max_tokens − max_doc``.
+- Scale shape: packing runs WITHIN hash buckets (``n_buckets``, or the
+  caller's ``keys``), so each cumulative-sum window covers ~1/n_buckets
+  of the data and buckets proceed in parallel.  A single global window
+  would serialize 100 TB through one task — refuse that plan shape by
+  construction (``n_buckets`` is required when ``keys`` is None).
+  Pack identity is (bucket, slot), exposed as separate columns plus a
+  single ``pack_id`` string.
+
+The reference engine has no packing operator; this extends the
+training-data family (SURVEY §2.8's "beyond the reference" charter)
+with the same determinism contract as operators/sample.py.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gr_tdigest_spark.operators.sample import _cols, sample_priority
+
+__all__ = ["pack_sequences"]
+
+_PACK_SALT = 0x9ACC
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_cols: Union[str, Sequence[str]],
+    count_col: str,
+    max_tokens: int,
+    n_buckets: Optional[int] = None,
+    keys: Union[None, str, Sequence[str]] = None,
+    seed: int = 0,
+    out_col: str = "pack_id",
+) -> DataFrame:
+    """Assign every row to a token-budgeted pack, deterministically.
+
+    ``count_col`` is the row's token count (int); rows with NULL or
+    non-positive counts are passed through with a NULL pack (they carry
+    no tokens to pack — filter or impute upstream).  ``keys`` packs
+    within caller groups (e.g. per language); otherwise ``n_buckets``
+    hash-buckets the ids so no window spans more than ~1/n_buckets of
+    the data.  Output adds ``__pack_bucket`` / ``__pack_slot`` and the
+    combined ``out_col`` string ``"<bucket>/<slot>"``.
+
+    Sizing: choose ``n_buckets`` ≈ total_tokens / (1000·max_tokens) or
+    simply a few× the cluster's task slots — packs never cross buckets,
+    so bucket count only bounds window size, not pack quality (each
+    bucket under-fills at most its single last pack).
+    """
+    if max_tokens <= 0:
+        raise ValueError("pack_sequences max_tokens must be > 0")
+    if keys is None and n_buckets is None:
+        raise ValueError(
+            "pack_sequences needs n_buckets when keys is None: a single "
+            "global cumulative-sum window would serialize the whole "
+            "table through one task"
+        )
+    if n_buckets is not None and n_buckets <= 0:
+        raise ValueError("pack_sequences n_buckets must be > 0")
+    ids = _cols(id_cols)
+    cnt = F.col(count_col).cast("long")
+    ok = cnt.isNotNull() & (cnt > 0)
+
+    if keys is not None:
+        key_list = _cols(keys)
+        # the window partitions by the REAL key columns (injective by
+        # construction); the bucket label is only the pack_id prefix
+        bucket = F.to_json(F.struct(*key_list))
+        part_cols: List = key_list
+    else:
+        bucket = F.pmod(
+            sample_priority(ids, seed + _PACK_SALT), F.lit(int(n_buckets))
+        ).cast("string")
+        part_cols = ["__pack_bucket"]
+
+    # deterministic layout order inside a bucket: hashed-id priority
+    # with id tie-break — independent of physical row order
+    pr = sample_priority(ids, seed)
+    with_bucket = df.withColumn("__pack_bucket", bucket)
+    win = (
+        Window.partitionBy(*part_cols)
+        .orderBy(pr.asc(), *[F.col(c).asc() for c in ids])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # offset packing: a row's pack is where its START offset lands
+    start = F.sum(F.when(ok, cnt).otherwise(F.lit(0))).over(win) - \
+        F.when(ok, cnt).otherwise(F.lit(0))
+    slot = F.when(ok, F.floor(start / F.lit(int(max_tokens)))).otherwise(
+        F.lit(None)
+    )
+    out = with_bucket.withColumn("__pack_slot", slot.cast("long"))
+    return out.withColumn(
+        out_col,
+        F.when(
+            F.col("__pack_slot").isNotNull(),
+            F.concat_ws("/", F.col("__pack_bucket"),
+                        F.col("__pack_slot").cast("string")),
+        ),
+    )

@@ -1,0 +1,128 @@
+"""Sequence packing (operators/pack.py): deterministic offset packing
+into token-budgeted packs, bucketed so no window spans the table."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gr_tdigest_spark.operators.pack import pack_sequences
+
+
+def _docs(spark, n=400, seed=5):
+    rng = np.random.default_rng(seed)
+    rows = [(int(i), int(rng.integers(1, 900))) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long"), rows
+
+
+class TestPackSequences:
+    def test_exact_oracle_and_layout_independence(self, spark):
+        """The assignment must equal a driver-side replay of the same
+        rule: within each bucket, lay docs out in (priority, id) order
+        and give each doc the pack its START offset falls in."""
+        from gr_tdigest_spark.operators.pack import _PACK_SALT
+        from gr_tdigest_spark.operators.sample import sample_priority
+
+        df, _ = _docs(spark)
+        out = pack_sequences(df, "doc_id", "n_tokens", 4096, n_buckets=8,
+                             seed=3)
+        got = {r["doc_id"]: (r["__pack_bucket"], r["__pack_slot"])
+               for r in out.collect()}
+
+        # replay with the same JVM hash expressions (collected once)
+        probe = df.select(
+            "doc_id", "n_tokens",
+            F.pmod(sample_priority(["doc_id"], 3 + _PACK_SALT),
+                   F.lit(8)).cast("string").alias("b"),
+            sample_priority(["doc_id"], 3).alias("pr"),
+        ).collect()
+        byb = {}
+        for r in probe:
+            byb.setdefault(r["b"], []).append(
+                (r["pr"], r["doc_id"], r["n_tokens"])
+            )
+        expect = {}
+        for b, rows in byb.items():
+            off = 0
+            for _, did, n in sorted(rows):
+                expect[did] = (b, off // 4096)
+                off += n
+        assert got == expect
+
+        for parts in (1, 3, 11):
+            got2 = {r["doc_id"]: (r["__pack_bucket"], r["__pack_slot"])
+                    for r in pack_sequences(
+                        df.repartition(parts), "doc_id", "n_tokens",
+                        4096, n_buckets=8, seed=3).collect()}
+            assert got2 == got, parts
+
+    def test_pack_budget_property(self, spark):
+        """Every pack's total is < max_tokens + its longest doc (the
+        boundary doc belongs to the pack it starts in), and within a
+        bucket all but the last pack reach at least max_tokens counting
+        the straddling doc."""
+        df, _ = _docs(spark, n=600, seed=11)
+        out = pack_sequences(df, "doc_id", "n_tokens", 2048,
+                             n_buckets=4, seed=0)
+        rows = out.collect()
+        packs = {}
+        for r in rows:
+            key = (r["__pack_bucket"], r["__pack_slot"])
+            packs.setdefault(key, []).append(r["n_tokens"])
+        for (b, s), toks in packs.items():
+            assert sum(toks) < 2048 + max(toks), (b, s)
+        # contiguity: slots are 0..max_slot with no gaps (a straddling
+        # doc can own trailing boundaries, so max_slot may sit below
+        # floor((total-1)/max) — but never above it)
+        byb = {}
+        for (b, s), toks in packs.items():
+            byb.setdefault(b, {})[s] = sum(toks)
+        for b, slots in byb.items():
+            total = sum(slots.values())
+            top = max(slots)
+            assert set(slots) == set(range(top + 1)), b
+            assert top <= (total - 1) // 2048, b
+
+    def test_null_and_nonpositive_counts_unpacked(self, spark):
+        df = spark.createDataFrame(
+            [(1, 100), (2, None), (3, 0), (4, -5), (5, 300)],
+            "doc_id long, n_tokens long",
+        )
+        out = pack_sequences(df, "doc_id", "n_tokens", 512, n_buckets=2)
+        got = {r["doc_id"]: r["pack_id"] for r in out.collect()}
+        assert got[2] is None and got[3] is None and got[4] is None
+        assert got[1] is not None and got[5] is not None
+        assert out.count() == 5  # pass-through, not dropped
+
+    def test_keys_mode_packs_within_groups(self, spark):
+        rows = [("en" if i % 2 else "de", i, 700) for i in range(40)]
+        df = spark.createDataFrame(rows, "lang string, doc_id long, "
+                                         "n_tokens long")
+        out = pack_sequences(df, "doc_id", "n_tokens", 2100, keys="lang")
+        for r in out.collect():
+            assert r["pack_id"].startswith('{"lang":')
+        # 20 docs × 700 tokens per lang → ceil(14000/2100) = 7 slots
+        slots = {(r["__pack_bucket"], r["__pack_slot"])
+                 for r in out.collect()}
+        assert len(slots) == 14
+
+    def test_validation(self, spark):
+        df, _ = _docs(spark, n=4)
+        with pytest.raises(ValueError, match="n_buckets when keys"):
+            pack_sequences(df, "doc_id", "n_tokens", 512)
+        with pytest.raises(ValueError, match="max_tokens"):
+            pack_sequences(df, "doc_id", "n_tokens", 0, n_buckets=2)
+        with pytest.raises(ValueError, match="n_buckets must"):
+            pack_sequences(df, "doc_id", "n_tokens", 512, n_buckets=0)
+
+    def test_plan_windows_are_bucketed(self, spark):
+        """Scale pin: the cumulative-sum window partitions by the hash
+        bucket (an Exchange on __pack_bucket), never an empty
+        partition spec (= whole table through one task)."""
+        df, _ = _docs(spark)
+        out = pack_sequences(df, "doc_id", "n_tokens", 4096, n_buckets=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan
+        assert "__pack_bucket" in plan.split("Window", 1)[1][:400]
+        # an empty partitionBy would show 'SinglePartition' for the
+        # window exchange
+        assert "SinglePartition" not in plan
