@@ -172,6 +172,20 @@ def main() -> None:
         .agg(F.count("*")).collect(),
     )
 
+    # sequence packing: 600k docs into 8192-token context windows over
+    # 64 hash buckets (bucketed window cumsum — no global window)
+    from gr_tdigest_spark.operators.pack import pack_sequences
+    lit = li.withColumn(
+        "__tok", (F.col("l_extendedprice") % 1000 + 50).cast("long")
+    )
+    bench(
+        "q15_pack_sequences",
+        lambda: pack_sequences(lit, "l_orderkey", "__tok", 8192,
+                               n_buckets=64)
+        .groupBy("pack_id").agg(F.sum("__tok"))
+        .agg(F.count("*")).collect(),
+    )
+
     # transcript sketch-build throughput (turns/sec), the BASELINE metric
     from gr_tdigest_spark.sources.transcripts import transcripts_df
 

@@ -76,6 +76,11 @@ def pack_sequences(
     simply a few× the cluster's task slots — packs never cross buckets,
     so bucket count only bounds window size, not pack quality (each
     bucket under-fills at most its single last pack).
+
+    Determinism requires row-unique ids (the samplers' usual contract):
+    duplicate ids tie completely in the layout order, so which
+    duplicate precedes which — and thus their boundary assignment — is
+    partition-dependent.
     """
     if max_tokens <= 0:
         raise ValueError("pack_sequences max_tokens must be > 0")
