@@ -388,13 +388,30 @@ class BottomKSpec(_KernelSpec):
 
         return hash64(arr, seed=self.seed)
 
+    def _order_and_dedupe(self, codes, h, vals):
+        """Sort to (group, priority) and collapse duplicate (group,
+        priority) runs — the KMV rule: a priority identifies a value
+        (hash collisions count once)."""
+        order = np.lexsort((h, codes))
+        codes_s, h_s = codes[order], h[order]
+        # permute/dedupe in the NATIVE dtype — boxing to object happens
+        # only on each group's ≤ k surviving entries, never the batch
+        vals_s = vals[order]
+        if codes_s.size > 1:
+            keep = np.empty(codes_s.size, dtype=bool)
+            keep[0] = True
+            keep[1:] = (codes_s[1:] != codes_s[:-1]) | (h_s[1:] != h_s[:-1])
+            codes_s, h_s, vals_s = codes_s[keep], h_s[keep], vals_s[keep]
+        return codes_s, h_s, vals_s
+
     def build_groups(self, pdf, key_cols, value_col, weight_col):
         """Vectorized multi-group build (the per-conversation sampling
         shape at high group cardinality): hash the batch once, one
-        lexsort over (group, hash), dedupe adjacent (group, hash) runs,
-        then each group's state is a pure ≤ k-entry slice — no per-group
-        numpy dispatch. Byte-identical to the per-group path (same
-        stable tie order, same truncation)."""
+        lexsort over (group, priority), dedupe per the spec's rule
+        (``_order_and_dedupe``), then each group's state is a pure
+        ≤ k-entry slice — no per-group numpy dispatch. Byte-identical
+        to the per-group path (same stable tie order, same
+        truncation)."""
         from gr_tdigest_spark.sketches.bottomk import _canon_values
 
         fac = _factorize_groups(pdf, key_cols, value_col, weight_col)
@@ -403,16 +420,7 @@ class BottomKSpec(_KernelSpec):
         codes, keys_by_gid, arr, ws = fac
         arr = _canon_values(np.asarray(arr))
         h = self._priority(arr, ws)
-        order = np.lexsort((h, codes))
-        codes_s, h_s = codes[order], h[order]
-        # permute/dedupe in the NATIVE dtype — boxing to object happens
-        # only on each group's ≤ k surviving entries, never the batch
-        vals_s = arr[order]
-        if codes_s.size > 1:
-            keep = np.empty(codes_s.size, dtype=bool)
-            keep[0] = True
-            keep[1:] = (codes_s[1:] != codes_s[:-1]) | (h_s[1:] != h_s[:-1])
-            codes_s, h_s, vals_s = codes_s[keep], h_s[keep], vals_s[keep]
+        codes_s, h_s, vals_s = self._order_and_dedupe(codes, h, arr)
         n_per_group = np.bincount(codes, minlength=len(keys_by_gid))
         bounds = np.searchsorted(codes_s, np.arange(len(keys_by_gid) + 1))
         out = {}
@@ -473,23 +481,15 @@ class WeightedBottomKSpec(BottomKSpec):
             np.asarray(ws, dtype=np.float64) + 0.0
         ).view(np.uint64)
 
-    def build_groups(self, pdf, key_cols, value_col, weight_col):
-        """Like the base builder, but lexicographic (group, priority,
-        value) order with ties KEPT: only exact duplicate (group,
-        priority, value) triples collapse, so the per-group slice
-        selects the same set the kernel's tie-break merge would."""
-        from gr_tdigest_spark.sketches.bottomk import _canon_values
-
-        fac = _factorize_groups(pdf, key_cols, value_col, weight_col)
-        if fac is None:
-            return {}
-        codes, keys_by_gid, arr, ws = fac
-        arr = _canon_values(np.asarray(arr))
-        h = self._priority(arr, ws)
+    def _order_and_dedupe(self, codes, h, vals):
+        """Lexicographic (group, priority, VALUE) with ties KEPT: only
+        exact duplicate (group, priority, value) triples collapse, so
+        the per-group slice selects the same set the kernel's
+        tie-break merge would."""
         # value-stable argsort first (object-safe), then a stable
         # lexsort on (group, priority) preserves value order on ties
-        ov = np.argsort(arr, kind="stable")
-        codes1, h1, vals1 = codes[ov], h[ov], arr[ov]
+        ov = np.argsort(vals, kind="stable")
+        codes1, h1, vals1 = codes[ov], h[ov], vals[ov]
         order = np.lexsort((h1, codes1))
         codes_s, h_s, vals_s = codes1[order], h1[order], vals1[order]
         if codes_s.size > 1:
@@ -501,23 +501,7 @@ class WeightedBottomKSpec(BottomKSpec):
                 | np.asarray(vals_s[1:] != vals_s[:-1], dtype=bool)
             )
             codes_s, h_s, vals_s = codes_s[keep], h_s[keep], vals_s[keep]
-        n_per_group = np.bincount(codes, minlength=len(keys_by_gid))
-        bounds = np.searchsorted(codes_s, np.arange(len(keys_by_gid) + 1))
-        out = {}
-        for g, key in enumerate(keys_by_gid):
-            b0, b1 = int(bounds[g]), int(bounds[g + 1])
-            if b1 <= b0:
-                continue
-            hi = min(b1, b0 + self.k)
-            sk = self.kernel(
-                self.k, self.seed,
-                h_s[b0:hi].astype(np.uint64).copy(),
-                np.asarray(vals_s[b0:hi], dtype=object).copy(),
-                float(n_per_group[g]),
-            )
-            prev = out.get(key)
-            out[key] = sk if prev is None else self.merge_states(prev, sk)
-        return out
+        return codes_s, h_s, vals_s
 
 
 class KLLSpec(_KernelSpec):

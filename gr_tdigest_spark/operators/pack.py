@@ -49,7 +49,12 @@ from gr_tdigest_spark.operators.sample import _cols, sample_priority
 
 __all__ = ["pack_sequences"]
 
-_PACK_SALT = 0x9ACC
+# two distinct hash domains (module rule, see sample.py:76-81):
+# composing pack_sequences with uniform_sample/stratified_sample at the
+# SAME seed must not correlate — with a shared domain the "uniformly
+# sampled" docs would be exactly the docs laid out first in each bucket
+_PACK_SALT = 0x9ACC        # bucket assignment
+_PACK_ORDER_SALT = 0x97DE  # layout order inside a bucket
 
 
 def pack_sequences(
@@ -67,10 +72,14 @@ def pack_sequences(
     ``count_col`` is the row's token count (int); rows with NULL or
     non-positive counts are passed through with a NULL pack (they carry
     no tokens to pack — filter or impute upstream).  ``keys`` packs
-    within caller groups (e.g. per language); otherwise ``n_buckets``
+    within caller groups (e.g. per language); ``n_buckets``
     hash-buckets the ids so no window spans more than ~1/n_buckets of
-    the data.  Output adds ``__pack_bucket`` / ``__pack_slot`` and the
-    combined ``out_col`` string ``"<bucket>/<slot>"``.
+    the data.  The two COMPOSE: with both, packing runs per
+    (key-group, sub-bucket), so a hot key group (80% of the corpus in
+    one language) still never serializes through one task — pass
+    ``n_buckets`` whenever key groups can be large.  Output adds
+    ``__pack_bucket`` / ``__pack_slot`` and the combined ``out_col``
+    string ``"<bucket>/<slot>"``.
 
     Sizing: choose ``n_buckets`` ≈ total_tokens / (1000·max_tokens) or
     simply a few× the cluster's task slots — packs never cross buckets,
@@ -96,24 +105,30 @@ def pack_sequences(
     cnt = F.col(count_col).cast("long")
     ok = cnt.isNotNull() & (cnt > 0)
 
-    if keys is not None:
-        key_list = _cols(keys)
-        # the window partitions by the REAL key columns (injective by
-        # construction); the bucket label is only the pack_id prefix
-        bucket = F.to_json(F.struct(*key_list))
-        part_cols: List = key_list
-    else:
-        bucket = F.pmod(
+    sub = (
+        F.pmod(
             sample_priority(ids, seed + _PACK_SALT), F.lit(int(n_buckets))
         ).cast("string")
-        part_cols = ["__pack_bucket"]
+        if n_buckets is not None else None
+    )
+    if keys is not None:
+        key_list = _cols(keys)
+        # to_json(struct) is injective for primitive keys, so the
+        # label partitions exactly like the raw key columns; the hash
+        # sub-bucket (when given) splits hot key groups further
+        bucket = F.to_json(F.struct(*key_list))
+        if sub is not None:
+            bucket = F.concat_ws("/", bucket, sub)
+    else:
+        bucket = sub
 
     # deterministic layout order inside a bucket: hashed-id priority
-    # with id tie-break — independent of physical row order
-    pr = sample_priority(ids, seed)
+    # with id tie-break — independent of physical row order, and in
+    # its OWN salted hash domain (never the samplers')
+    pr = sample_priority(ids, seed + _PACK_ORDER_SALT)
     with_bucket = df.withColumn("__pack_bucket", bucket)
     win = (
-        Window.partitionBy(*part_cols)
+        Window.partitionBy("__pack_bucket")
         .orderBy(pr.asc(), *[F.col(c).asc() for c in ids])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -196,7 +196,11 @@ def weighted_sample(df: DataFrame, k: int,
     the race key is the same, but the sketch path samples distinct ids
     while the window path ranks rows.  Race-key TIES (e.g. several
     ``w=+inf`` ids, all racing at E=0) resolve identically on both
-    paths: ascending id order, deterministically.  If duplicate ids
+    paths for single primitive int/float/string ids: ascending id
+    order, deterministically.  (Composed or string-cast ids tie-break
+    on their rendered string on the sketch path but on the raw columns
+    on the window path — equally deterministic, possibly different
+    picks.)  If duplicate ids
     carry different weights, the sketch path may keep several race
     entries for one id — give each id one weight (the normal case)
     for exact-k semantics.
@@ -360,6 +364,10 @@ def stratified_sample(df: DataFrame, keys: Union[str, Sequence[str]],
     # the sketch wire (and hashing determinism) wants a primitive:
     # non-primitive ids sample over an injective string rendering
     sample_dtype, join_col, fact = _sample_join_col(df, [id_col])
+    # NULL ids can never survive the semi-join below, and NaN float
+    # ids are skipped by the sketch ingest — neither may win sample
+    # slots on EITHER method (shared contract)
+    fact = _drop_unjoinable_ids(fact, [join_col])
 
     if method == "window":
         from pyspark.sql.window import Window
@@ -369,11 +377,7 @@ def stratified_sample(df: DataFrame, keys: Union[str, Sequence[str]],
             pr.asc(), F.col(join_col).asc()
         )
         ids = (
-            # NULL ids can never survive the semi-join below, so they
-            # must not win sample slots here either (the sketch method
-            # skips NULLs at ingest — same contract)
             fact.select(*key_list, join_col)
-            .where(F.col(join_col).isNotNull())
             .distinct()
             .withColumn("__sample_rn", F.row_number().over(w))
             .filter(F.col("__sample_rn") <= k)

@@ -204,7 +204,9 @@ class BottomK:
             raise ValueError(f"invalid {cls.wire_magic.decode()} magic")
         version, k, seed, n_items = struct.unpack_from(_HEAD, blob, 4)
         if version != 1:
-            raise ValueError(f"unsupported GSBK version {version}")
+            raise ValueError(
+                f"unsupported {cls.wire_magic.decode()} version {version}"
+            )
         # validate header dims BEFORE any allocation (amplification
         # guard — same rule as the sparse companion wires). Lower bound
         # matches the constructor (k ≥ 2): a k=1 header can never come
@@ -212,38 +214,48 @@ class BottomK:
         # wire-level message rather than letting __post_init__ raise a
         # different one later.
         if not (2 <= k <= _MAX_K):
-            raise ValueError("GSBK k out of range")
+            raise ValueError(f"{cls.wire_magic.decode()} k out of range")
         off = 4 + struct.calcsize(_HEAD)
         (n,) = struct.unpack_from("<I", blob, off)
         if n > k:
-            raise ValueError("GSBK count exceeds k")
+            raise ValueError(f"{cls.wire_magic.decode()} count exceeds k")
         off += 4
         if len(blob) < off + 8 * n + 1:
-            raise ValueError("GSBK truncated hash payload")
+            raise ValueError(
+                f"{cls.wire_magic.decode()} truncated hash payload"
+            )
         hashes = np.frombuffer(blob, dtype="<u8", offset=off, count=n)
         off += 8 * n
         tag = blob[off:off + 1]
         off += 1
         if tag == b"n":
             if n != 0:
-                raise ValueError("GSBK empty tag with nonzero count")
+                raise ValueError(
+                    f"{cls.wire_magic.decode()} empty tag with nonzero count"
+                )
             values = np.empty(0, dtype=object)
         elif tag in (b"i", b"f"):
             dt = "<i8" if tag == b"i" else "<f8"
             if len(blob) != off + 8 * n:
-                raise ValueError("GSBK numeric payload length mismatch")
+                raise ValueError(
+                    f"{cls.wire_magic.decode()} numeric payload length mismatch"
+                )
             arr = np.frombuffer(blob, dtype=dt, offset=off, count=n)
             values = np.empty(n, dtype=object)
             py = int if tag == b"i" else float
             values[:] = [py(v) for v in arr]
         elif tag in (b"s", b"b"):
             if len(blob) < off + 4 * n:
-                raise ValueError("GSBK truncated length table")
+                raise ValueError(
+                    f"{cls.wire_magic.decode()} truncated length table"
+                )
             lens = np.frombuffer(blob, dtype="<u4", offset=off, count=n)
             off += 4 * n
             total = int(lens.sum())
             if len(blob) != off + total:
-                raise ValueError("GSBK string payload length mismatch")
+                raise ValueError(
+                    f"{cls.wire_magic.decode()} string payload length mismatch"
+                )
             values = np.empty(n, dtype=object)
             pos = off
             for i, ln in enumerate(lens):
@@ -253,7 +265,9 @@ class BottomK:
                 )
                 pos += int(ln)
         else:
-            raise ValueError(f"GSBK unknown value tag {tag!r}")
+            raise ValueError(
+                f"{cls.wire_magic.decode()} unknown value tag {tag!r}"
+            )
         out = cls(int(k), int(seed), hashes.astype(np.uint64).copy(),
                   values, float(n_items))
         if out.hashes.size > 1:
@@ -304,6 +318,13 @@ class WeightedBottomK(BottomK):
 
     wire_magic = b"GSWK"
     _strict_hash_order = False
+
+    def add(self, values) -> None:
+        raise TypeError(
+            "WeightedBottomK.add: values carry no race keys — states "
+            "are built by WeightedBottomKSpec with explicit priorities "
+            "(hash64 priorities would silently corrupt the race)"
+        )
 
     def _combine(self, h_new: np.ndarray, v_new: np.ndarray) -> None:
         h_all = np.concatenate((self.hashes, h_new.astype(np.uint64)))

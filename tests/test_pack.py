@@ -19,7 +19,9 @@ class TestPackSequences:
         """The assignment must equal a driver-side replay of the same
         rule: within each bucket, lay docs out in (priority, id) order
         and give each doc the pack its START offset falls in."""
-        from gr_tdigest_spark.operators.pack import _PACK_SALT
+        from gr_tdigest_spark.operators.pack import (
+            _PACK_ORDER_SALT, _PACK_SALT,
+        )
         from gr_tdigest_spark.operators.sample import sample_priority
 
         df, _ = _docs(spark)
@@ -33,7 +35,7 @@ class TestPackSequences:
             "doc_id", "n_tokens",
             F.pmod(sample_priority(["doc_id"], 3 + _PACK_SALT),
                    F.lit(8)).cast("string").alias("b"),
-            sample_priority(["doc_id"], 3).alias("pr"),
+            sample_priority(["doc_id"], 3 + _PACK_ORDER_SALT).alias("pr"),
         ).collect()
         byb = {}
         for r in probe:
@@ -104,6 +106,54 @@ class TestPackSequences:
         slots = {(r["__pack_bucket"], r["__pack_slot"])
                  for r in out.collect()}
         assert len(slots) == 14
+
+    def test_keys_and_buckets_compose(self, spark):
+        """A hot key group sub-buckets when n_buckets is also given —
+        the window partitions by (key, sub-bucket), never one key
+        group through one task."""
+        rows = [("en", i, 500) for i in range(300)]
+        rows += [("de", 10_000 + i, 500) for i in range(10)]
+        df = spark.createDataFrame(rows, "lang string, doc_id long, "
+                                         "n_tokens long")
+        out = pack_sequences(df, "doc_id", "n_tokens", 4096,
+                             n_buckets=4, keys="lang")
+        buckets = {r["__pack_bucket"] for r in out.collect()}
+        en = {b for b in buckets if b.startswith('{"lang":"en"}')}
+        assert len(en) == 4  # the hot group split across sub-buckets
+        assert all("/" in b for b in buckets)
+        # still deterministic under layout changes
+        a = {(r["doc_id"], r["pack_id"]) for r in out.collect()}
+        b = {(r["doc_id"], r["pack_id"]) for r in pack_sequences(
+            df.repartition(5), "doc_id", "n_tokens", 4096,
+            n_buckets=4, keys="lang").collect()}
+        assert a == b
+
+    def test_salted_layout_uncorrelated_with_uniform_sample(self, spark):
+        """Module salt rule: pack layout order and uniform_sample at
+        the SAME seed must not correlate — else the 'uniform' sample is
+        exactly the pack-front docs (position-biased)."""
+        from gr_tdigest_spark.operators.sample import uniform_sample
+
+        df, _ = _docs(spark, n=500)
+        out = pack_sequences(df, "doc_id", "n_tokens", 100_000_000,
+                             n_buckets=1, seed=9)
+        # one giant pack: layout order == priority order; take the 50
+        # layout-first docs via the exposed start offsets
+        sampled = {r["doc_id"]
+                   for r in uniform_sample(df, 50, "doc_id", seed=9)
+                   .collect()}
+        probe = out.select("doc_id", "__pack_slot").collect()
+        assert len(probe) == 500
+        # overlap between the uniform sample and ANY fixed 50-doc set
+        # is hypergeometric (mean 5, sd ~2.1); correlation would make
+        # it ~50. Use the first-by-layout 50 via a second query:
+        from gr_tdigest_spark.operators.pack import _PACK_ORDER_SALT
+        from gr_tdigest_spark.operators.sample import sample_priority
+        first50 = {r["doc_id"] for r in df.select(
+            "doc_id",
+            sample_priority(["doc_id"], 9 + _PACK_ORDER_SALT).alias("pr"),
+        ).orderBy("pr").limit(50).collect()}
+        assert len(sampled & first50) < 25
 
     def test_validation(self, spark):
         df, _ = _docs(spark, n=4)

@@ -807,6 +807,21 @@ class TestWeightedTieSemantics:
                         method="window")
         stratified_sample(df, "g", 100_000, "doc_id", method="window")
 
+    def test_stratified_window_drops_nan_ids(self, spark):
+        """r5 parity: stratified_sample's WINDOW path must exclude NaN
+        float ids like its sketch path (_missing_mask) does."""
+        from gr_tdigest_spark.operators.sample import stratified_sample
+
+        rows = [("G", float(i)) for i in range(10)]
+        rows += [("G", float("nan")), ("G", None)]
+        df = spark.createDataFrame(rows, "g string, doc_id double")
+        for method in ("sketch", "window"):
+            got = [r["doc_id"] for r in
+                   stratified_sample(df, "g", 5, "doc_id", seed=1,
+                                     method=method).collect()]
+            assert len(got) == 5, method
+            assert all(d is not None and d == d for d in got), method
+
     def test_window_method_drops_nan_and_null_ids(self, spark):
         """r5 contract alignment: the keyed WINDOW path excludes NULL
         and NaN ids, matching the sketch path."""
