@@ -790,6 +790,42 @@ class TestWeightedTieSemantics:
             assert list(state.values) == list(whole.values), split
             assert list(state.hashes) == list(whole.hashes), split
 
+    @settings(max_examples=40 * _SCALE, deadline=None)
+    @given(
+        pairs=st.lists(
+            st.tuples(st.integers(min_value=0, max_value=7),   # priority
+                      st.integers(min_value=0, max_value=40)), # value
+            min_size=0, max_size=60,
+        ),
+        split=st.integers(min_value=0, max_value=60),
+    )
+    def test_weighted_merge_law_property(self, pairs, split):
+        """Monoid law under heavy ties: any shard split of a (priority,
+        value) multiset merges to the same state as the single build —
+        the tiny priority domain forces constant collisions, exercising
+        exactly the tie-break path."""
+        from gr_tdigest_spark.sketches.bottomk import WeightedBottomK
+
+        split = min(split, len(pairs))
+
+        def mk(ps):
+            sk = WeightedBottomK(k=8, seed=0)
+            if ps:
+                sk._combine(
+                    np.array([p for p, _ in ps], dtype=np.uint64),
+                    np.array([v for _, v in ps], dtype=object),
+                )
+                sk.n_items = float(len(ps))
+            return sk
+
+        whole, a, b = mk(pairs), mk(pairs[:split]), mk(pairs[split:])
+        m, n = a.merge(b), b.merge(a)
+        assert m.to_bytes() == whole.to_bytes() == n.to_bytes()
+        # idempotent under self-merge (n_items bookkeeping aside)
+        again = m.merge(m)
+        assert list(again.hashes) == list(m.hashes)
+        assert list(again.values) == list(m.values)
+
     def test_k_capacity_validated_upfront(self, spark):
         from gr_tdigest_spark.operators.sample import (
             stratified_sample, weighted_sample,
