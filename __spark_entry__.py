@@ -1200,6 +1200,36 @@ def q_sample_docs(spark, sf_dir):
         ).groupBy("source").agg(F.countDistinct("doc_id").alias("n"))
         .collect()
     }
+    # sequence packing (operators/pack.py): every positive-count doc
+    # gets a pack; per-pack totals stay under max_tokens + that pack's
+    # longest doc (offset-packing bound); slots are contiguous per
+    # bucket — the full pytest property surface, driver-gated
+    from gr_tdigest_spark.operators.pack import pack_sequences
+
+    max_tok = 50_000
+    packed = pack_sequences(d, "doc_id", "n_chars", max_tok,
+                            n_buckets=8, seed=7)
+    pk = packed.groupBy("__pack_bucket", "__pack_slot").agg(
+        F.sum("n_chars").alias("tot"), F.max("n_chars").alias("big"),
+        F.count("*").alias("n"),
+    ).collect()
+    n_packable = d.filter(
+        F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)
+    ).count()
+    slots_by_bucket = {}
+    for r in pk:
+        if r["__pack_slot"] is not None:
+            slots_by_bucket.setdefault(r["__pack_bucket"], set()).add(
+                r["__pack_slot"]
+            )
+    pack_ok = (
+        sum(r["n"] for r in pk if r["__pack_slot"] is not None)
+        == n_packable
+        and all(r["tot"] < max_tok + r["big"] for r in pk
+                if r["__pack_slot"] is not None)
+        and all(s == set(range(max(s) + 1))
+                for s in slots_by_bucket.values())
+    )
     ok = (
         n_uni == min(100, n_total)
         and n_wtd == min(100, n_elig)
@@ -1207,6 +1237,7 @@ def q_sample_docs(spark, sf_dir):
                 for s in ("train", "val", "test"))
         and set(kw_sizes) == set(kw_expect)
         and all(kw_sizes[s] == min(20, n) for s, n in kw_expect.items())
+        and pack_ok
     )
     return n_samp.join(kmv, "source").withColumn(
         "sampling_ok", F.lit(bool(ok))
