@@ -31,6 +31,7 @@ __all__ = [
     "ann_index_topk",
     "build_ivf_index",
     "ivf_index_topk",
+    "ivf_index_topk_batch",
 ]
 
 # Above these sizes the inline-literal Catalyst expressions stop being
@@ -404,3 +405,110 @@ def ivf_index_topk(
     probe = sorted(ranked[: max(nprobe, 1)])
     pruned = spark.read.parquet(path).where(F.col("list_id").isin(probe))
     return cosine_topk(pruned, query, k, vec_col, id_col)
+
+
+def _cos_pair_col(a: Column, b: Column) -> Column:
+    """Row-wise cosine between TWO array columns (the batch-ANN join
+    shape).  Arrow-batched numpy: one einsum per batch, never per-row
+    Python."""
+
+    @F.pandas_udf(DoubleType())
+    def _cos(av: pd.Series, bv: pd.Series) -> pd.Series:
+        A, B = _vec_matrix(av), _vec_matrix(bv)
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(B, axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = np.einsum("ij,ij->i", A, B) / (na * nb)
+        return pd.Series(out)
+
+    return _cos(a, b)
+
+
+def ivf_index_topk_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Batched top-k against a persisted IVF index — the realistic
+    100 TB shape (per-query :func:`ivf_index_topk` calls would pay one
+    Spark job per query).
+
+    ``queries`` is a DataFrame ``(query_id_col, query_vec_col)``.  Per
+    query, the ``nprobe`` nearest centroid lists are computed
+    DISTRIBUTED (a pandas UDF over the query table — the centroid
+    matrix, n_lists x dim, rides in the closure), the index scan is
+    pruned to the UNION of all probed lists (partition pruning: the
+    probed-list collect is bounded by n_lists, never by Q or corpus
+    size), probe pairs join the pruned rows on ``list_id``, cosine runs
+    as one einsum per Arrow batch, and a per-query window keeps the
+    top k.  ``nprobe == n_lists`` degrades to exact brute force for
+    every query.
+
+    ``broadcast_queries`` hints the (Q*nprobe)-row probe table (each
+    row carries the query vector, ~8*dim bytes) into a broadcast hash
+    join; disable when Q*nprobe*dim is too large to broadcast — the
+    join then shuffles on ``list_id``, which still scales (each probed
+    list's rows meet only the queries probing it).
+
+    Result: one row per (query, hit): ``query_id_col, id_col, cosine``,
+    at most k hits per query; the per-query window's candidate set is
+    bounded by the probed lists' sizes, never the corpus.
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    from pyspark.sql.window import Window
+
+    crows = spark.read.parquet(f"{path}_centroids").collect()
+    centers = np.asarray(
+        [r["vec"] for r in sorted(crows, key=lambda r: r["list_id"])],
+        dtype=np.float64,
+    )
+    list_ids = np.asarray(
+        sorted(int(r["list_id"]) for r in crows), dtype=np.int64
+    )
+    npb = max(1, min(int(nprobe), centers.shape[0]))
+    norms = np.linalg.norm(centers, axis=1, keepdims=True)
+    cn = centers / np.where(norms > 0, norms, 1.0)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _probes(vecs: pd.Series) -> pd.Series:
+        M = _vec_matrix(vecs)
+        qnorms = np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = M / np.where(qnorms > 0, qnorms, 1.0)
+        sims = Mn @ cn.T
+        # top-npb lists per query, deterministic tie order by list id
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
+        return pd.Series([list_ids[row].tolist() for row in order])
+
+    probe_pairs = queries.select(
+        F.col(query_id_col), F.col(query_vec_col),
+        F.explode(_probes(F.col(query_vec_col))).alias("list_id"),
+    )
+    # partition pruning: the probed-list union is <= n_lists values —
+    # a driver-side collect bounded by index geometry, not by Q
+    probed = sorted(
+        r["list_id"]
+        for r in probe_pairs.select("list_id").distinct().collect()
+    )
+    pruned = spark.read.parquet(path).where(F.col("list_id").isin(probed))
+    pairs = F.broadcast(probe_pairs) if broadcast_queries else probe_pairs
+    joined = pruned.join(pairs, "list_id")
+    scored = joined.select(
+        query_id_col, id_col,
+        _cos_pair_col(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+    )
+    win = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") <= int(k))
+        .drop("__rn")
+    )

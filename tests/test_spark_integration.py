@@ -1157,3 +1157,97 @@ class TestRealMultimodalDecoders:
         out = mm._decode_with_pil(b"\x89PNG fake")
         assert out is not None and out.shape == (8, 8, 3)
         assert np.all(out == 7)
+
+
+class TestIvfBatchTopk:
+    def test_batch_matches_per_query_and_prunes(self, spark, tmp_path):
+        """ivf_index_topk_batch must return, for every query, exactly
+        the rows the single-query operator returns at the same nprobe
+        — and at nprobe == n_lists every query's answer is the exact
+        brute force. The index scan carries PartitionFilters."""
+        import io
+        from contextlib import redirect_stdout
+
+        import numpy as np
+
+        from gr_tdigest_spark.operators.similarity import (
+            build_ivf_index, ivf_index_topk, ivf_index_topk_batch,
+        )
+
+        rng = np.random.default_rng(44)
+        n, dim = 300, 48
+        base = rng.standard_normal((6, dim))
+        M = (base[rng.integers(0, 6, n)]
+             + 0.15 * rng.standard_normal((n, dim))).astype(np.float64)
+        df = spark.createDataFrame(
+            [(int(i), M[i].tolist()) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+        path = str(tmp_path / "ivfbatch")
+        build_ivf_index(df, path, n_lists=6, n_iter=6, seed=29)
+
+        qids = [3, 57, 101, 200]
+        queries = spark.createDataFrame(
+            [(int(i), M[i].tolist()) for i in qids],
+            "query_id long, query_vec array<double>",
+        )
+        for nprobe in (2, 6):
+            batch = ivf_index_topk_batch(
+                spark, path, queries, k=5, nprobe=nprobe,
+            )
+            got = {}
+            for r in batch.collect():
+                got.setdefault(r["query_id"], []).append(
+                    (r["vec_id"], round(r["cosine"], 9))
+                )
+            for q in qids:
+                single = [
+                    (r["vec_id"], round(r["cosine"], 9))
+                    for r in ivf_index_topk(
+                        spark, path, M[q], k=5, nprobe=nprobe
+                    ).collect()
+                ]
+                assert sorted(got[q], key=lambda t: (-t[1], t[0])) \
+                    == single, (q, nprobe)
+
+        plan = io.StringIO()
+        with redirect_stdout(plan):
+            ivf_index_topk_batch(
+                spark, path, queries, k=5, nprobe=2
+            ).explain("formatted")
+        txt = plan.getvalue()
+        assert "PartitionFilters" in txt and "list_id" in txt
+
+    def test_batch_works_without_arrow_conversion(self, spark, tmp_path):
+        """Conf-independence (the r4 lesson): the batch path must not
+        assume Arrow driver<->JVM conversion."""
+        import numpy as np
+
+        from gr_tdigest_spark.operators.similarity import (
+            build_ivf_index, ivf_index_topk_batch,
+        )
+
+        ns = spark.newSession()
+        ns.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
+        ns.conf.set(
+            "spark.sql.execution.arrow.pyspark.fallback.enabled", "false"
+        )
+        rng = np.random.default_rng(7)
+        M = rng.standard_normal((80, 16))
+        df = ns.createDataFrame(
+            [(int(i), M[i].tolist()) for i in range(80)],
+            "vec_id long, embedding array<double>",
+        )
+        path = str(tmp_path / "ivfbatch_noarrow")
+        build_ivf_index(df, path, n_lists=4, n_iter=3, seed=5)
+        queries = ns.createDataFrame(
+            [(0, M[0].tolist()), (1, M[9].tolist())],
+            "query_id long, query_vec array<double>",
+        )
+        out = ivf_index_topk_batch(ns, path, queries, k=3, nprobe=4)
+        rows = out.collect()
+        assert len(rows) == 6
+        per = {}
+        for r in rows:
+            per.setdefault(r["query_id"], []).append(r["vec_id"])
+        assert 0 in per[0] and 9 in per[1]  # each query finds itself
