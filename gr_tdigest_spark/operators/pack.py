@@ -41,6 +41,9 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence, Union
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -66,8 +69,24 @@ def pack_sequences(
     keys: Union[None, str, Sequence[str]] = None,
     seed: int = 0,
     out_col: str = "pack_id",
+    method: str = "offset",
 ) -> DataFrame:
     """Assign every row to a token-budgeted pack, deterministically.
+
+    Two packing rules:
+
+    - ``method='offset'`` (default): block-concatenation semantics —
+      a document belongs to the pack its starting offset falls in; a
+      boundary doc straddles (the dataloader splits it).  Pure JVM
+      window cumsum, zero Python in the path.
+    - ``method='nextfit'``: NO-SPLIT semantics (SFT-style examples
+      that must not straddle a boundary) — walk the bucket's layout
+      order, close the open pack whenever the next doc would overflow
+      ``max_tokens``.  Every pack total is ≤ ``max_tokens`` exactly;
+      docs LONGER than ``max_tokens`` get a NULL pack (flag upstream).
+      Runs as one Arrow batch pass per bucket (``applyInPandas`` on
+      the same bucket partitioning), so the scale shape is unchanged:
+      per-bucket work, never a global pass.
 
     ``count_col`` is the row's token count (int); rows with NULL or
     non-positive counts are passed through with a NULL pack (they carry
@@ -93,6 +112,10 @@ def pack_sequences(
     """
     if max_tokens <= 0:
         raise ValueError("pack_sequences max_tokens must be > 0")
+    if method not in ("offset", "nextfit"):
+        raise ValueError(
+            f"pack_sequences method must be offset/nextfit, got {method!r}"
+        )
     if keys is None and n_buckets is None:
         raise ValueError(
             "pack_sequences needs n_buckets when keys is None: a single "
@@ -127,6 +150,9 @@ def pack_sequences(
     # its OWN salted hash domain (never the samplers')
     pr = sample_priority(ids, seed + _PACK_ORDER_SALT)
     with_bucket = df.withColumn("__pack_bucket", bucket)
+    if method == "nextfit":
+        return _nextfit_pack(with_bucket, ids, cnt, ok, pr,
+                             int(max_tokens), out_col)
     win = (
         Window.partitionBy("__pack_bucket")
         .orderBy(pr.asc(), *[F.col(c).asc() for c in ids])
@@ -140,6 +166,55 @@ def pack_sequences(
     )
     out = with_bucket.withColumn("__pack_slot", slot.cast("long"))
     return out.withColumn(
+        out_col,
+        F.when(
+            F.col("__pack_slot").isNotNull(),
+            F.concat_ws("/", F.col("__pack_bucket"),
+                        F.col("__pack_slot").cast("string")),
+        ),
+    )
+
+
+def _nextfit_pack(with_bucket: DataFrame, ids: List[str], cnt, ok, pr,
+                  max_tokens: int, out_col: str) -> DataFrame:
+    """The no-split branch of :func:`pack_sequences`: per bucket, walk
+    the deterministic layout order and close the open pack when the
+    next doc would overflow.  One pandas pass per bucket — the bucket
+    is the parallelism unit, exactly like the offset branch's window.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    src_cols = with_bucket.columns
+    prepped = with_bucket.withColumn(
+        "__pack_cnt", F.when(ok, cnt).otherwise(F.lit(None))
+    ).withColumn("__pack_pr", pr)
+    out_schema = StructType(
+        [prepped.schema[c] for c in src_cols]
+        + [StructField("__pack_slot", LongType(), True)]
+    )
+    order_cols = ["__pack_pr"] + ids
+
+    def pack_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="stable")
+        slots = np.empty(len(pdf), dtype=object)
+        slot, used = 0, 0
+        for i, c in enumerate(pdf["__pack_cnt"].tolist()):
+            if c is None or (c != c) or c <= 0 or c > max_tokens:
+                slots[i] = None      # unpackable without splitting
+                continue
+            c = int(c)
+            if used + c > max_tokens and used > 0:
+                slot, used = slot + 1, 0
+            slots[i] = slot
+            used += c
+        out = pdf[src_cols].copy()
+        out["__pack_slot"] = slots
+        return out
+
+    packed = prepped.groupBy("__pack_bucket").applyInPandas(
+        pack_one, schema=out_schema
+    )
+    return packed.withColumn(
         out_col,
         F.when(
             F.col("__pack_slot").isNotNull(),

@@ -176,3 +176,73 @@ class TestPackSequences:
         # an empty partitionBy would show 'SinglePartition' for the
         # window exchange
         assert "SinglePartition" not in plan
+
+
+class TestNextFitPacking:
+    """method='nextfit': no-split packing — every pack total ≤
+    max_tokens exactly; oversize docs get NULL packs."""
+
+    def test_exact_greedy_replay_and_layout_independence(self, spark):
+        from gr_tdigest_spark.operators.pack import (
+            _PACK_ORDER_SALT, _PACK_SALT,
+        )
+        from gr_tdigest_spark.operators.sample import sample_priority
+
+        df, _ = _docs(spark, n=350, seed=21)
+        out = pack_sequences(df, "doc_id", "n_tokens", 2048, n_buckets=4,
+                             seed=6, method="nextfit")
+        got = {r["doc_id"]: (r["__pack_bucket"], r["__pack_slot"])
+               for r in out.collect()}
+
+        probe = df.select(
+            "doc_id", "n_tokens",
+            F.pmod(sample_priority(["doc_id"], 6 + _PACK_SALT),
+                   F.lit(4)).cast("string").alias("b"),
+            sample_priority(["doc_id"], 6 + _PACK_ORDER_SALT).alias("pr"),
+        ).collect()
+        byb = {}
+        for r in probe:
+            byb.setdefault(r["b"], []).append(
+                (r["pr"], r["doc_id"], r["n_tokens"])
+            )
+        expect = {}
+        for b, rows in byb.items():
+            slot, used = 0, 0
+            for _, did, n in sorted(rows):
+                if used + n > 2048 and used > 0:
+                    slot, used = slot + 1, 0
+                expect[did] = (b, slot)
+                used += n
+        assert got == expect
+
+        for parts in (1, 5):
+            g2 = {r["doc_id"]: (r["__pack_bucket"], r["__pack_slot"])
+                  for r in pack_sequences(
+                      df.repartition(parts), "doc_id", "n_tokens", 2048,
+                      n_buckets=4, seed=6, method="nextfit").collect()}
+            assert g2 == got, parts
+
+    def test_no_split_bound_and_oversize_null(self, spark):
+        rows = [(i, 700) for i in range(60)]
+        rows += [(900, 5000), (901, None), (902, -1)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        out = pack_sequences(df, "doc_id", "n_tokens", 2048, n_buckets=2,
+                             method="nextfit")
+        data = out.collect()
+        assert {r["doc_id"] for r in data if r["pack_id"] is None} \
+            == {900, 901, 902}
+        packs = {}
+        for r in data:
+            if r["pack_id"] is not None:
+                packs.setdefault(r["pack_id"], 0)
+                packs[r["pack_id"]] += r["n_tokens"]
+        # STRICT bound (the offset method only bounds by max + doc)
+        assert all(t <= 2048 for t in packs.values())
+        # 700-token docs → 2 per pack (1400; a third would hit 2100)
+        assert all(t <= 1400 for t in packs.values())
+
+    def test_method_validation(self, spark):
+        df, _ = _docs(spark, n=3)
+        with pytest.raises(ValueError, match="offset/nextfit"):
+            pack_sequences(df, "doc_id", "n_tokens", 512, n_buckets=2,
+                           method="ffd")
