@@ -6,15 +6,22 @@ pack so that each pack holds ~``max_tokens`` tokens — at 100 TB this
 must be a distributed, deterministic, one-pass assignment, not a
 driver-side bin packer.
 
-:func:`pack_sequences` implements offset packing (the streaming
-packing rule used by block-concatenation dataloaders): documents are
-laid out in a deterministic order, the running token offset is computed
-with a window cumulative sum, and a document belongs to the pack its
-STARTING offset falls in::
+:func:`pack_sequences` offers two packing rules.  ``method='offset'``
+(default) is the streaming rule used by block-concatenation
+dataloaders: documents are laid out in a deterministic order, the
+running token offset is computed with a window cumulative sum, and a
+document belongs to the pack its STARTING offset falls in::
 
     pack_slot = floor((cumsum(tokens) - tokens) / max_tokens)
 
-Properties (all tested):
+``method='nextfit'`` is the NO-SPLIT rule (SFT-style examples that
+must not straddle a boundary): walk the same layout order, close the
+open pack when the next doc would overflow — every pack total is
+≤ ``max_tokens`` EXACTLY, and docs longer than ``max_tokens`` get a
+NULL pack instead of a slot.
+
+Properties (all tested; the straddle/under-fill bounds below are the
+offset method's — nextfit trades them for the strict budget):
 
 - Deterministic in (ids, seed) and partition-layout independent — the
   layout order is the hashed-id priority (``sample_priority``), never
@@ -116,6 +123,14 @@ def pack_sequences(
         raise ValueError(
             f"pack_sequences method must be offset/nextfit, got {method!r}"
         )
+    if method == "nextfit" and n_buckets is None:
+        raise ValueError(
+            "pack_sequences method='nextfit' needs n_buckets (with or "
+            "without keys): its per-bucket pandas pass materializes a "
+            "bucket in one worker, so a hot key group without "
+            "sub-buckets would not fit — the offset method's JVM "
+            "window spills, this path must be bounded by construction"
+        )
     if keys is None and n_buckets is None:
         raise ValueError(
             "pack_sequences needs n_buckets when keys is None: a single "
@@ -165,7 +180,13 @@ def pack_sequences(
         F.lit(None)
     )
     out = with_bucket.withColumn("__pack_slot", slot.cast("long"))
-    return out.withColumn(
+    return _format_pack_id(out, out_col)
+
+
+def _format_pack_id(df: DataFrame, out_col: str) -> DataFrame:
+    """The single definition of the pack-id rendering rule:
+    ``"<bucket>/<slot>"``, NULL when the row is unpackable."""
+    return df.withColumn(
         out_col,
         F.when(
             F.col("__pack_slot").isNotNull(),
@@ -181,15 +202,23 @@ def _nextfit_pack(with_bucket: DataFrame, ids: List[str], cnt, ok, pr,
     the deterministic layout order and close the open pack when the
     next doc would overflow.  One pandas pass per bucket — the bucket
     is the parallelism unit, exactly like the offset branch's window.
+
+    Only a SKINNY projection (bucket, priority, count, ids) crosses
+    the Python boundary — slot assignment needs nothing else, and the
+    full rows (document text!) must never round-trip through Arrow.
+    The slots join back on the ids (row-unique per the module's
+    determinism contract).
     """
     from pyspark.sql.types import LongType, StructField, StructType
 
-    src_cols = with_bucket.columns
-    prepped = with_bucket.withColumn(
-        "__pack_cnt", F.when(ok, cnt).otherwise(F.lit(None))
-    ).withColumn("__pack_pr", pr)
+    skinny = with_bucket.select(
+        "__pack_bucket",
+        pr.alias("__pack_pr"),
+        F.when(ok, cnt).otherwise(F.lit(None)).alias("__pack_cnt"),
+        *ids,
+    )
     out_schema = StructType(
-        [prepped.schema[c] for c in src_cols]
+        [skinny.schema[c] for c in ["__pack_bucket"] + ids]
         + [StructField("__pack_slot", LongType(), True)]
     )
     order_cols = ["__pack_pr"] + ids
@@ -207,18 +236,12 @@ def _nextfit_pack(with_bucket: DataFrame, ids: List[str], cnt, ok, pr,
                 slot, used = slot + 1, 0
             slots[i] = slot
             used += c
-        out = pdf[src_cols].copy()
+        out = pdf[["__pack_bucket"] + ids].copy()
         out["__pack_slot"] = slots
         return out
 
-    packed = prepped.groupBy("__pack_bucket").applyInPandas(
+    slots_df = skinny.groupBy("__pack_bucket").applyInPandas(
         pack_one, schema=out_schema
-    )
-    return packed.withColumn(
-        out_col,
-        F.when(
-            F.col("__pack_slot").isNotNull(),
-            F.concat_ws("/", F.col("__pack_bucket"),
-                        F.col("__pack_slot").cast("string")),
-        ),
-    )
+    ).drop("__pack_bucket")
+    packed = with_bucket.join(slots_df, on=ids, how="left")
+    return _format_pack_id(packed, out_col)

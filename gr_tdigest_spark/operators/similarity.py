@@ -407,6 +407,9 @@ def ivf_index_topk(
     return cosine_topk(pruned, query, k, vec_col, id_col)
 
 
+_PROBE_PAIRS_CACHE = None
+
+
 def _cos_pair_col(a: Column, b: Column) -> Column:
     """Row-wise cosine between TWO array columns (the batch-ANN join
     shape).  Arrow-batched numpy: one einsum per batch, never per-row
@@ -460,6 +463,12 @@ def ivf_index_topk_batch(
     Result: one row per (query, hit): ``query_id_col, id_col, cosine``,
     at most k hits per query; the per-query window's candidate set is
     bounded by the probed lists' sizes, never the corpus.
+
+    Caller contract: ``query_id_col`` identifies one query vector.
+    NULL query vectors are skipped; exact duplicate (id, vec) rows are
+    collapsed before probing (upstream join fan-out would otherwise
+    double every hit); one id carrying two DIFFERENT vectors is a
+    caller bug the function cannot detect cheaply.
     """
     from pyspark.sql.types import ArrayType, LongType
 
@@ -487,10 +496,27 @@ def ivf_index_topk_batch(
         order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
         return pd.Series([list_ids[row].tolist() for row in order])
 
-    probe_pairs = queries.select(
+    qsrc = (
+        queries.select(query_id_col, query_vec_col)
+        .where(F.col(query_vec_col).isNotNull())
+        .distinct()
+    )
+    probe_pairs = qsrc.select(
         F.col(query_id_col), F.col(query_vec_col),
         F.explode(_probes(F.col(query_vec_col))).alias("list_id"),
     )
+    # one-slot persist (the winnow-cache pattern): the probe UDF and
+    # query scan otherwise run once for the pruning collect and again
+    # for the join — doubled query-side cost, and a nondeterministic
+    # queries source could even diverge between the two runs
+    global _PROBE_PAIRS_CACHE
+    if _PROBE_PAIRS_CACHE is not None:
+        try:
+            _PROBE_PAIRS_CACHE.unpersist()
+        except Exception:
+            pass
+    probe_pairs = probe_pairs.persist()
+    _PROBE_PAIRS_CACHE = probe_pairs
     # partition pruning: the probed-list union is <= n_lists values —
     # a driver-side collect bounded by index geometry, not by Q
     probed = sorted(

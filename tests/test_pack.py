@@ -246,3 +246,40 @@ class TestNextFitPacking:
         with pytest.raises(ValueError, match="offset/nextfit"):
             pack_sequences(df, "doc_id", "n_tokens", 512, n_buckets=2,
                            method="ffd")
+
+    def test_nextfit_requires_buckets_even_with_keys(self, spark):
+        """The pandas pass materializes a bucket in one worker, so a
+        keys-only nextfit (hot key group = one unbounded frame) is
+        refused by construction; keys + n_buckets compose fine."""
+        df = spark.createDataFrame(
+            [("en", 1, 100), ("de", 2, 100)],
+            "lang string, doc_id long, n_tokens long",
+        )
+        with pytest.raises(ValueError, match="nextfit.*n_buckets"):
+            pack_sequences(df, "doc_id", "n_tokens", 512, keys="lang",
+                           method="nextfit")
+        out = pack_sequences(df, "doc_id", "n_tokens", 512, keys="lang",
+                             n_buckets=2, method="nextfit")
+        assert out.where(F.col("pack_id").isNotNull()).count() == 2
+
+    def test_nextfit_ships_skinny_rows_through_python(self, spark):
+        """The no-split pass must not round-trip payload columns
+        (document text) through Arrow: the applyInPandas subtree of
+        the plan reads only the skinny projection."""
+        df = spark.createDataFrame(
+            [(i, 100, "x" * 50) for i in range(20)],
+            "doc_id long, n_tokens long, text string",
+        )
+        out = pack_sequences(df, "doc_id", "n_tokens", 512, n_buckets=2,
+                             method="nextfit")
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        # the pandas function's argument list is the exact set of
+        # columns crossing Arrow — payload columns must not be in it
+        # (the LogicalRDD leaf still LISTS text; an RDD-backed leaf
+        # cannot prune its schema line, but only pack_one's args ship)
+        assert "FlatMapGroupsInPandas" in plan
+        args = plan.split("pack_one(", 1)[1].split(")", 1)[0]
+        assert "text" not in args
+        assert "doc_id" in args and "__pack_cnt" in args
+        # and the result still carries text for every row
+        assert out.where(F.col("text").isNotNull()).count() == 20

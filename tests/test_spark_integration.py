@@ -1218,6 +1218,40 @@ class TestIvfBatchTopk:
         txt = plan.getvalue()
         assert "PartitionFilters" in txt and "list_id" in txt
 
+    def test_null_and_duplicate_queries(self, spark, tmp_path):
+        """NULL query vectors are skipped (not a mid-job numpy crash);
+        exact duplicate query rows (upstream join fan-out) collapse —
+        each hit appears once and the full k distinct hits survive."""
+        import numpy as np
+
+        from gr_tdigest_spark.operators.similarity import (
+            build_ivf_index, ivf_index_topk_batch,
+        )
+
+        rng = np.random.default_rng(3)
+        M = rng.standard_normal((60, 12))
+        df = spark.createDataFrame(
+            [(int(i), M[i].tolist()) for i in range(60)],
+            "vec_id long, embedding array<double>",
+        )
+        path = str(tmp_path / "ivfbatch_nulls")
+        build_ivf_index(df, path, n_lists=3, n_iter=3, seed=5)
+        queries = spark.createDataFrame(
+            [(0, M[0].tolist()), (0, M[0].tolist()),   # exact dup
+             (1, M[5].tolist()), (2, None)],           # NULL vec
+            "query_id long, query_vec array<double>",
+        )
+        out = ivf_index_topk_batch(spark, path, queries, k=4, nprobe=3)
+        rows = out.collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r["query_id"], []).append(r["vec_id"])
+        assert 2 not in per                      # NULL query skipped
+        assert sorted(per) == [0, 1]
+        for q in (0, 1):
+            assert len(per[q]) == 4
+            assert len(set(per[q])) == 4         # k DISTINCT hits
+
     def test_batch_works_without_arrow_conversion(self, spark, tmp_path):
         """Conf-independence (the r4 lesson): the batch path must not
         assume Arrow driver<->JVM conversion."""
