@@ -1283,6 +1283,26 @@ def q_embed_topk(spark, sf_dir):
         and pruned.count() >= 1
     )
 
+    # batched ANN cross-check (similarity.ivf_index_topk_batch): the
+    # batch operator at full probe must reproduce the single-query
+    # operator's (vec_id, cosine) pairs exactly for this query
+    from gr_tdigest_spark.operators.similarity import ivf_index_topk_batch
+
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in qvec])],
+        "query_id long, query_vec array<double>",
+    )
+    batch_pairs = sorted(
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in ivf_index_topk_batch(
+            spark, path, qdf, k=5, nprobe=n_lists
+        ).collect()
+    )
+    single_pairs = sorted(
+        (r["vec_id"], round(r["cosine"], 9)) for r in ivf.collect()
+    )
+    batch_ok = batch_pairs == single_pairs and len(batch_pairs) == 5
+
     return (
         top.select("vec_id", F.round("cosine", 6).alias("cos_sim"))
         .join(
@@ -1296,6 +1316,7 @@ def q_embed_topk(spark, sf_dir):
             (F.col("cos_sim") == F.col("__cos_ivf")).alias("ivf_exact"),
         )
         .withColumn("pruned_scan_ok", F.lit(bool(pruning_ok)))
+        .withColumn("batch_ok", F.lit(bool(batch_ok)))
     )
 
 
@@ -2220,7 +2241,8 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(embedding::DOUBLE[],
                                                 qv::DOUBLE[]), 6) AS cos_sim,
                    TRUE AS ivf_exact,
-                   TRUE AS pruned_scan_ok
+                   TRUE AS pruned_scan_ok,
+                   TRUE AS batch_ok
             FROM embeddings, q WHERE vec_id != 0
             ORDER BY cos_sim DESC, vec_id LIMIT 5
             """
