@@ -115,7 +115,11 @@ def pack_sequences(
     Determinism requires row-unique ids (the samplers' usual contract):
     duplicate ids tie completely in the layout order, so which
     duplicate precedes which — and thus their boundary assignment — is
-    partition-dependent.
+    partition-dependent; on the nextfit path duplicates CO-ASSIGN (all
+    rows of an id get one pack).  Rows with a NULL id are unpackable
+    on BOTH methods (NULL pack, no budget consumed): their layout
+    position would be partition-dependent (every NULL hashes alike),
+    so packing them deterministically is impossible by construction.
     """
     if max_tokens <= 0:
         raise ValueError("pack_sequences max_tokens must be > 0")
@@ -142,6 +146,8 @@ def pack_sequences(
     ids = _cols(id_cols)
     cnt = F.col(count_col).cast("long")
     ok = cnt.isNotNull() & (cnt > 0)
+    for c in ids:  # NULL ids: no deterministic layout position
+        ok = ok & F.col(c).isNotNull()
 
     sub = (
         F.pmod(
@@ -211,10 +217,10 @@ def _nextfit_pack(with_bucket: DataFrame, ids: List[str], cnt, ok, pr,
     """
     from pyspark.sql.types import LongType, StructField, StructType
 
-    skinny = with_bucket.select(
+    skinny = with_bucket.where(ok).select(
         "__pack_bucket",
         pr.alias("__pack_pr"),
-        F.when(ok, cnt).otherwise(F.lit(None)).alias("__pack_cnt"),
+        cnt.alias("__pack_cnt"),
         *ids,
     )
     out_schema = StructType(
@@ -228,7 +234,7 @@ def _nextfit_pack(with_bucket: DataFrame, ids: List[str], cnt, ok, pr,
         slots = np.empty(len(pdf), dtype=object)
         slot, used = 0, 0
         for i, c in enumerate(pdf["__pack_cnt"].tolist()):
-            if c is None or (c != c) or c <= 0 or c > max_tokens:
+            if (c != c) or c > max_tokens:
                 slots[i] = None      # unpackable without splitting
                 continue
             c = int(c)
@@ -243,5 +249,11 @@ def _nextfit_pack(with_bucket: DataFrame, ids: List[str], cnt, ok, pr,
     slots_df = skinny.groupBy("__pack_bucket").applyInPandas(
         pack_one, schema=out_schema
     ).drop("__pack_bucket")
+    # duplicate ids co-assign (one slot per id — min for determinism
+    # given the set of slots the duplicates reached) so the join-back
+    # preserves row count instead of fanning out n_dups × n_slots
+    slots_df = slots_df.groupBy(*ids).agg(
+        F.min("__pack_slot").alias("__pack_slot")
+    )
     packed = with_bucket.join(slots_df, on=ids, how="left")
     return _format_pack_id(packed, out_col)

@@ -468,7 +468,12 @@ def ivf_index_topk_batch(
     NULL query vectors are skipped; exact duplicate (id, vec) rows are
     collapsed before probing (upstream join fan-out would otherwise
     double every hit); one id carrying two DIFFERENT vectors is a
-    caller bug the function cannot detect cheaply.
+    caller bug the function cannot detect cheaply.  ``queries`` must
+    be DETERMINISTIC (no ``rand()``/unordered ``limit`` lineage — the
+    library-wide reproducibility contract): the probed-list pruning
+    and the probe join are two consumptions of the same plan, and only
+    a deterministic source guarantees they agree if the cached probe
+    table is ever evicted or recomputed.
     """
     from pyspark.sql.types import ArrayType, LongType
 
@@ -505,10 +510,13 @@ def ivf_index_topk_batch(
         F.col(query_id_col), F.col(query_vec_col),
         F.explode(_probes(F.col(query_vec_col))).alias("list_id"),
     )
-    # one-slot persist (the winnow-cache pattern): the probe UDF and
-    # query scan otherwise run once for the pruning collect and again
-    # for the join — doubled query-side cost, and a nondeterministic
-    # queries source could even diverge between the two runs
+    # one-slot persist (the winnow-cache pattern) — a PERFORMANCE
+    # cache only: the probe UDF and query scan otherwise run once for
+    # the pruning collect and again for the join. It is NOT a
+    # consistency mechanism (a later call evicts it, and Spark may
+    # drop cached blocks anytime, after which the join recomputes from
+    # lineage) — agreement between the collect and the join rests on
+    # the documented deterministic-queries contract, not on the cache
     global _PROBE_PAIRS_CACHE
     if _PROBE_PAIRS_CACHE is not None:
         try:

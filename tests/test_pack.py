@@ -283,3 +283,45 @@ class TestNextFitPacking:
         assert "doc_id" in args and "__pack_cnt" in args
         # and the result still carries text for every row
         assert out.where(F.col("text").isNotNull()).count() == 20
+
+
+class TestPackIdAndDupEdges:
+    """r5 final-review pins: NULL ids are unpackable on BOTH methods
+    (their layout position is partition-dependent by construction and
+    the nextfit join-back can't address them), and duplicate ids on
+    the nextfit path co-assign without row fan-out."""
+
+    def test_null_ids_unpackable_both_methods(self, spark):
+        rows = [(1, 100), (2, 100), (None, 100)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        for method in ("offset", "nextfit"):
+            out = pack_sequences(df, "doc_id", "n_tokens", 512,
+                                 n_buckets=1, method=method)
+            got = {r["doc_id"]: r["pack_id"] for r in out.collect()}
+            assert out.count() == 3, method          # pass-through
+            assert got[None] is None, method         # never packed
+            assert got[1] is not None and got[2] is not None, method
+        # and the NULL row consumes NO budget on nextfit: two 300-token
+        # docs + a NULL-id 300 still fit one 650-token pack
+        df2 = spark.createDataFrame(
+            [(1, 300), (2, 300), (None, 300)], "doc_id long, n_tokens long"
+        )
+        out2 = pack_sequences(df2, "doc_id", "n_tokens", 650,
+                              n_buckets=1, method="nextfit")
+        packs = {r["doc_id"]: r["pack_id"] for r in out2.collect()}
+        assert packs[1] == packs[2] and packs[1] is not None
+        assert packs[None] is None
+
+    def test_duplicate_ids_coassign_without_fanout(self, spark):
+        df = spark.createDataFrame(
+            [(1, 100), (1, 100), (2, 100)], "doc_id long, n_tokens long"
+        )
+        out = pack_sequences(df, "doc_id", "n_tokens", 512, n_buckets=1,
+                             method="nextfit")
+        rows = out.collect()
+        assert len(rows) == 3                       # no n² explosion
+        per = {}
+        for r in rows:
+            per.setdefault(r["doc_id"], set()).add(r["pack_id"])
+        assert len(per[1]) == 1                     # co-assigned
+        assert None not in per[1]
