@@ -132,10 +132,33 @@ def _semi_join_sampled(fact: DataFrame, key_list: List[str],
                        ids_df: DataFrame, join_col: str,
                        broadcast_ids: bool) -> DataFrame:
     """Shared sketch-method join-back: every fact row carrying a
-    sampled id, via a (broadcastable) LEFT SEMI join."""
+    sampled id, via a (broadcastable) LEFT SEMI join.
+
+    NULL-SAFE on the key columns: rows whose key value is NULL form a
+    real group in the sketch aggregate (and in the window method's
+    partitionBy), so the join-back must not drop them — a plain
+    equi-join would silently lose every NULL-key group.  Float NaN
+    keys are canonicalized to NULL by the sketch aggregate's partial
+    state, so the condition canonicalizes the fact side the same way:
+    NaN-key rows rejoin the conflated NULL group.  (The window methods
+    instead keep NaN as its own group — a documented method
+    difference confined to NaN float keys.)  ``join_col`` itself stays
+    a plain equality: unjoinable ids are filtered up front."""
+    s = ids_df.alias("__samp")
     if broadcast_ids:
-        ids_df = F.broadcast(ids_df)
-    out = fact.join(ids_df, on=key_list + [join_col], how="leftsemi")
+        s = F.broadcast(s)
+    f = fact.alias("__fact")
+
+    def q(side: str, c: str) -> Column:
+        return F.col(f"{side}.`{c}`")
+
+    cond = q("__fact", join_col) == q("__samp", join_col)
+    for c in key_list:
+        fc = q("__fact", c)
+        if isinstance(fact.schema[c].dataType, (FloatType, DoubleType)):
+            fc = F.when(F.isnan(fc), F.lit(None)).otherwise(fc)
+        cond = cond & fc.eqNullSafe(q("__samp", c))
+    out = f.join(s, cond, "leftsemi")
     return out.drop("__sample_id") if join_col == "__sample_id" else out
 
 
@@ -174,7 +197,9 @@ def weighted_sample(df: DataFrame, k: int,
     With ``keys``, two methods sharing the stratified_sample contract
     (min(k, distinct eligible ids) distinct ids per group, every
     eligible row carrying a sampled id comes back; NULL ids — and NaN
-    float ids — are never sampled on either keyed method):
+    float ids — are never sampled on either keyed method; NULL KEY
+    values form a normal group and are sampled on both methods — the
+    join-back is null-safe):
 
     - ``method='sketch'`` (default, the scale path): per-group bottom-k
       of the exponential race key ``E = -ln(u)/w`` via a bounded
@@ -326,8 +351,10 @@ def stratified_sample(df: DataFrame, keys: Union[str, Sequence[str]],
     contract: exactly min(k, distinct ids) distinct ids survive per
     group, and every row carrying a sampled id comes back — so when
     ``id_col`` uniquely identifies rows (the normal case), the result
-    is exactly min(k, n) rows per group.  The two methods draw
-    different (equally uniform) samples — their priority hashes differ.
+    is exactly min(k, n) rows per group.  NULL key values form a
+    normal group on both methods (the join-back is null-safe).  The
+    two methods draw different (equally uniform) samples — their
+    priority hashes differ.
 
     method='sketch' (scale path): bottom-k sketch per group → explode
     the ≤ k sampled ids → semi-join the facts.  Partial state is

@@ -340,6 +340,71 @@ class TestSamplingOperators:
         ids = {r["doc_id"] for r in out}
         assert ids == set(range(10)), (method, sorted(ids))
 
+    @pytest.mark.parametrize("method", ["sketch", "window"])
+    def test_stratified_null_key_groups_sampled(self, spark, method):
+        """NULL key VALUES form a real group on both methods (r5
+        advice: the equi semi-join silently dropped NULL-key groups
+        while the window partitionBy sampled them)."""
+        from gr_tdigest_spark.operators.sample import stratified_sample
+
+        rows = [("A", i) for i in range(20)] + [
+            (None, 1000 + i) for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "g string, doc_id long")
+        out = stratified_sample(df, "g", 5, "doc_id", seed=1,
+                                method=method).collect()
+        per = {}
+        for r in out:
+            per.setdefault(r["g"], set()).add(r["doc_id"])
+        assert set(per) == {"A", None}, method
+        assert len(per[None]) == 5 and len(per["A"]) == 5
+        assert all(i >= 1000 for i in per[None])
+
+    @pytest.mark.parametrize("method", ["sketch", "window"])
+    def test_weighted_null_key_groups_sampled(self, spark, method):
+        """Same NULL-key contract on the keyed weighted sampler."""
+        from gr_tdigest_spark.operators.sample import weighted_sample
+
+        rows = [("A", i, 1.0) for i in range(20)] + [
+            (None, 1000 + i, 1.0) for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "g string, doc_id long, w double")
+        out = weighted_sample(df, 5, "doc_id", "w", seed=1, keys="g",
+                              method=method).collect()
+        per = {}
+        for r in out:
+            per.setdefault(r["g"], set()).add(r["doc_id"])
+        assert set(per) == {"A", None}, method
+        assert len(per[None]) == 5 and len(per["A"]) == 5
+
+    def test_sketch_nan_float_keys_conflate_with_null(self, spark):
+        """Float NaN keys: the sketch aggregate canonicalizes NaN →
+        NULL (agg.py), so the sketch path samples {NaN ∪ NULL} keys as
+        ONE conflated group and the null-safe join-back returns BOTH
+        kinds of rows (documented method difference: the window path
+        keeps NaN as its own group)."""
+        from gr_tdigest_spark.operators.sample import stratified_sample
+
+        rows = [(float("nan"), i) for i in range(10)] + [
+            (None, 100 + i) for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "g double, doc_id long")
+        out = stratified_sample(df, "g", 50, "doc_id", seed=1,
+                                method="sketch").collect()
+        # k > n: every row of the conflated group comes back
+        assert len(out) == 20
+        got_nan = {
+            r["doc_id"] for r in out
+            if r["g"] is not None and r["g"] != r["g"]
+        }
+        got_null = {r["doc_id"] for r in out if r["g"] is None}
+        assert got_nan == set(range(10))
+        assert got_null == {100 + i for i in range(10)}
+        # partial k: the conflated group holds exactly k distinct ids
+        small = stratified_sample(df, "g", 5, "doc_id", seed=1,
+                                  method="sketch").collect()
+        assert len({r["doc_id"] for r in small}) == 5
+
     def test_stratified_sketch_k1(self, spark):
         from gr_tdigest_spark.operators.sample import stratified_sample
 
