@@ -179,13 +179,20 @@ def pack_sequences(
         .orderBy(pr.asc(), *[F.col(c).asc() for c in ids])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # offset packing: a row's pack is where its START offset lands
+    # offset packing: a row's pack is where its START offset lands.
+    # Exact LONG division (`div`), not floor(start / max_tokens): the
+    # double division loses integer precision once a bucket's
+    # cumulative token count exceeds 2^53, silently shifting slot
+    # boundaries at extreme per-bucket sizes (the 100 TB contract)
     start = F.sum(F.when(ok, cnt).otherwise(F.lit(0))).over(win) - \
         F.when(ok, cnt).otherwise(F.lit(0))
-    slot = F.when(ok, F.floor(start / F.lit(int(max_tokens)))).otherwise(
-        F.lit(None)
-    )
-    out = with_bucket.withColumn("__pack_slot", slot.cast("long"))
+    staged = with_bucket.withColumn("__pack_start", start)
+    slot = F.when(
+        ok, F.expr(f"__pack_start div {int(max_tokens)}")
+    ).otherwise(F.lit(None))
+    out = staged.withColumn(
+        "__pack_slot", slot.cast("long")
+    ).drop("__pack_start")
     return _format_pack_id(out, out_col)
 
 

@@ -155,6 +155,23 @@ class TestPackSequences:
         ).orderBy("pr").limit(50).collect()}
         assert len(sampled & first50) < 25
 
+    def test_slot_division_exact_past_2pow53(self, spark):
+        """Slot assignment is exact LONG division: with cumulative
+        offsets past 2^53, floor(start / max_tokens) in doubles rounds
+        the dividend first and shifts slot boundaries off-by-one
+        (r5 advice).  3 docs of 2^53+1 tokens at max_tokens=3: the
+        2nd doc starts at 2^53+1 (divisible by 3 → slot must be
+        exactly (2^53+1)/3; the double path lands one slot lower)."""
+        from gr_tdigest_spark.operators.pack import pack_sequences
+
+        big = (1 << 53) + 1
+        df = spark.createDataFrame(
+            [(i, big) for i in range(3)], "doc_id long, n long"
+        )
+        out = pack_sequences(df, "doc_id", "n", 3, n_buckets=1, seed=0)
+        slots = sorted(r["__pack_slot"] for r in out.collect())
+        assert slots == [0, big // 3, (2 * big) // 3]
+
     def test_validation(self, spark):
         df, _ = _docs(spark, n=4)
         with pytest.raises(ValueError, match="n_buckets when keys"):
