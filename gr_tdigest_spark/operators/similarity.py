@@ -52,6 +52,18 @@ def _vec_matrix(vecs: pd.Series) -> np.ndarray:
     )
 
 
+def _null_nonfinite(out: np.ndarray) -> pd.Series:
+    """Non-finite cosines (zero-norm vectors: 0/0 → NaN, x/0 → ±inf)
+    become SQL NULL, matching the expression path (Spark's double
+    division by zero yields NULL).  Spark sorts NaN GREATER than every
+    double, so a raw NaN would outrank all real hits in a desc top-k —
+    NULLs instead sort last, so degenerate vectors can never displace
+    real neighbors."""
+    res = pd.array(out, dtype="Float64")
+    res[~np.isfinite(out)] = pd.NA
+    return pd.Series(res)
+
+
 def _dot_const(vec_col: Column, q: Sequence[float]) -> Column:
     qarr = F.array(*[F.lit(float(x)) for x in q])
     return F.aggregate(
@@ -80,7 +92,12 @@ def cosine_sim_col(vec_col: Column, query: Sequence[float]) -> Column:
     q = np.asarray(query, dtype=np.float64)
     if q.size <= _MAX_INLINE_LITERALS:
         qn = math.sqrt(float(q @ q))
-        return _dot_const(vec_col, query) / (_norm(vec_col) * F.lit(qn))
+        # try_divide: zero-norm vectors give NULL cosine (sorts LAST in
+        # a desc top-k) — a plain `/` THROWS under ANSI mode (Spark 4
+        # default), and NaN would sort FIRST
+        return F.try_divide(
+            _dot_const(vec_col, query), _norm(vec_col) * F.lit(qn)
+        )
 
     qn = math.sqrt(float(q @ q))
 
@@ -90,7 +107,7 @@ def cosine_sim_col(vec_col: Column, query: Sequence[float]) -> Column:
         norms = np.linalg.norm(M, axis=1)
         with np.errstate(invalid="ignore", divide="ignore"):
             out = (M @ q) / (norms * qn)
-        return pd.Series(out)
+        return _null_nonfinite(out)
 
     return _cos(vec_col)
 
@@ -216,7 +233,12 @@ def embedding_near_dup_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = dot / (_norm(F.col("l.__v")) * _norm(F.col("r.__v")))
+    # try_divide, not `/`: a zero-norm vector inside a bucket would
+    # otherwise abort the whole job under ANSI mode (Spark 4 default);
+    # NULL cosine fails the >= threshold predicate and drops the pair
+    cos = F.try_divide(
+        dot, _norm(F.col("l.__v")) * _norm(F.col("r.__v"))
+    )
     return (
         pairs.select(
             F.col("l.__id").alias("a"),
@@ -422,7 +444,7 @@ def _cos_pair_col(a: Column, b: Column) -> Column:
         nb = np.linalg.norm(B, axis=1)
         with np.errstate(invalid="ignore", divide="ignore"):
             out = np.einsum("ij,ij->i", A, B) / (na * nb)
-        return pd.Series(out)
+        return _null_nonfinite(out)
 
     return _cos(a, b)
 

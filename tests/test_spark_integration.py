@@ -414,6 +414,64 @@ class TestTextOpsOnSpark:
         assert abs(top[0]["cosine"] - 1.0) < 1e-6
         assert top[0]["cosine"] >= top[1]["cosine"] >= top[2]["cosine"]
 
+    def test_zero_norm_vectors_never_displace_neighbors(self, spark):
+        """r5 advice: zero-norm vectors gave NaN cosine on the pandas
+        paths, and Spark sorts NaN GREATER than any double, so NaN
+        outranked every real hit in a desc top-k.  Both paths must emit
+        NULL (sorts last under desc), matching the expression path's
+        divide-by-zero semantics."""
+        import gr_tdigest_spark.operators.similarity as sim
+        from gr_tdigest_spark.operators.similarity import cosine_topk
+
+        rows = [(0, [0.0, 0.0, 0.0])] + [
+            (i, [float(i), 1.0, 0.0]) for i in range(1, 6)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        q = [1.0, 0.0, 0.0]
+        expr_rows = cosine_topk(df, q, k=3).collect()
+        expr_ids = [r["vec_id"] for r in expr_rows]
+        assert 0 not in expr_ids
+        assert all(r["cosine"] is not None for r in expr_rows)
+        old = sim._MAX_INLINE_LITERALS
+        sim._MAX_INLINE_LITERALS = 0  # force the pandas branch
+        try:
+            pand = cosine_topk(df, q, k=3).collect()
+        finally:
+            sim._MAX_INLINE_LITERALS = old
+        assert [r["vec_id"] for r in pand] == expr_ids
+        assert all(r["cosine"] is not None for r in pand)
+
+        # the pair scorer (batch-ANN shape): zero norms → NULL, not NaN
+        pdf = spark.createDataFrame(
+            [(1, [1.0, 0.0], [1.0, 0.0]),
+             (2, [0.0, 0.0], [1.0, 0.0]),
+             (3, [1.0, 0.0], [0.0, 0.0])],
+            "i long, a array<double>, b array<double>",
+        )
+        got = {
+            r["i"]: r["c"]
+            for r in pdf.select(
+                "i",
+                sim._cos_pair_col(F.col("a"), F.col("b")).alias("c"),
+            ).collect()
+        }
+        assert got[1] == pytest.approx(1.0)
+        assert got[2] is None and got[3] is None
+
+        # near-dup pair path: a zero vector inside a bucket must not
+        # abort the job (ANSI divide-by-zero) — its pairs drop instead
+        from gr_tdigest_spark.operators.similarity import (
+            embedding_near_dup_pairs,
+        )
+
+        nd = embedding_near_dup_pairs(
+            df, id_col="vec_id", vec_col="embedding",
+            threshold=0.9, n_planes=1, seed=3,
+        ).collect()
+        assert all(r["a"] != 0 and r["b"] != 0 for r in nd)
+
 
 class TestMultimodalPlumbing:
     def test_image_feature_stub(self, spark):
