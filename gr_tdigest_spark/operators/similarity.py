@@ -429,9 +429,6 @@ def ivf_index_topk(
     return cosine_topk(pruned, query, k, vec_col, id_col)
 
 
-_PROBE_PAIRS_CACHE = None
-
-
 def _cos_pair_col(a: Column, b: Column) -> Column:
     """Row-wise cosine between TWO array columns (the batch-ANN join
     shape).  Arrow-batched numpy: one einsum per batch, never per-row
@@ -490,12 +487,14 @@ def ivf_index_topk_batch(
     NULL query vectors are skipped; exact duplicate (id, vec) rows are
     collapsed before probing (upstream join fan-out would otherwise
     double every hit); one id carrying two DIFFERENT vectors is a
-    caller bug the function cannot detect cheaply.  ``queries`` must
-    be DETERMINISTIC (no ``rand()``/unordered ``limit`` lineage — the
-    library-wide reproducibility contract): the probed-list pruning
-    and the probe join are two consumptions of the same plan, and only
-    a deterministic source guarantees they agree if the cached probe
-    table is ever evicted or recomputed.
+    caller bug the function cannot detect cheaply.  The probe table is
+    materialized PER CALL (eager localCheckpoint, bounded at
+    Q·nprobe rows): the probed-list pruning and the probe join read
+    the same materialized rows, so interleaved or concurrent calls on
+    one driver never invalidate each other and the probe UDF runs
+    once.  (Local checkpoints are not resilient to executor loss —
+    the job fails rather than silently recomputing; ``queries`` should
+    still be deterministic per the library-wide contract.)
     """
     from pyspark.sql.types import ArrayType, LongType
 
@@ -532,21 +531,14 @@ def ivf_index_topk_batch(
         F.col(query_id_col), F.col(query_vec_col),
         F.explode(_probes(F.col(query_vec_col))).alias("list_id"),
     )
-    # one-slot persist (the winnow-cache pattern) — a PERFORMANCE
-    # cache only: the probe UDF and query scan otherwise run once for
-    # the pruning collect and again for the join. It is NOT a
-    # consistency mechanism (a later call evicts it, and Spark may
-    # drop cached blocks anytime, after which the join recomputes from
-    # lineage) — agreement between the collect and the join rests on
-    # the documented deterministic-queries contract, not on the cache
-    global _PROBE_PAIRS_CACHE
-    if _PROBE_PAIRS_CACHE is not None:
-        try:
-            _PROBE_PAIRS_CACHE.unpersist()
-        except Exception:
-            pass
-    probe_pairs = probe_pairs.persist()
-    _PROBE_PAIRS_CACHE = probe_pairs
+    # per-call materialization (replaces r5's module-global one-slot
+    # persist, which let a second call unpersist the first's probes
+    # mid-use and was not thread-safe): eager localCheckpoint computes
+    # the probe UDF exactly once and truncates lineage, so the pruning
+    # collect below and the probe join consume the SAME materialized
+    # rows; the blocks are released when this DataFrame is
+    # garbage-collected (ContextCleaner), no global state
+    probe_pairs = probe_pairs.localCheckpoint(eager=True)
     # partition pruning: the probed-list union is <= n_lists values —
     # a driver-side collect bounded by index geometry, not by Q
     probed = sorted(

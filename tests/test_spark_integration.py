@@ -1310,6 +1310,59 @@ class TestIvfBatchTopk:
             assert len(per[q]) == 4
             assert len(set(per[q])) == 4         # k DISTINCT hits
 
+    def test_interleaved_calls_do_not_invalidate_each_other(
+        self, spark, tmp_path
+    ):
+        """r5 advice: the module-global one-slot probe cache let a
+        second call unpersist the first's probe table mid-use (and was
+        not thread-safe).  Probes are now materialized per call: start
+        call A, run call B to completion, THEN consume A — A's results
+        must equal a fresh un-interleaved run, and the module holds no
+        global cache slot."""
+        import numpy as np
+
+        import gr_tdigest_spark.operators.similarity as sim
+        from gr_tdigest_spark.operators.similarity import (
+            build_ivf_index, ivf_index_topk_batch,
+        )
+
+        assert not hasattr(sim, "_PROBE_PAIRS_CACHE")
+        rng = np.random.default_rng(11)
+        M = rng.standard_normal((70, 12))
+        df = spark.createDataFrame(
+            [(int(i), M[i].tolist()) for i in range(70)],
+            "vec_id long, embedding array<double>",
+        )
+        pa, pb = str(tmp_path / "ivf_a"), str(tmp_path / "ivf_b")
+        build_ivf_index(df, pa, n_lists=3, n_iter=3, seed=5)
+        build_ivf_index(
+            df.where("vec_id < 40"), pb, n_lists=2, n_iter=3, seed=6
+        )
+        qa = spark.createDataFrame(
+            [(0, M[0].tolist()), (1, M[33].tolist())],
+            "query_id long, query_vec array<double>",
+        )
+        qb = spark.createDataFrame(
+            [(9, M[9].tolist())],
+            "query_id long, query_vec array<double>",
+        )
+        a = ivf_index_topk_batch(spark, pa, qa, k=4, nprobe=2)
+        b_rows = ivf_index_topk_batch(
+            spark, pb, qb, k=4, nprobe=2
+        ).collect()
+        got_a = sorted(
+            (r["query_id"], r["vec_id"], round(r["cosine"], 9))
+            for r in a.collect()
+        )
+        fresh = sorted(
+            (r["query_id"], r["vec_id"], round(r["cosine"], 9))
+            for r in ivf_index_topk_batch(
+                spark, pa, qa, k=4, nprobe=2
+            ).collect()
+        )
+        assert got_a == fresh
+        assert len(b_rows) == 4
+
     def test_batch_works_without_arrow_conversion(self, spark, tmp_path):
         """Conf-independence (the r4 lesson): the batch path must not
         assume Arrow driver<->JVM conversion."""
