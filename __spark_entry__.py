@@ -1230,6 +1230,40 @@ def q_sample_docs(spark, sf_dir):
         and all(s == set(range(max(s) + 1))
                 for s in slots_by_bucket.values())
     )
+    # nextfit (no-split) packing, driver-gated (r5 verdict task 1):
+    # strict budget — every pack total ≤ max_tokens EXACTLY; docs
+    # LONGER than max_tokens get a NULL pack (nf_max=400 sits inside
+    # the fixture's n_chars range, so both branches are non-vacuous);
+    # every other packable doc is covered; slots contiguous per bucket
+    nf_max = 400
+    nf = pack_sequences(d, "doc_id", "n_chars", nf_max, n_buckets=8,
+                        seed=7, method="nextfit")
+    nf_rows = nf.groupBy("__pack_bucket", "__pack_slot").agg(
+        F.sum("n_chars").alias("tot"), F.count("*").alias("n"),
+    ).collect()
+    n_nf_packable = d.filter(
+        F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)
+        & (F.col("n_chars") <= nf_max) & F.col("doc_id").isNotNull()
+    ).count()
+    n_oversize = d.filter(F.col("n_chars") > nf_max).count()
+    n_oversize_packed = nf.filter(
+        (F.col("n_chars") > nf_max) & F.col("__pack_slot").isNotNull()
+    ).count()
+    nf_slots = {}
+    for r in nf_rows:
+        if r["__pack_slot"] is not None:
+            nf_slots.setdefault(r["__pack_bucket"], set()).add(
+                r["__pack_slot"]
+            )
+    nextfit_ok = (
+        sum(r["n"] for r in nf_rows if r["__pack_slot"] is not None)
+        == n_nf_packable
+        and all(r["tot"] <= nf_max for r in nf_rows
+                if r["__pack_slot"] is not None)
+        and n_oversize > 0          # the NULL-pack branch is exercised
+        and n_oversize_packed == 0  # ... and every oversize doc is NULL
+        and all(s == set(range(max(s) + 1)) for s in nf_slots.values())
+    )
     ok = (
         n_uni == min(100, n_total)
         and n_wtd == min(100, n_elig)
@@ -1241,7 +1275,7 @@ def q_sample_docs(spark, sf_dir):
     )
     return n_samp.join(kmv, "source").withColumn(
         "sampling_ok", F.lit(bool(ok))
-    )
+    ).withColumn("nextfit_ok", F.lit(bool(nextfit_ok)))
 
 
 def q_embed_topk(spark, sf_dir):
@@ -2141,7 +2175,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT source,
                    least(16, count(DISTINCT doc_id))::BIGINT AS n_sample,
                    TRUE AS kmv_ok,
-                   TRUE AS sampling_ok
+                   TRUE AS sampling_ok,
+                   TRUE AS nextfit_ok
             FROM documents GROUP BY source
             """
         ),
