@@ -54,23 +54,88 @@ def sample_priority(id_cols: Union[str, Sequence[str]],
     return F.xxhash64(*_cols(id_cols), F.lit(int(seed)))
 
 
+# above this k, the 'rows' path's TakeOrderedAndProject merge point —
+# k·n_partitions FULL-WIDTH rows converging on one task — stops being
+# the right shape (k=10⁵ × 10⁴ partitions of wide rows ≈ 10⁹ rows at
+# one merge); the 'ids' path samples over a skinny id projection with
+# a hash-threshold prefilter and semi-joins the facts back instead
+_GLOBAL_TAKE_K = 10_000
+
+
 def uniform_sample(df: DataFrame, k: int,
                    id_cols: Union[str, Sequence[str]],
-                   seed: int = 0) -> DataFrame:
+                   seed: int = 0, method: str = "auto",
+                   broadcast_ids: bool = True) -> DataFrame:
     """Uniform k-row sample, deterministic in (id_cols, seed).
 
-    ``orderBy(priority).limit(k)`` — Catalyst turns this into
-    ``TakeOrderedAndProject`` (per-partition top-k + merge of k-sized
-    heads), so no global sort or shuffle materializes.  Ties (only
-    possible for duplicate ids) break on the ids themselves, so the
-    sampled ID SET is always deterministic; if duplicate ids carry
-    different payload columns, which duplicate row represents a tied
-    id may vary with partitioning (the sort key is fully tied)."""
+    Two plans sharing one draw (both take the k hash-smallest ids, so
+    they sample the SAME ID SET whenever ids are row-unique and
+    non-NULL — the normal contract):
+
+    - ``method='rows'``: ``orderBy(priority).limit(k)`` — Catalyst's
+      ``TakeOrderedAndProject`` (per-partition top-k + merge of
+      k-sized heads); exactly min(k, n_rows) rows.  Ties (only
+      possible for duplicate ids) break on the ids themselves, so the
+      sampled ID SET is always deterministic; if duplicate ids carry
+      different payload columns, which duplicate row represents a tied
+      id may vary with partitioning (the sort key is fully tied).
+      Right up to k ≈ 10⁴: the merge point holds k·n_partitions
+      FULL-WIDTH rows.
+    - ``method='ids'`` (the large-k scale path): distinct ids are
+      projected SKINNY, a hash-threshold prefilter keeps ~2k expected
+      candidates (priorities are uniform hashes, so the k-th smallest
+      sits near the k/n quantile of the hash domain; the window
+      doubles on the rare undershoot), the exact top-k runs over the
+      survivors only, and the facts semi-join back — no full-width
+      row ever reaches a single merge point.  Returns all rows
+      carrying the min(k, distinct non-NULL ids) sampled ids; NULL
+      and NaN-float ids are never sampled (they could not survive the
+      join-back).  ``broadcast_ids`` as in :func:`stratified_sample`.
+    - ``method='auto'`` (default): 'rows' for k ≤ 10_000, else 'ids'.
+    """
     if k <= 0:
         raise ValueError("uniform_sample k must be > 0")
+    if method not in ("auto", "rows", "ids"):
+        raise ValueError(
+            f"uniform_sample method must be auto/rows/ids, got {method!r}"
+        )
     ids = _cols(id_cols)
     pr = sample_priority(ids, seed)
-    return df.orderBy(pr.asc(), *ids).limit(k)
+    if method == "rows" or (method == "auto" and k <= _GLOBAL_TAKE_K):
+        return df.orderBy(pr.asc(), *ids).limit(k)
+    fact = _drop_unjoinable_ids(df, ids)
+    skinny = fact.select(*ids).distinct()
+    n = skinny.count()
+    if n <= k:
+        return fact
+    ids_df = _hash_threshold_topk(skinny, pr, ids, k, n)
+    if broadcast_ids:
+        ids_df = F.broadcast(ids_df)
+    return fact.join(ids_df, on=ids, how="leftsemi")
+
+
+def _hash_threshold_topk(skinny: DataFrame, pr: Column, ids: List[str],
+                         k: int, n: int) -> DataFrame:
+    """The k hash-smallest ids without a wide merge: priorities are
+    uniform int64 hashes, so prefiltering at the ~2k/n quantile of the
+    hash domain keeps ~2k expected survivors (undershoot probability
+    ≤ exp(-k/4) by Chernoff; the window quadruples until enough
+    survive), and the exact TakeOrdered runs over the survivors only.
+    The cutoff literal is approximate — exactness comes from the final
+    top-k, which sees every id below the (verified-sufficient)
+    cutoff."""
+    frac = min(1.0, 2.0 * k / n)
+    while True:
+        if frac >= 1.0:
+            cand = skinny
+        else:
+            cutoff = min(
+                -(1 << 63) + int(frac * float(1 << 64)), (1 << 63) - 1
+            )
+            cand = skinny.where(pr < F.lit(cutoff))
+        if frac >= 1.0 or cand.count() >= k:
+            return cand.orderBy(pr.asc(), *ids).limit(k)
+        frac *= 4.0
 
 
 # distinct per-operator hash domains: composing weighted_sample and
@@ -192,8 +257,14 @@ def weighted_sample(df: DataFrame, k: int,
     ``ln(u)/w`` is monotone in ``u^(1/w)`` and avoids underflow for
     large weights).
 
-    Global (keys=None) plans as ``TakeOrderedAndProject`` like
-    :func:`uniform_sample` — already bounded; ``method`` is ignored.
+    Global (keys=None): up to k = 10_000 this plans as
+    ``TakeOrderedAndProject`` like :func:`uniform_sample`'s rows path
+    (exactly min(k, eligible rows) rows); above it, the race keys are
+    projected SKINNY (ids + key only), the top-k runs over that
+    projection, and the facts semi-join back — the merge point never
+    holds full-width rows (all rows carrying the sampled ids return;
+    NULL/NaN ids are never sampled).  ``method`` is ignored for the
+    global path.
     With ``keys``, two methods sharing the stratified_sample contract
     (min(k, distinct eligible ids) distinct ids per group, every
     eligible row carrying a sampled id comes back; NULL ids — and NaN
@@ -254,7 +325,20 @@ def weighted_sample(df: DataFrame, k: int,
     # sort FIRST under desc — silently dominating the sample
     eligible = df.filter(w.isNotNull() & ~F.isnan(w) & (w > 0.0))
     if keys is None:
-        return eligible.orderBy(es_key.desc(), *ids).limit(k)
+        if k <= _GLOBAL_TAKE_K:
+            return eligible.orderBy(es_key.desc(), *ids).limit(k)
+        # large-k scale path (mirrors uniform_sample method='ids'):
+        # top-k over the skinny (ids, race-key) projection, facts
+        # semi-joined back — full-width rows never hit the merge point
+        fact = _drop_unjoinable_ids(eligible, ids)
+        skinny = fact.select(*ids, es_key.alias("__es")).distinct()
+        ids_df = (
+            skinny.orderBy(F.col("__es").desc(), *ids)
+            .limit(k).select(*ids)
+        )
+        if broadcast_ids:
+            ids_df = F.broadcast(ids_df)
+        return fact.join(ids_df, on=ids, how="leftsemi")
     key_list = _cols(keys)
     # shared keyed contract: unjoinable (NULL/NaN) ids never win slots
     eligible = _drop_unjoinable_ids(eligible, ids)
