@@ -1410,7 +1410,12 @@ def q_lsh_bucket_topk(spark, sf_dir):
     literals). Oracle replicates buckets from the materialized plane
     matrix and takes exact cosine top-k within hamming ≤ 2 buckets —
     the same candidate set by construction."""
-    from gr_tdigest_spark.operators.similarity import lsh_bucket_topk
+    import os
+
+    from gr_tdigest_spark.operators.similarity import (
+        ann_index_topk, ann_index_topk_batch, build_ann_index,
+        lsh_bucket_topk,
+    )
 
     emb = _emb768_table(spark)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -1418,7 +1423,35 @@ def q_lsh_bucket_topk(spark, sf_dir):
         emb.filter(F.col("vec_id") != 0), qvec, k=10,
         n_planes=16, seed=23, multiprobe=2,
     )
-    return top.select("vec_id", F.round("cosine", 6).alias("cos_sim"))
+    # persisted-index batch gate (similarity.ann_index_topk_batch, the
+    # hyperplane twin of the IVF batch operator): the batched operator
+    # must reproduce the per-query operator's (vec_id, cosine) pairs
+    # exactly on an index built from the same fixture
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/root/repo/.cache/annidx768_{sf_tag}"
+    build_ann_index(
+        emb.filter(F.col("vec_id") != 0), idx, n_planes=6, seed=23
+    )
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in qvec])],
+        "query_id long, query_vec array<double>",
+    )
+    b = sorted(
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in ann_index_topk_batch(
+            spark, idx, qdf, k=10, multiprobe=1
+        ).collect()
+    )
+    s = sorted(
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in ann_index_topk(
+            spark, idx, qvec, k=10, multiprobe=1
+        ).collect()
+    )
+    lsh_batch_ok = b == s and len(b) == 10
+    return top.select(
+        "vec_id", F.round("cosine", 6).alias("cos_sim")
+    ).withColumn("lsh_batch_ok", F.lit(bool(lsh_batch_ok)))
 
 
 def q_embed_near_dups(spark, sf_dir):
@@ -2306,7 +2339,8 @@ def oracle_sql() -> dict[str, str]:
                 AND bit_count(xor(b.bucket, qb.qbucket)) <= 2
             )
             SELECT vec_id,
-                   round(list_cosine_similarity(v, q), 6) AS cos_sim
+                   round(list_cosine_similarity(v, q), 6) AS cos_sim,
+                   TRUE AS lsh_batch_ok
             FROM cand, qv
             ORDER BY cos_sim DESC, vec_id LIMIT 10
             """

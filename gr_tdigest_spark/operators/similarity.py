@@ -29,6 +29,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "build_ann_index",
     "ann_index_topk",
+    "ann_index_topk_batch",
     "build_ivf_index",
     "ivf_index_topk",
     "ivf_index_topk_batch",
@@ -136,6 +137,21 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _multiprobe_bits(qbits: int, n_planes: int, multiprobe: int) -> set:
+    """The probe set for a hyperplane bucket id: the bucket itself
+    plus every bucket within ``multiprobe`` sign-bit flips (0, 1, or 2
+    supported — near-boundary neighbors land one flipped sign away)."""
+    probe = {qbits}
+    if multiprobe >= 1:
+        for i in range(n_planes):
+            probe.add(qbits ^ (1 << i))
+    if multiprobe >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probe.add(qbits ^ (1 << i) ^ (1 << j))
+    return probe
+
+
 def _bucket_expr(vec_col: Column, planes: np.ndarray) -> Column:
     """Sign-bit bucket id from random hyperplanes — built-in exprs for
     small plane matrices, one numpy matmul per Arrow batch otherwise
@@ -179,14 +195,7 @@ def lsh_bucket_topk(
     q = np.asarray(query, dtype=np.float64)
     planes = _hyperplanes(q.size, n_planes, seed)
     qbits = int(sum((1 << i) for i, p in enumerate(planes) if p @ q >= 0))
-    probe = {qbits}
-    if multiprobe >= 1:
-        for i in range(n_planes):
-            probe.add(qbits ^ (1 << i))
-    if multiprobe >= 2:
-        for i in range(n_planes):
-            for j in range(i + 1, n_planes):
-                probe.add(qbits ^ (1 << i) ^ (1 << j))
+    probe = _multiprobe_bits(qbits, n_planes, multiprobe)
     bucketed = df.withColumn("__bucket", _bucket_expr(F.col(vec_col), planes))
     pruned = bucketed.where(F.col("__bucket").isin(list(probe)))
     return cosine_topk(pruned, query, k, vec_col, id_col)
@@ -301,14 +310,7 @@ def ann_index_topk(
     qbits = int(sum(
         (1 << i) for i, p in enumerate(planes) if p @ q >= 0
     ))
-    probe = {qbits}
-    if multiprobe >= 1:
-        for i in range(n_planes):
-            probe.add(qbits ^ (1 << i))
-    if multiprobe >= 2:
-        for i in range(n_planes):
-            for j in range(i + 1, n_planes):
-                probe.add(qbits ^ (1 << i) ^ (1 << j))
+    probe = _multiprobe_bits(qbits, n_planes, multiprobe)
     pruned = spark.read.parquet(path).where(
         F.col("bucket").isin(sorted(probe))
     )
@@ -498,8 +500,6 @@ def ivf_index_topk_batch(
     """
     from pyspark.sql.types import ArrayType, LongType
 
-    from pyspark.sql.window import Window
-
     crows = spark.read.parquet(f"{path}_centroids").collect()
     centers = np.asarray(
         [r["vec"] for r in sorted(crows, key=lambda r: r["list_id"])],
@@ -522,6 +522,23 @@ def ivf_index_topk_batch(
         order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
         return pd.Series([list_ids[row].tolist() for row in order])
 
+    return _batch_probe_topk(
+        spark, path, queries, _probes, "list_id", k, vec_col, id_col,
+        query_id_col, query_vec_col, broadcast_queries,
+    )
+
+
+def _batch_probe_topk(spark, path, queries, probes_udf, part_col: str,
+                      k: int, vec_col: str, id_col: str,
+                      query_id_col: str, query_vec_col: str,
+                      broadcast_queries: bool) -> DataFrame:
+    """Shared tail of the batched index top-k operators
+    (:func:`ivf_index_topk_batch`, :func:`ann_index_topk_batch`):
+    NULL/duplicate query hygiene, per-query probe explosion via
+    ``probes_udf``, per-call probe materialization, union-of-probes
+    partition pruning, einsum cosine, bounded per-query window."""
+    from pyspark.sql.window import Window
+
     qsrc = (
         queries.select(query_id_col, query_vec_col)
         .where(F.col(query_vec_col).isNotNull())
@@ -529,7 +546,7 @@ def ivf_index_topk_batch(
     )
     probe_pairs = qsrc.select(
         F.col(query_id_col), F.col(query_vec_col),
-        F.explode(_probes(F.col(query_vec_col))).alias("list_id"),
+        F.explode(probes_udf(F.col(query_vec_col))).alias(part_col),
     )
     # per-call materialization (replaces r5's module-global one-slot
     # persist, which let a second call unpersist the first's probes
@@ -539,16 +556,16 @@ def ivf_index_topk_batch(
     # rows; the blocks are released when this DataFrame is
     # garbage-collected (ContextCleaner), no global state
     probe_pairs = probe_pairs.localCheckpoint(eager=True)
-    # partition pruning: the probed-list union is <= n_lists values —
-    # a driver-side collect bounded by index geometry, not by Q
+    # partition pruning: the probed-partition union is bounded by the
+    # index geometry (n_lists for IVF, 2^n_planes for the hyperplane
+    # index), never by Q or corpus size
     probed = sorted(
-        r["list_id"]
-        for r in probe_pairs.select("list_id").distinct().collect()
+        r[part_col]
+        for r in probe_pairs.select(part_col).distinct().collect()
     )
-    pruned = spark.read.parquet(path).where(F.col("list_id").isin(probed))
+    pruned = spark.read.parquet(path).where(F.col(part_col).isin(probed))
     pairs = F.broadcast(probe_pairs) if broadcast_queries else probe_pairs
-    joined = pruned.join(pairs, "list_id")
-    scored = joined.select(
+    scored = pruned.join(pairs, part_col).select(
         query_id_col, id_col,
         _cos_pair_col(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
     )
@@ -559,4 +576,65 @@ def ivf_index_topk_batch(
         scored.withColumn("__rn", F.row_number().over(win))
         .where(F.col("__rn") <= int(k))
         .drop("__rn")
+    )
+
+
+def ann_index_topk_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    multiprobe: int = 1,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Batched top-k against a persisted hyperplane LSH index — the
+    twin of :func:`ivf_index_topk_batch` for :func:`build_ann_index`
+    indexes (per-query :func:`ann_index_topk` calls pay one Spark job
+    per query).
+
+    Per query, the hyperplane bucket and its ``multiprobe`` bit-flip
+    neighbors are computed DISTRIBUTED (a pandas UDF over the query
+    table — the plane matrix rides in the closure, one matmul per
+    Arrow batch), the index scan is pruned to the UNION of all probed
+    buckets (partition pruning; the probed-bucket collect is bounded
+    by the bucket space 2^n_planes — indexes are built with small
+    n_planes, never by Q or corpus size), probe pairs join the pruned
+    rows on ``bucket``, cosine runs as one einsum per Arrow batch, and
+    a per-query window keeps the top k.
+
+    Shares :func:`ivf_index_topk_batch`'s caller contract (NULL query
+    vectors skipped, exact duplicate query rows collapsed, per-call
+    probe materialization) and its ``broadcast_queries`` trade-off.
+    Result: ``query_id_col, id_col, cosine`` — at most k hits per
+    query, identical to per-query :func:`ann_index_topk` at the same
+    ``multiprobe``.
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    rows = sorted(
+        spark.read.parquet(f"{path}_planes").collect(),
+        key=lambda r: r["plane_id"],
+    )
+    planes = np.asarray([list(r["vec"]) for r in rows], dtype=np.float64)
+    n_planes = planes.shape[0]
+    P = np.ascontiguousarray(planes.T)
+    pow2 = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+    mp = int(multiprobe)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _probes(vecs: pd.Series) -> pd.Series:
+        M = _vec_matrix(vecs)
+        bits = ((M @ P) >= 0.0) @ pow2
+        return pd.Series([
+            sorted(_multiprobe_bits(int(qb), n_planes, mp))
+            for qb in bits.tolist()
+        ])
+
+    return _batch_probe_topk(
+        spark, path, queries, _probes, "bucket", k, vec_col, id_col,
+        query_id_col, query_vec_col, broadcast_queries,
     )

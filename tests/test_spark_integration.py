@@ -1396,3 +1396,66 @@ class TestIvfBatchTopk:
         for r in rows:
             per.setdefault(r["query_id"], []).append(r["vec_id"])
         assert 0 in per[0] and 9 in per[1]  # each query finds itself
+
+
+class TestAnnBatchTopk:
+    def test_batch_matches_per_query_and_prunes(self, spark, tmp_path):
+        """ann_index_topk_batch (the hyperplane twin of the IVF batch
+        operator) must return, per query, exactly the per-query
+        ann_index_topk rows at the same multiprobe; the index scan
+        carries PartitionFilters on bucket.  NULL and duplicate query
+        rows follow the shared hygiene contract."""
+        import io
+        from contextlib import redirect_stdout
+
+        import numpy as np
+
+        from gr_tdigest_spark.operators.similarity import (
+            ann_index_topk, ann_index_topk_batch, build_ann_index,
+        )
+
+        rng = np.random.default_rng(17)
+        n, dim = 240, 24
+        M = rng.standard_normal((n, dim))
+        df = spark.createDataFrame(
+            [(int(i), M[i].tolist()) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+        path = str(tmp_path / "annbatch")
+        build_ann_index(df, path, n_planes=4, seed=23)
+
+        qids = [7, 66, 150]
+        queries = spark.createDataFrame(
+            [(int(i), M[i].tolist()) for i in qids]
+            + [(7, M[7].tolist()), (99, None)],   # exact dup + NULL vec
+            "query_id long, query_vec array<double>",
+        )
+        for mp in (0, 1):
+            batch = ann_index_topk_batch(
+                spark, path, queries, k=5, multiprobe=mp,
+            )
+            got = {}
+            for r in batch.collect():
+                got.setdefault(r["query_id"], []).append(
+                    (r["vec_id"], round(r["cosine"], 9))
+                )
+            assert 99 not in got            # NULL query skipped
+            assert sorted(got) == qids      # dup collapsed
+            for q in qids:
+                single = [
+                    (r["vec_id"], round(r["cosine"], 9))
+                    for r in ann_index_topk(
+                        spark, path, M[q], k=5, multiprobe=mp
+                    ).collect()
+                ]
+                assert sorted(got[q], key=lambda t: (-t[1], t[0])) \
+                    == single, (q, mp)
+                assert len({v for v, _ in got[q]}) == len(got[q])
+
+        plan = io.StringIO()
+        with redirect_stdout(plan):
+            ann_index_topk_batch(
+                spark, path, queries, k=5, multiprobe=1
+            ).explain("formatted")
+        txt = plan.getvalue()
+        assert "PartitionFilters" in txt and "bucket" in txt
