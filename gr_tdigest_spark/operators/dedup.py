@@ -104,6 +104,7 @@ def lsh_candidate_pairs(
     sig_col: str = "minhash",
     bands: int = 16,
     max_bucket_size: Optional[int] = 10_000,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Band the signatures and self-join within (band, bucket) — the
     standard LSH candidate generation. Output: (a, b) id pairs, a < b,
@@ -113,7 +114,13 @@ def lsh_candidate_pairs(
     cap are sub-split by a secondary id hash (see operators.skew), so a
     degenerate boilerplate bucket of size B costs
     O(B · max_bucket_size) pairs instead of O(B²). Pass ``None`` to
-    disable (exact LSH semantics)."""
+    disable (exact LSH semantics).
+
+    ``persist_signatures`` (default True) caches the banded table in
+    the skew guard's one-slot cache so the signature plan evaluates
+    once (size aggregate + both self-join sides would otherwise run
+    the signature UDF three times); False trades recompute for zero
+    cache footprint."""
     n_hashes_col = F.size(F.col(sig_col))
     rows_per_band = F.floor(n_hashes_col / bands)
     banded = sigs.where(F.col(sig_col).isNotNull()).select(
@@ -134,7 +141,8 @@ def lsh_candidate_pairs(
     from gr_tdigest_spark.operators.skew import subsplit_oversized_buckets
 
     banded = subsplit_oversized_buckets(
-        banded, ["__band", "__bucket"], "__id", max_bucket_size
+        banded, ["__band", "__bucket"], "__id", max_bucket_size,
+        persist_slot="minhash" if persist_signatures else None,
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -203,11 +211,13 @@ def near_dup_pairs_minhash(
     bands: int = 16,
     threshold: float = 0.8,
     max_bucket_size: Optional[int] = 10_000,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Full MinHash→LSH→verify near-duplicate pipeline."""
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
     cands = lsh_candidate_pairs(
-        sigs, id_col, bands=bands, max_bucket_size=max_bucket_size
+        sigs, id_col, bands=bands, max_bucket_size=max_bucket_size,
+        persist_signatures=persist_signatures,
     )
     return ngram_jaccard_pairs(
         cands, df, id_col, text_col, shingle_k, threshold
@@ -220,6 +230,7 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket_size: Optional[int] = 10_000,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Simhash near-dup candidates: split the 64-bit simhash into
     (max_hamming+1) blocks — any pair within the distance budget shares
@@ -228,7 +239,10 @@ def simhash_near_dups(
     bit_count).
 
     ``max_bucket_size`` sub-splits degenerate blocks (boilerplate text
-    sharing a block value) to bound join fan-out; ``None`` disables."""
+    sharing a block value) to bound join fan-out; ``None`` disables.
+    ``persist_signatures`` as in :func:`lsh_candidate_pairs` (the
+    simhash UDF otherwise runs for the size aggregate and both join
+    sides)."""
     from gr_tdigest_spark.operators.skew import subsplit_oversized_buckets
     from gr_tdigest_spark.operators.text import with_simhash
 
@@ -248,7 +262,8 @@ def simhash_near_dups(
         ).alias("__blk", "__val"),
     )
     banded = subsplit_oversized_buckets(
-        banded, ["__blk", "__val"], "__id", max_bucket_size
+        banded, ["__blk", "__val"], "__id", max_bucket_size,
+        persist_slot="simhash" if persist_signatures else None,
     )
     l, r = banded.alias("l"), banded.alias("r")
     cands = (
@@ -348,10 +363,6 @@ def near_dup_clusters(
     return labels.select(F.col("id"), F.col("label").alias("cluster"))
 
 
-# one-slot cache for winnow_overlap_pairs' fingerprint table (see below)
-_WINNOW_FP_CACHE = None
-
-
 def winnow_overlap_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -377,8 +388,9 @@ def winnow_overlap_pairs(
     (id, fingerprint) table — two int64s per fingerprint, ~2/(w+1) of
     the text's bytes — because the skew-guard size aggregate and both
     self-join sides would otherwise re-run the winnowing UDF (the
-    expensive part) three times.  Pass False to trade recompute for
-    zero cache footprint.
+    expensive part) three times.  One-slot cache per operator family
+    (operators.skew); pass False to trade recompute for zero cache
+    footprint.
     """
     from gr_tdigest_spark.operators.skew import subsplit_oversized_buckets
     from gr_tdigest_spark.operators.text import with_winnow_fingerprints
@@ -389,20 +401,9 @@ def winnow_overlap_pairs(
     ex = fps.select(
         F.col(id_col).alias("__id"), F.explode("__wfp").alias("__fp")
     )
-    if persist_fingerprints:
-        # bounded slot: each call evicts the PREVIOUS call's cached
-        # fingerprint table, so long-lived sessions hold at most one
-        # (same pattern as the entry queries' _persist_replacing)
-        global _WINNOW_FP_CACHE
-        if _WINNOW_FP_CACHE is not None:
-            try:
-                _WINNOW_FP_CACHE.unpersist()
-            except Exception:
-                pass
-        ex = ex.persist()
-        _WINNOW_FP_CACHE = ex
     ex = subsplit_oversized_buckets(
-        ex, ["__fp"], "__id", max_bucket_size
+        ex, ["__fp"], "__id", max_bucket_size,
+        persist_slot="winnow" if persist_fingerprints else None,
     )
     a = ex.select(
         F.col("__id").alias("a"), "__fp", F.col("__sub").alias("__sub_a")

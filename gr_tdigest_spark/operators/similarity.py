@@ -209,6 +209,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 10,
     seed: int = 23,
     max_bucket_size: Optional[int] = 10_000,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: bucket with random hyperplanes,
     self-join within buckets, verify with exact cosine ≥ threshold.
@@ -216,7 +217,10 @@ def embedding_near_dup_pairs(
     (1 − θ/π)^n_planes — pair recall is tunable via n_planes.)
 
     ``max_bucket_size`` sub-splits degenerate buckets (mass-duplicated
-    embeddings) to bound the self-join; ``None`` disables."""
+    embeddings) to bound the self-join; ``None`` disables.
+    ``persist_signatures`` caches the bucketed table in the skew
+    guard's one-slot cache so the bucket matmul evaluates once (size
+    aggregate + both self-join sides otherwise recompute it)."""
     from gr_tdigest_spark.operators.skew import subsplit_oversized_buckets
 
     sample_dim = len(df.select(vec_col).first()[0])
@@ -226,7 +230,10 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("__v"),
         _bucket_expr(F.col(vec_col), planes).alias("__bucket"),
     )
-    b = subsplit_oversized_buckets(b, ["__bucket"], "__id", max_bucket_size)
+    b = subsplit_oversized_buckets(
+        b, ["__bucket"], "__id", max_bucket_size,
+        persist_slot="embed" if persist_signatures else None,
+    )
     l, r = b.alias("l"), b.alias("r")
     pairs = l.join(
         r,

@@ -97,6 +97,44 @@ class TestSubsplit:
         ).count()
         assert 0 < n <= 30 * (51 * 50) // 2
 
+    def test_persist_slot_single_evaluation(self, spark):
+        """r5 verdict task 5: with persist_signatures (default) the
+        banded/signature table is cached, so every consumer (the size
+        aggregate + both self-join sides) reads an InMemoryTableScan
+        and the signature UDF evaluates once; with False no cache node
+        appears and results are identical.  Each new call with the
+        same family slot evicts the previous call's cache."""
+        from gr_tdigest_spark.operators import skew
+        from gr_tdigest_spark.operators.dedup import (
+            lsh_candidate_pairs, minhash_signatures,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        sigs = minhash_signatures(docs, "doc_id")
+        # start clean: Spark's cache manager substitutes ANY logically
+        # equal subplan, so earlier tests' slots would leak into the
+        # persist=False plan below
+        for slot in list(skew._BANDED_CACHE):
+            skew._BANDED_CACHE.pop(slot).unpersist()
+        off = lsh_candidate_pairs(
+            sigs, "doc_id", max_bucket_size=100,
+            persist_signatures=False,
+        )
+        plan_off = off._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" not in plan_off
+        got = off.count()
+        pairs = lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=100)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 3
+        assert pairs.count() == got
+        cached = skew._BANDED_CACHE["minhash"]
+        assert cached.storageLevel.useMemory
+        # one-slot semantics: a new call evicts the previous cache
+        lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=100)
+        assert skew._BANDED_CACHE["minhash"] is not cached
+
     def test_oversized_buckets_report(self, spark):
         """The observability companion reports exactly the buckets the
         guard splits."""
