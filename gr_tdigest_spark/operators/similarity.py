@@ -31,6 +31,7 @@ __all__ = [
     "ann_index_topk",
     "ann_index_topk_batch",
     "build_ivf_index",
+    "append_to_ivf_index",
     "ivf_index_topk",
     "ivf_index_topk_batch",
 ]
@@ -355,6 +356,22 @@ def _kmeans_fit(
     return centers
 
 
+def _ivf_assign_udf(centers: np.ndarray, list_ids: np.ndarray):
+    """Nearest-centroid list assignment as one numpy matmul per Arrow
+    batch; ``list_ids[argmax]`` maps positions back to stored list ids
+    (the matrices ride in the closure, broadcast with the task)."""
+
+    @F.pandas_udf(LongType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        m = _vec_matrix(vecs)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        mn = m / np.where(norms > 0, norms, 1.0)
+        idx = np.argmax(mn @ centers.T, axis=1)
+        return pd.Series(list_ids[idx])
+
+    return _assign
+
+
 def build_ivf_index(
     df: DataFrame,
     path: str,
@@ -393,15 +410,10 @@ def build_ivf_index(
         )
     x = np.asarray([list(r[vec_col]) for r in train], dtype=np.float64)
     centers = _kmeans_fit(x, n_lists, n_iter, seed)
-
-    @F.pandas_udf(LongType())
-    def _assign(vecs: pd.Series) -> pd.Series:
-        m = _vec_matrix(vecs)
-        norms = np.linalg.norm(m, axis=1, keepdims=True)
-        mn = m / np.where(norms > 0, norms, 1.0)
-        return pd.Series(np.argmax(mn @ centers.T, axis=1).astype(np.int64))
-
-    assigned = df.withColumn("list_id", _assign(F.col(vec_col)))
+    assign = _ivf_assign_udf(
+        centers, np.arange(centers.shape[0], dtype=np.int64)
+    )
+    assigned = df.withColumn("list_id", assign(F.col(vec_col)))
     assigned.write.partitionBy("list_id").mode("overwrite").parquet(path)
     spark = df.sparkSession
     # Plain Python rows — see build_ann_index: must work with Arrow
@@ -412,6 +424,50 @@ def build_ivf_index(
     spark.createDataFrame(
         center_rows, schema="list_id long, vec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}_centroids")
+
+
+def append_to_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Append new vectors to a persisted IVF index with the FROZEN
+    stored centroids — the daily-ingest shape (a full
+    :func:`build_ivf_index` rebuild re-reads the whole corpus).
+
+    Each new vector is assigned to its nearest STORED centroid (the
+    same one-matmul-per-Arrow-batch assignment the builder uses) and
+    written into the matching ``list_id`` partition directories with
+    ``mode('append')`` — existing partitions and the centroid table
+    are untouched, so concurrent readers keep pruning correctly and an
+    appended index is IDENTICAL to rebuilding on the union with the
+    same frozen centroids.
+
+    Drift policy: appending never re-fits the quantizer.  Frozen
+    centroids keep every existing row's partition valid; if the corpus
+    distribution drifts far from the training sample, probed-list
+    recall degrades gracefully (exactness at ``nprobe == n_lists`` is
+    unaffected) — re-fit by rebuilding with :func:`build_ivf_index`.
+    The caller owns id uniqueness across appends (append never
+    deduplicates)."""
+    spark = df.sparkSession
+    crows = spark.read.parquet(f"{path}_centroids").collect()
+    if not crows:
+        raise ValueError(
+            f"append_to_ivf_index: no centroids at {path}_centroids — "
+            "build the index first"
+        )
+    order = sorted(crows, key=lambda r: r["list_id"])
+    centers = np.asarray([list(r["vec"]) for r in order], dtype=np.float64)
+    list_ids = np.asarray(
+        [int(r["list_id"]) for r in order], dtype=np.int64
+    )
+    new = df.where(F.col(vec_col).isNotNull())
+    assign = _ivf_assign_udf(centers, list_ids)
+    new.withColumn("list_id", assign(F.col(vec_col))).write.partitionBy(
+        "list_id"
+    ).mode("append").parquet(path)
 
 
 def ivf_index_topk(

@@ -1459,3 +1459,73 @@ class TestAnnBatchTopk:
             ).explain("formatted")
         txt = plan.getvalue()
         assert "PartitionFilters" in txt and "bucket" in txt
+
+
+class TestIvfAppend:
+    def test_append_equals_rebuild_with_frozen_centroids(
+        self, spark, tmp_path
+    ):
+        """append_to_ivf_index assigns with the FROZEN stored
+        centroids: every row of the appended index carries the argmax
+        list under those centroids (== rebuild-on-union with the same
+        frozen quantizer), full-probe top-k over the appended index is
+        the exact brute force over the union, and the 1-probe pruning
+        pin stays intact."""
+        import numpy as np
+
+        from gr_tdigest_spark.operators.similarity import (
+            append_to_ivf_index, build_ivf_index, cosine_topk,
+            ivf_index_topk,
+        )
+
+        rng = np.random.default_rng(31)
+        A = rng.standard_normal((80, 16))
+        B = rng.standard_normal((40, 16))
+        dfa = spark.createDataFrame(
+            [(int(i), A[i].tolist()) for i in range(80)],
+            "vec_id long, embedding array<double>",
+        )
+        dfb = spark.createDataFrame(
+            [(int(100 + i), B[i].tolist()) for i in range(40)],
+            "vec_id long, embedding array<double>",
+        )
+        path = str(tmp_path / "ivf_app")
+        build_ivf_index(dfa, path, n_lists=4, n_iter=4, seed=7)
+        append_to_ivf_index(dfb, path)
+
+        idx = spark.read.parquet(path)
+        assert idx.count() == 120
+        crows = spark.read.parquet(f"{path}_centroids").collect()
+        centers = np.asarray(
+            [list(r["vec"]) for r in
+             sorted(crows, key=lambda r: r["list_id"])]
+        )
+        for r in idx.collect():
+            v = np.asarray(r["embedding"], dtype=np.float64)
+            n = np.linalg.norm(v)
+            vn = v / (n if n > 0 else 1.0)
+            assert int(np.argmax(centers @ vn)) == r["list_id"]
+
+        union = dfa.union(dfb)
+        q = A[3]
+        brute = [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in cosine_topk(union, q, k=6).collect()
+        ]
+        viaidx = [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in ivf_index_topk(
+                spark, path, q, k=6, nprobe=4
+            ).collect()
+        ]
+        assert brute == viaidx
+
+        # appended vectors are findable through the index
+        hit = ivf_index_topk(spark, path, B[5], k=1, nprobe=4).collect()
+        assert hit[0]["vec_id"] == 105
+
+        pruned = ivf_index_topk(spark, path, q, k=3, nprobe=1)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        after = plan.split("PartitionFilters: [", 1)
+        assert len(after) == 2 and "list_id" in after[1][:300]
+        assert pruned.count() >= 1
