@@ -85,7 +85,7 @@ def uniform_sample(df: DataFrame, k: int,
       projected SKINNY, a hash-threshold prefilter keeps ~2k expected
       candidates (priorities are uniform hashes, so the k-th smallest
       sits near the k/n quantile of the hash domain; the window
-      doubles on the rare undershoot), the exact top-k runs over the
+      quadruples on the rare undershoot), the exact top-k runs over the
       survivors only, and the facts semi-join back — no full-width
       row ever reaches a single merge point.  Returns all rows
       carrying the min(k, distinct non-NULL ids) sampled ids; NULL
@@ -103,8 +103,16 @@ def uniform_sample(df: DataFrame, k: int,
     pr = sample_priority(ids, seed)
     if method == "rows" or (method == "auto" and k <= _GLOBAL_TAKE_K):
         return df.orderBy(pr.asc(), *ids).limit(k)
+    from gr_tdigest_spark.operators.skew import _one_slot_persist
+
     fact = _drop_unjoinable_ids(df, ids)
-    skinny = fact.select(*ids).distinct()
+    # the skinny distinct (full scan + id shuffle) is the dominant
+    # cost and has three consumers — the size count, the candidate
+    # count (plus each widening retry), and the final top-k.  One-slot
+    # cache (ids projection only, ~id-width bytes per distinct id),
+    # evicted by the next ids-path call.
+    skinny = _one_slot_persist(fact.select(*ids).distinct(),
+                               "uniform_sample_ids")
     n = skinny.count()
     if n <= k:
         return fact
@@ -195,20 +203,25 @@ def _explode_sampled_ids(sk: DataFrame, key_list: List[str],
 
 def _semi_join_sampled(fact: DataFrame, key_list: List[str],
                        ids_df: DataFrame, join_col: str,
-                       broadcast_ids: bool) -> DataFrame:
-    """Shared sketch-method join-back: every fact row carrying a
-    sampled id, via a (broadcastable) LEFT SEMI join.
+                       broadcast_ids: bool,
+                       canonicalize_nan_keys: bool = False) -> DataFrame:
+    """Shared keyed join-back: every fact row carrying a sampled id,
+    via a (broadcastable) LEFT SEMI join.
 
     NULL-SAFE on the key columns: rows whose key value is NULL form a
     real group in the sketch aggregate (and in the window method's
     partitionBy), so the join-back must not drop them — a plain
-    equi-join would silently lose every NULL-key group.  Float NaN
-    keys are canonicalized to NULL by the sketch aggregate's partial
-    state, so the condition canonicalizes the fact side the same way:
-    NaN-key rows rejoin the conflated NULL group.  (The window methods
-    instead keep NaN as its own group — a documented method
-    difference confined to NaN float keys.)  ``join_col`` itself stays
-    a plain equality: unjoinable ids are filtered up front."""
+    equi-join would silently lose every NULL-key group.
+
+    ``canonicalize_nan_keys`` is set by the SKETCH paths only: their
+    aggregate canonicalizes float NaN keys to NULL in the partial
+    state, so the fact side must be canonicalized the same way for
+    NaN-key rows to rejoin the conflated NULL group.  The window
+    method's ids table keeps NaN as its own group, and Spark's native
+    NaN-equality (NaN = NaN is true in joins) matches it without any
+    rewrite — canonicalizing there would instead cross-match NaN-group
+    samples onto NULL-key fact rows.  ``join_col`` itself stays a
+    plain equality: unjoinable ids are filtered up front."""
     s = ids_df.alias("__samp")
     if broadcast_ids:
         s = F.broadcast(s)
@@ -220,7 +233,9 @@ def _semi_join_sampled(fact: DataFrame, key_list: List[str],
     cond = q("__fact", join_col) == q("__samp", join_col)
     for c in key_list:
         fc = q("__fact", c)
-        if isinstance(fact.schema[c].dataType, (FloatType, DoubleType)):
+        if canonicalize_nan_keys and isinstance(
+            fact.schema[c].dataType, (FloatType, DoubleType)
+        ):
             fc = F.when(F.isnan(fc), F.lit(None)).otherwise(fc)
         cond = cond & fc.eqNullSafe(q("__samp", c))
     out = f.join(s, cond, "leftsemi")
@@ -387,7 +402,7 @@ def _weighted_sketch_sample(eligible: DataFrame, k: int, ids: List[str],
     id_rows = _explode_sampled_ids(sk, key_list, sample_col, k,
                                    join_col, fact, sample_dtype)
     return _semi_join_sampled(fact, key_list, id_rows, join_col,
-                              broadcast_ids)
+                              broadcast_ids, canonicalize_nan_keys=True)
 
 
 def assign_split(df: DataFrame,
@@ -507,4 +522,5 @@ def stratified_sample(df: DataFrame, keys: Union[str, Sequence[str]],
         ids = _explode_sampled_ids(sk, key_list, sample_col, k,
                                    join_col, fact, sample_dtype)
     return _semi_join_sampled(fact, key_list, ids, join_col,
-                              broadcast_ids)
+                              broadcast_ids,
+                              canonicalize_nan_keys=(method == "sketch"))

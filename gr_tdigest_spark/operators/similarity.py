@@ -96,9 +96,15 @@ def cosine_sim_col(vec_col: Column, query: Sequence[float]) -> Column:
         qn = math.sqrt(float(q @ q))
         # try_divide: zero-norm vectors give NULL cosine (sorts LAST in
         # a desc top-k) — a plain `/` THROWS under ANSI mode (Spark 4
-        # default), and NaN would sort FIRST
-        return F.try_divide(
-            _dot_const(vec_col, query), _norm(vec_col) * F.lit(qn)
+        # default).  nanvl: a NaN vector ELEMENT propagates NaN through
+        # the dot product past try_divide, and Spark sorts NaN FIRST
+        # under desc — mask it to NULL like the pandas path does, so
+        # both paths agree that degenerate vectors sort last
+        return F.nanvl(
+            F.try_divide(
+                _dot_const(vec_col, query), _norm(vec_col) * F.lit(qn)
+            ),
+            F.lit(None).cast("double"),
         )
 
     qn = math.sqrt(float(q @ q))
@@ -221,47 +227,53 @@ def embedding_near_dup_pairs(
     embeddings) to bound the self-join; ``None`` disables.
     ``persist_signatures`` caches the bucketed table in the skew
     guard's one-slot cache so the bucket matmul evaluates once (size
-    aggregate + both self-join sides otherwise recompute it)."""
+    aggregate + both self-join sides otherwise recompute it) — the
+    cached table is SKINNY (id, bucket): candidate pairs are generated
+    without the vectors, which join back per pair for the exact-cosine
+    verification (the minhash family's text-join-back shape)."""
     from gr_tdigest_spark.operators.skew import subsplit_oversized_buckets
 
     sample_dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(sample_dim, n_planes, seed)
-    b = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        _bucket_expr(F.col(vec_col), planes).alias("__bucket"),
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+    b = base.select(
+        "__id", _bucket_expr(F.col("__v"), planes).alias("__bucket")
     )
     b = subsplit_oversized_buckets(
         b, ["__bucket"], "__id", max_bucket_size,
         persist_slot="embed" if persist_signatures else None,
     )
     l, r = b.alias("l"), b.alias("r")
-    pairs = l.join(
+    cands = l.join(
         r,
         (F.col("l.__bucket") == F.col("r.__bucket"))
         & (F.col("l.__sub") == F.col("r.__sub"))
         & (F.col("l.__id") < F.col("r.__id")),
-    )
+    ).select(F.col("l.__id").alias("a"), F.col("r.__id").alias("b"))
+    va = base.select(F.col("__id").alias("a"), F.col("__v").alias("__va"))
+    vb = base.select(F.col("__id").alias("b"), F.col("__v").alias("__vb"))
+    pairs = cands.join(va, "a").join(vb, "b")
     dot = F.aggregate(
         F.zip_with(
-            F.col("l.__v"), F.col("r.__v"),
-            lambda a, bb: a.cast("double") * bb.cast("double"),
+            F.col("__va"), F.col("__vb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     # try_divide, not `/`: a zero-norm vector inside a bucket would
     # otherwise abort the whole job under ANSI mode (Spark 4 default);
-    # NULL cosine fails the >= threshold predicate and drops the pair
-    cos = F.try_divide(
-        dot, _norm(F.col("l.__v")) * _norm(F.col("r.__v"))
+    # nanvl: a NaN vector element gives NaN cosine, and Spark treats
+    # NaN >= threshold as TRUE (NaN is greater than any double), which
+    # would emit spurious pairs — NULL fails the predicate instead
+    cos = F.nanvl(
+        F.try_divide(dot, _norm(F.col("__va")) * _norm(F.col("__vb"))),
+        F.lit(None).cast("double"),
     )
     return (
-        pairs.select(
-            F.col("l.__id").alias("a"),
-            F.col("r.__id").alias("b"),
-            cos.alias("cosine"),
-        )
+        pairs.select("a", "b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 
@@ -430,7 +442,6 @@ def append_to_ivf_index(
     df: DataFrame,
     path: str,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
 ) -> None:
     """Append new vectors to a persisted IVF index with the FROZEN
     stored centroids — the daily-ingest shape (a full

@@ -405,6 +405,34 @@ class TestSamplingOperators:
                                   method="sketch").collect()
         assert len({r["doc_id"] for r in small}) == 5
 
+    def test_window_nan_float_keys_own_group(self, spark):
+        """The window method keeps NaN as ITS OWN group — Spark's
+        native NaN-equality matches it in the join-back (r6 review
+        pin: applying the sketch path's NaN→NULL canonicalization to
+        the window ids table dropped the NaN group entirely, worse
+        than the pre-fix equi-join)."""
+        from gr_tdigest_spark.operators.sample import stratified_sample
+
+        rows = (
+            [(float("nan"), i) for i in range(10)]
+            + [(None, 100 + i) for i in range(10)]
+            + [(1.0, 200 + i) for i in range(10)]
+        )
+        df = spark.createDataFrame(rows, "g double, doc_id long")
+        out = stratified_sample(df, "g", 4, "doc_id", seed=1,
+                                method="window").collect()
+        nan_ids = {
+            r["doc_id"] for r in out
+            if r["g"] is not None and r["g"] != r["g"]
+        }
+        null_ids = {r["doc_id"] for r in out if r["g"] is None}
+        one_ids = {r["doc_id"] for r in out if r["g"] == 1.0}
+        assert len(nan_ids) == 4 and all(i < 100 for i in nan_ids)
+        assert len(null_ids) == 4 and all(
+            100 <= i < 200 for i in null_ids
+        )
+        assert len(one_ids) == 4 and all(i >= 200 for i in one_ids)
+
     def test_stratified_sketch_k1(self, spark):
         from gr_tdigest_spark.operators.sample import stratified_sample
 

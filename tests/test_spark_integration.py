@@ -423,16 +423,17 @@ class TestTextOpsOnSpark:
         import gr_tdigest_spark.operators.similarity as sim
         from gr_tdigest_spark.operators.similarity import cosine_topk
 
-        rows = [(0, [0.0, 0.0, 0.0])] + [
-            (i, [float(i), 1.0, 0.0]) for i in range(1, 6)
-        ]
+        rows = [
+            (0, [0.0, 0.0, 0.0]),              # zero norm
+            (9, [float("nan"), 1.0, 0.0]),     # NaN element (r6 review)
+        ] + [(i, [float(i), 1.0, 0.0]) for i in range(1, 6)]
         df = spark.createDataFrame(
             rows, "vec_id long, embedding array<double>"
         )
         q = [1.0, 0.0, 0.0]
         expr_rows = cosine_topk(df, q, k=3).collect()
         expr_ids = [r["vec_id"] for r in expr_rows]
-        assert 0 not in expr_ids
+        assert 0 not in expr_ids and 9 not in expr_ids
         assert all(r["cosine"] is not None for r in expr_rows)
         old = sim._MAX_INLINE_LITERALS
         sim._MAX_INLINE_LITERALS = 0  # force the pandas branch
@@ -461,7 +462,9 @@ class TestTextOpsOnSpark:
         assert got[2] is None and got[3] is None
 
         # near-dup pair path: a zero vector inside a bucket must not
-        # abort the job (ANSI divide-by-zero) — its pairs drop instead
+        # abort the job (ANSI divide-by-zero), and a NaN-element
+        # vector must not emit spurious pairs (Spark treats
+        # NaN >= threshold as true) — both drop instead
         from gr_tdigest_spark.operators.similarity import (
             embedding_near_dup_pairs,
         )
@@ -470,7 +473,9 @@ class TestTextOpsOnSpark:
             df, id_col="vec_id", vec_col="embedding",
             threshold=0.9, n_planes=1, seed=3,
         ).collect()
-        assert all(r["a"] != 0 and r["b"] != 0 for r in nd)
+        assert all(
+            r["a"] not in (0, 9) and r["b"] not in (0, 9) for r in nd
+        )
 
 
 class TestMultimodalPlumbing:
