@@ -1485,17 +1485,42 @@ def q_minhash_near_dups(spark, sf_dir):
 
 def q_near_dup_clusters(spark, sf_dir):
     """Connected components over the MinHash near-dup pairs → canonical
-    keeper per document (min id in component). Oracle: recursive-CTE
-    reachability closure over the exact-Jaccard pair set."""
+    keeper per document (min id in component), PLUS the keep-best
+    materialization step (r6): rep_id = the longest document in each
+    cluster (ties → min id, cluster_representatives), and kept_ok
+    asserts dedup_keep_best's corpus is exactly
+    (unclustered ∪ representatives) — multiset-equal, both directions.
+    Oracle: recursive-CTE reachability closure over the exact-Jaccard
+    pair set + argmax-by-length representative election in SQL."""
     from gr_tdigest_spark.operators.dedup import (
-        near_dup_clusters, near_dup_pairs_minhash,
+        cluster_representatives, dedup_keep_best, near_dup_clusters,
+        near_dup_pairs_minhash,
     )
 
+    d = _docs(spark, sf_dir)
     pairs = near_dup_pairs_minhash(
-        _docs(spark, sf_dir), "doc_id", "text",
-        n_hashes=64, bands=16, threshold=0.5,
+        d, "doc_id", "text", n_hashes=64, bands=16, threshold=0.5,
     )
-    return near_dup_clusters(pairs).select("id", "cluster")
+    clusters = near_dup_clusters(pairs)
+    dl = d.withColumn("__len", F.length("text"))
+    reps = cluster_representatives(dl, clusters, "doc_id", "__len")
+    # keep-best contract (bound-boolean): the materialized corpus ids
+    # must equal all-unclustered plus exactly the winner per cluster
+    kept = dedup_keep_best(dl, clusters, "doc_id", "__len")
+    expected = dl.join(
+        clusters.select(F.col("id").alias("doc_id")), "doc_id",
+        "left_anti",
+    ).select("doc_id").unionByName(
+        reps.select(F.col("rep_id").alias("doc_id"))
+    )
+    n_extra = kept.select("doc_id").exceptAll(expected).count()
+    n_missing = expected.exceptAll(kept.select("doc_id")).count()
+    kept_ok = n_extra == 0 and n_missing == 0
+    return (
+        clusters.join(reps, "cluster")
+        .select("id", "cluster", "rep_id")
+        .withColumn("kept_ok", F.lit(bool(kept_ok)))
+    )
 
 
 def q_simhash_near_dups(spark, sf_dir):
@@ -2295,9 +2320,23 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT r.src, e.dst FROM reach r
                 JOIN edges e ON r.dst = e.src
+            ), clus AS (
+              SELECT src AS id, least(src, min(dst)) AS cluster
+              FROM reach GROUP BY src
+            ), wl AS (
+              -- representative election input: (id, cluster, length)
+              SELECT c.id, c.cluster, length(d.text) AS ln
+              FROM clus c JOIN documents d ON d.doc_id = c.id
+            ), best AS (
+              SELECT cluster, max(ln) AS bl FROM wl GROUP BY cluster
+            ), rep AS (
+              SELECT w.cluster, min(w.id) AS rep_id
+              FROM wl w JOIN best b
+                ON w.cluster = b.cluster AND w.ln = b.bl
+              GROUP BY w.cluster
             )
-            SELECT src AS id, least(src, min(dst)) AS cluster
-            FROM reach GROUP BY src
+            SELECT w.id, w.cluster, r.rep_id, TRUE AS kept_ok
+            FROM wl w JOIN rep r ON w.cluster = r.cluster
             """
         ),
         "embed_topk": (

@@ -30,6 +30,9 @@ __all__ = [
     "simhash_near_dups",
     "near_dup_clusters",
     "winnow_overlap_pairs",
+    "cluster_representatives",
+    "dedup_keep_best",
+    "near_dedup",
 ]
 
 
@@ -420,3 +423,118 @@ def winnow_overlap_pairs(
         .where(F.col("shared_fps") >= min_shared)
     )
     return pairs
+
+
+def cluster_representatives(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    order_col: Optional[str] = None,
+    cluster_id_col: str = "id",
+    cluster_col: str = "cluster",
+    out_col: str = "rep_id",
+) -> DataFrame:
+    """Pick one representative document per near-dup cluster →
+    ``(cluster, rep_id)``.
+
+    ``clusters`` is :func:`near_dup_clusters` output (or any
+    ``(id, cluster)`` labeling). The winner maximizes ``order_col``
+    (e.g. a quality score or text length — the usual "keep the best /
+    longest copy" dedup policy); ties break to the minimum id, so the
+    choice is deterministic. ``order_col=None`` degenerates to the
+    minimum id per cluster (the canonical-keeper convention the rest of
+    the module uses, e.g. dedup_exact's min-id winner).
+
+    Scale shape: both steps are map-side-combinable aggregates over a
+    SKINNY ``(cluster, order_val, id)`` projection — never a window
+    over the corpus, and the corpus' payload columns never shuffle.
+    Rows whose ``order_col`` is NULL lose to any non-NULL row (max
+    ignores NULLs); a cluster where every row is NULL falls back to
+    min-id among them (null-safe best match).
+    """
+    lab = clusters.select(
+        F.col(cluster_id_col).alias("__kid"),
+        F.col(cluster_col).alias("__kcl"),
+    )
+    if order_col is None:
+        return lab.groupBy(F.col("__kcl").alias(cluster_col)).agg(
+            F.min("__kid").alias(out_col)
+        )
+    skinny = df.select(
+        F.col(id_col).alias("__kid"), F.col(order_col).alias("__kord")
+    ).join(lab, "__kid")
+    best = skinny.groupBy("__kcl").agg(F.max("__kord").alias("__kbest"))
+    return (
+        skinny.join(best, "__kcl")
+        # null-safe: a cluster whose every order value is NULL keeps
+        # its min-id row rather than vanishing
+        .where(F.col("__kord").eqNullSafe(F.col("__kbest")))
+        .groupBy(F.col("__kcl").alias(cluster_col))
+        .agg(F.min("__kid").alias(out_col))
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    order_col: Optional[str] = None,
+    cluster_id_col: str = "id",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Materialize the deduplicated corpus: every row whose id is in no
+    near-dup cluster, plus exactly one representative per cluster
+    (:func:`cluster_representatives` — best ``order_col``, ties to min
+    id). This is the step that turns pair/cluster DISCOVERY into the
+    deduplicated dataset a pipeline actually trains on.
+
+    Scale shape: representative election runs on a skinny projection;
+    the corpus is touched by exactly two id-equi joins (left-anti
+    against clustered ids, left-semi against winner ids) — both
+    broadcastable when the duplicate set is small and AQE-planned
+    otherwise. No window, no full-row shuffle beyond the joins.
+
+    Contracts: rows with NULL id never match a cluster label and are
+    always kept. Duplicate-id rows travel together (all kept or all
+    dropped — semi/anti joins never fan out).
+    """
+    reps = cluster_representatives(
+        df, clusters, id_col, order_col, cluster_id_col, cluster_col
+    )
+    clustered_ids = clusters.select(
+        F.col(cluster_id_col).alias(id_col)
+    ).distinct()
+    winner_ids = reps.select(F.col("rep_id").alias(id_col)).distinct()
+    kept_unclustered = df.join(clustered_ids, id_col, "left_anti")
+    kept_winners = df.join(winner_ids, id_col, "leftsemi")
+    return kept_unclustered.unionByName(kept_winners)
+
+
+def near_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    order_col: Optional[str] = None,
+    method: str = "minhash",
+    **kwargs,
+) -> DataFrame:
+    """One-call near-duplicate dedup: candidate pairs (``method`` in
+    {'minhash', 'simhash'}) → connected components → keep-best
+    materialization. ``kwargs`` pass through to the pair generator
+    (n_hashes/bands/threshold for minhash, max_hamming for simhash).
+
+    Returns the deduplicated corpus with ``df``'s schema. The pair
+    table is the only intermediate and is edge-sized (duplicates only),
+    so the corpus streams through exactly once for signatures and twice
+    for the final keep joins — the 100 TB shape.
+    """
+    if method == "minhash":
+        pairs = near_dup_pairs_minhash(df, id_col, text_col, **kwargs)
+    elif method == "simhash":
+        pairs = simhash_near_dups(df, id_col, text_col, **kwargs)
+    else:
+        raise ValueError(
+            f"method must be 'minhash' or 'simhash', got {method!r}"
+        )
+    clusters = near_dup_clusters(pairs.select("a", "b"))
+    return dedup_keep_best(df, clusters, id_col, order_col)

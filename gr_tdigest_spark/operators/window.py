@@ -32,7 +32,11 @@ import gr_tdigest_spark.functions as Fn
 from gr_tdigest_spark.operators.agg import tdigest_agg, _canon_key_tuple
 from gr_tdigest_spark.sketches import wire as td_wire
 
-__all__ = ["with_group_quantile", "with_group_cdf"]
+__all__ = [
+    "with_group_quantile",
+    "with_group_cdf",
+    "filter_by_group_quantile",
+]
 
 
 def with_group_quantile(
@@ -53,6 +57,43 @@ def with_group_quantile(
         *keys, Fn.tdigest_quantile("tdigest", q).alias(out_col)
     )
     return df.join(F.broadcast(scalars), list(keys), "left")
+
+
+def filter_by_group_quantile(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    q: float,
+    keep: str = "above",
+    strict: bool = False,
+    **cfg,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` clears the group's quantile-q
+    threshold — the standard pretraining-filter shape ("top 30% quality
+    per language" is ``q=0.7, keep='above'``). Output schema == input
+    schema.
+
+    Built on :func:`with_group_quantile`: the threshold is ONE scalar
+    per group computed on the digest table and broadcast-joined back,
+    so the fact table is never shuffled and the comparison is pure JVM.
+    ``keep='above'`` retains value ≥ threshold (> when ``strict``);
+    ``'below'`` the mirror. Rows with a NULL value never clear the
+    comparison and are dropped, as are rows of groups whose threshold
+    is NULL (an all-NULL-value group). NULL/NaN values trip the strict
+    validation default while building the digests — pass
+    ``on_invalid='drop'`` (forwarded via ``cfg``) for a corpus that
+    contains them.
+    """
+    if keep not in ("above", "below"):
+        raise ValueError(f"keep must be 'above' or 'below', got {keep!r}")
+    thr_col = "__gq_threshold"
+    out = with_group_quantile(df, keys, value_col, q, thr_col, **cfg)
+    v, t = F.col(value_col), F.col(thr_col)
+    if keep == "above":
+        cond = (v > t) if strict else (v >= t)
+    else:
+        cond = (v < t) if strict else (v <= t)
+    return out.where(cond).drop(thr_col)
 
 
 def _broadcast_cdf(df, key_cols, probe_col, out_col, digests):

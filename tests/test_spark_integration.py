@@ -553,6 +553,56 @@ class TestWindowPattern:
         vals = out.select("cdf").collect()
         assert all(0.0 <= r["cdf"] <= 1.0 for r in vals)
 
+    def test_filter_by_group_quantile(self, spark):
+        """Exact-capacity digest → the q=0.5 cutoff is the group's
+        order statistic; 'above' keeps exactly the upper half + the
+        threshold row, schema unchanged, NULL values dropped."""
+        import pandas as pd
+        from gr_tdigest_spark.operators.window import (
+            filter_by_group_quantile,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame({
+                "g": ["a"] * 5 + ["b"] * 5,
+                "v": [1.0, 2.0, 3.0, 4.0, 5.0,
+                      10.0, None, 30.0, 40.0, 50.0],
+            })
+        )
+        kept = filter_by_group_quantile(
+            df, ["g"], "v", 0.5, max_size=20000, policy="off",
+            on_invalid="drop",
+        )
+        assert kept.columns == df.columns
+        got = sorted(
+            (r["g"], r["v"]) for r in kept.collect()
+        )
+        # a: N=5, q=0.5 → order stat at ceil(0.5*5)=3rd value (3.0);
+        # b: 4 non-null values → threshold between 30 and 40 → disc 30
+        assert [v for g, v in got if g == "a"] == [3.0, 4.0, 5.0]
+        b_vals = [v for g, v in got if g == "b"]
+        assert None not in b_vals and min(b_vals) >= 30.0
+        # strict + below mirrors
+        below = filter_by_group_quantile(
+            df, ["g"], "v", 0.5, keep="below", strict=True,
+            max_size=20000, policy="off", on_invalid="drop",
+        )
+        assert all(
+            r["v"] < 3.0 for r in below.where("g = 'a'").collect()
+        )
+
+    def test_filter_by_group_quantile_bad_keep(self, spark):
+        import pytest
+        from gr_tdigest_spark.operators.window import (
+            filter_by_group_quantile,
+        )
+
+        with pytest.raises(ValueError, match="keep"):
+            filter_by_group_quantile(
+                spark.range(3).withColumn("v", F.col("id") * 1.0),
+                ["id"], "v", 0.5, keep="sideways",
+            )
+
 
 class TestSkewSalting:
     def test_salted_equals_unsalted_under_skew(self, spark):
@@ -869,6 +919,138 @@ class TestNearDupClusters:
             for r in near_dup_clusters(pairs, max_iter=50).collect()
         }
         assert set(got.values()) == {0} and len(got) == n
+
+
+class TestDedupKeepBest:
+    def _corpus(self, spark):
+        import pandas as pd
+
+        # clusters: {1,2,3} and {10,11}; 20, 21 unclustered; 30 NULL id
+        return spark.createDataFrame(
+            pd.DataFrame({
+                "doc_id": pd.array(
+                    [1, 2, 3, 10, 11, 20, 21, None], dtype="Int64"
+                ),
+                "score": [0.5, 0.9, 0.9, None, None, 0.1, 0.2, 0.3],
+            })
+        )
+
+    def _clusters(self, spark):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame({
+                "id": [1, 2, 3, 10, 11],
+                "cluster": [1, 1, 1, 10, 10],
+            })
+        )
+
+    def test_representatives_max_order_ties_min_id(self, spark):
+        from gr_tdigest_spark.operators.dedup import cluster_representatives
+
+        reps = {
+            r["cluster"]: r["rep_id"]
+            for r in cluster_representatives(
+                self._corpus(spark), self._clusters(spark),
+                "doc_id", "score",
+            ).collect()
+        }
+        # cluster 1: max score 0.9 tie between ids 2,3 → min id 2;
+        # cluster 10: all-NULL order values → null-safe min-id fallback
+        assert reps == {1: 2, 10: 10}
+
+    def test_representatives_default_min_id(self, spark):
+        from gr_tdigest_spark.operators.dedup import cluster_representatives
+
+        reps = {
+            r["cluster"]: r["rep_id"]
+            for r in cluster_representatives(
+                self._corpus(spark), self._clusters(spark), "doc_id"
+            ).collect()
+        }
+        assert reps == {1: 1, 10: 10}
+
+    def test_keep_best_materializes_dedup_corpus(self, spark):
+        from gr_tdigest_spark.operators.dedup import dedup_keep_best
+
+        kept = dedup_keep_best(
+            self._corpus(spark), self._clusters(spark), "doc_id", "score"
+        ).collect()
+        ids = sorted(
+            (r["doc_id"] for r in kept), key=lambda x: (x is None, x)
+        )
+        # one rep per cluster + both unclustered + the NULL-id row
+        assert ids == [2, 10, 20, 21, None]
+
+    def test_duplicate_id_rows_travel_together(self, spark):
+        import pandas as pd
+        from gr_tdigest_spark.operators.dedup import dedup_keep_best
+
+        df = spark.createDataFrame(
+            pd.DataFrame({
+                "doc_id": [1, 1, 2, 3],
+                "score": [0.1, 0.2, 0.9, 0.5],
+            })
+        )
+        clusters = spark.createDataFrame(
+            pd.DataFrame({"id": [1, 2], "cluster": [1, 1]})
+        )
+        kept = dedup_keep_best(df, clusters, "doc_id", "score").collect()
+        # winner is 2 (score 0.9); both id-1 rows drop together
+        assert sorted(r["doc_id"] for r in kept) == [2, 3]
+
+    def test_near_dedup_end_to_end(self, spark):
+        import pandas as pd
+        from gr_tdigest_spark.operators.dedup import near_dedup
+
+        boiler = (
+            "the quick brown fox jumps over the lazy dog again and "
+            "again while the observers take careful notes about it"
+        )
+        rows = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                boiler,
+                boiler + " extra",           # near-dup of 1, longer
+                "completely different text about spark aggregation "
+                "plans and shuffle boundaries in modern engines",
+                boiler + " extra",           # exact dup of 2
+            ],
+        })
+        df = spark.createDataFrame(rows)
+        out = near_dedup(
+            df, "doc_id", "text",
+            order_col=None, method="minhash",
+            n_hashes=64, bands=16, threshold=0.5,
+        )
+        kept = sorted(r["doc_id"] for r in out.collect())
+        # {1,2,4} collapse to min id 1; 3 survives untouched
+        assert kept == [1, 3]
+        assert out.columns == df.columns
+
+    def test_keep_longest_policy(self, spark):
+        """order_col on a derived length column implements the usual
+        keep-the-longest-copy near-dedup policy."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from gr_tdigest_spark.operators.dedup import near_dedup
+
+        boiler = (
+            "the quick brown fox jumps over the lazy dog again and "
+            "again while the observers take careful notes about it"
+        )
+        df = spark.createDataFrame(
+            pd.DataFrame({
+                "doc_id": [1, 2],
+                "text": [boiler, boiler + " extra tail"],
+            })
+        ).withColumn("__len", F.length("text"))
+        out = near_dedup(
+            df, "doc_id", "text",
+            order_col="__len", method="minhash",
+            n_hashes=64, bands=16, threshold=0.5,
+        )
+        assert [r["doc_id"] for r in out.collect()] == [2]
 
 
 class TestAnnIndex:
