@@ -1506,7 +1506,7 @@ def q_near_dup_clusters(spark, sf_dir):
     reps = cluster_representatives(dl, clusters, "doc_id", "__len")
     # keep-best contract (bound-boolean): the materialized corpus ids
     # must equal all-unclustered plus exactly the winner per cluster
-    kept = dedup_keep_best(dl, clusters, "doc_id", "__len")
+    kept = dedup_keep_best(dl, clusters, "doc_id", "__len", reps=reps)
     expected = dl.join(
         clusters.select(F.col("id").alias("doc_id")), "doc_id",
         "left_anti",

@@ -448,20 +448,32 @@ def cluster_representatives(
     Scale shape: both steps are map-side-combinable aggregates over a
     SKINNY ``(cluster, order_val, id)`` projection — never a window
     over the corpus, and the corpus' payload columns never shuffle.
-    Rows whose ``order_col`` is NULL lose to any non-NULL row (max
-    ignores NULLs); a cluster where every row is NULL falls back to
-    min-id among them (null-safe best match).
+    Rows whose ``order_col`` is NULL or float-NaN lose to any other row
+    (Spark's max would otherwise crown NaN — the worst row must not win
+    a keep-BEST election); a cluster where every row is NULL/NaN falls
+    back to min-id among them (null-safe best match). On every path the
+    winner is elected among ids PRESENT in ``df`` — stale cluster
+    labels for since-removed rows can shift which member wins but can
+    never elect a ghost.
     """
+    from pyspark.sql.types import DoubleType, FloatType
+
     lab = clusters.select(
         F.col(cluster_id_col).alias("__kid"),
         F.col(cluster_col).alias("__kcl"),
     )
     if order_col is None:
-        return lab.groupBy(F.col("__kcl").alias(cluster_col)).agg(
+        present = lab.join(
+            df.select(F.col(id_col).alias("__kid")), "__kid", "leftsemi"
+        )
+        return present.groupBy(F.col("__kcl").alias(cluster_col)).agg(
             F.min("__kid").alias(out_col)
         )
+    ord_c = F.col(order_col)
+    if isinstance(df.schema[order_col].dataType, (DoubleType, FloatType)):
+        ord_c = F.when(F.isnan(ord_c), F.lit(None)).otherwise(ord_c)
     skinny = df.select(
-        F.col(id_col).alias("__kid"), F.col(order_col).alias("__kord")
+        F.col(id_col).alias("__kid"), ord_c.alias("__kord")
     ).join(lab, "__kid")
     best = skinny.groupBy("__kcl").agg(F.max("__kord").alias("__kbest"))
     return (
@@ -481,33 +493,38 @@ def dedup_keep_best(
     order_col: Optional[str] = None,
     cluster_id_col: str = "id",
     cluster_col: str = "cluster",
+    reps: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Materialize the deduplicated corpus: every row whose id is in no
     near-dup cluster, plus exactly one representative per cluster
     (:func:`cluster_representatives` — best ``order_col``, ties to min
-    id). This is the step that turns pair/cluster DISCOVERY into the
-    deduplicated dataset a pipeline actually trains on.
+    id; pass a precomputed ``reps`` (cluster, rep_id) table to skip
+    re-electing). This is the step that turns pair/cluster DISCOVERY
+    into the deduplicated dataset a pipeline actually trains on.
 
     Scale shape: representative election runs on a skinny projection;
-    the corpus is touched by exactly two id-equi joins (left-anti
-    against clustered ids, left-semi against winner ids) — both
-    broadcastable when the duplicate set is small and AQE-planned
-    otherwise. No window, no full-row shuffle beyond the joins.
+    the corpus itself is then touched by ONE id-equi left-anti join
+    against the edge-sized drop set (clustered ids minus winners) —
+    broadcastable when the duplicate set is small, AQE-planned
+    otherwise. One corpus scan, no union, no window.
 
     Contracts: rows with NULL id never match a cluster label and are
     always kept. Duplicate-id rows travel together (all kept or all
-    dropped — semi/anti joins never fan out).
+    dropped — anti joins never fan out).
     """
-    reps = cluster_representatives(
-        df, clusters, id_col, order_col, cluster_id_col, cluster_col
+    if reps is None:
+        reps = cluster_representatives(
+            df, clusters, id_col, order_col, cluster_id_col, cluster_col
+        )
+    drop_ids = (
+        clusters.select(F.col(cluster_id_col).alias(id_col))
+        .distinct()
+        .join(
+            reps.select(F.col("rep_id").alias(id_col)), id_col,
+            "left_anti",
+        )
     )
-    clustered_ids = clusters.select(
-        F.col(cluster_id_col).alias(id_col)
-    ).distinct()
-    winner_ids = reps.select(F.col("rep_id").alias(id_col)).distinct()
-    kept_unclustered = df.join(clustered_ids, id_col, "left_anti")
-    kept_winners = df.join(winner_ids, id_col, "leftsemi")
-    return kept_unclustered.unionByName(kept_winners)
+    return df.join(drop_ids, id_col, "left_anti")
 
 
 def near_dedup(
@@ -524,9 +541,10 @@ def near_dedup(
     (n_hashes/bands/threshold for minhash, max_hamming for simhash).
 
     Returns the deduplicated corpus with ``df``'s schema. The pair
-    table is the only intermediate and is edge-sized (duplicates only),
-    so the corpus streams through exactly once for signatures and twice
-    for the final keep joins — the 100 TB shape.
+    table is the only intermediate and is edge-sized (duplicates only);
+    the corpus streams through once for signatures, once (skinny id +
+    order projection) for the election when ``order_col`` is set, and
+    once for the final keep anti-join — the 100 TB shape.
     """
     if method == "minhash":
         pairs = near_dup_pairs_minhash(df, id_col, text_col, **kwargs)

@@ -39,6 +39,18 @@ __all__ = [
 ]
 
 
+def _null_canon_key(df: DataFrame, name: str, qualifier: str):
+    """Key expression for the digest join-back: float NaN keys are
+    canonicalized to NULL (mirroring what the aggregate's partial stage
+    does to group keys), so a NaN-keyed fact row matches its digest."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    c = F.col(f"{qualifier}.`{name}`")
+    if isinstance(df.schema[name].dataType, (DoubleType, FloatType)):
+        return F.when(F.isnan(c), F.lit(None)).otherwise(c)
+    return c
+
+
 def with_group_quantile(
     df: DataFrame,
     keys: Sequence[str],
@@ -50,13 +62,31 @@ def with_group_quantile(
     """Attach each group's quantile-q of ``value_col`` to every row —
     ``quantile(tdigest(x), q).over(keys)``. The probe is group-constant,
     so only the SCALAR result joins back (broadcast hash join, no
-    shuffle of the fact table, no Python on the fact rows)."""
+    shuffle of the fact table, no Python on the fact rows).
+
+    The join-back is NULL-safe on the keys: a NULL (or float-NaN —
+    canonicalized to NULL, matching the aggregate) group key is a real
+    group and its rows get that group's scalar, instead of silently
+    receiving NULL from an equi-join that can never match. Output
+    columns are ``df``'s, in order, plus ``out_col``."""
     out_col = out_col or f"q{q}_{value_col}"
-    digests = tdigest_agg(df, list(keys), value_col, **cfg)
+    key_cols = list(keys)
+    digests = tdigest_agg(df, key_cols, value_col, **cfg)
     scalars = digests.select(
-        *keys, Fn.tdigest_quantile("tdigest", q).alias(out_col)
+        *key_cols, Fn.tdigest_quantile("tdigest", q).alias(out_col)
     )
-    return df.join(F.broadcast(scalars), list(keys), "left")
+    fact, dim = df.alias("__gqf"), F.broadcast(scalars).alias("__gqs")
+    cond = None
+    for k in key_cols:
+        e = _null_canon_key(df, k, "__gqf").eqNullSafe(
+            _null_canon_key(scalars, k, "__gqs")
+        )
+        cond = e if cond is None else (cond & e)
+    return fact.join(dim, cond, "left").select(
+        *[F.col(f"__gqf.`{c}`") for c in df.columns],
+        # backticks: the default out_col embeds the q value's dot
+        F.col(f"__gqs.`{out_col}`").alias(out_col),
+    )
 
 
 def filter_by_group_quantile(
@@ -77,12 +107,13 @@ def filter_by_group_quantile(
     per group computed on the digest table and broadcast-joined back,
     so the fact table is never shuffled and the comparison is pure JVM.
     ``keep='above'`` retains value ≥ threshold (> when ``strict``);
-    ``'below'`` the mirror. Rows with a NULL value never clear the
-    comparison and are dropped, as are rows of groups whose threshold
-    is NULL (an all-NULL-value group). NULL/NaN values trip the strict
-    validation default while building the digests — pass
-    ``on_invalid='drop'`` (forwarded via ``cfg``) for a corpus that
-    contains them.
+    ``'below'`` the mirror. Rows with a NULL or NaN value never clear
+    the filter on EITHER side (Spark sorts NaN above every number, so
+    without an explicit guard NaN garbage would pass ``keep='above'``),
+    and rows of groups whose threshold is NULL (an all-NULL-value
+    group) are dropped. NULL/NaN values trip the strict validation
+    default while building the digests — pass ``on_invalid='drop'``
+    (forwarded via ``cfg``) for a corpus that contains them.
     """
     if keep not in ("above", "below"):
         raise ValueError(f"keep must be 'above' or 'below', got {keep!r}")
@@ -93,7 +124,8 @@ def filter_by_group_quantile(
         cond = (v > t) if strict else (v >= t)
     else:
         cond = (v < t) if strict else (v <= t)
-    return out.where(cond).drop(thr_col)
+    cond = cond & ~F.isnan(v.cast("double"))
+    return out.where(cond).drop(thr_col).select(*df.columns)
 
 
 def _broadcast_cdf(df, key_cols, probe_col, out_col, digests):

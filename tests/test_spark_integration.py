@@ -603,6 +603,89 @@ class TestWindowPattern:
                 ["id"], "v", 0.5, keep="sideways",
             )
 
+    def test_filter_nan_rows_never_pass(self, spark):
+        """Spark sorts NaN above every number — without the explicit
+        guard, NaN-scored garbage would sail through keep='above'."""
+        import math
+        import pandas as pd
+        from gr_tdigest_spark.operators.window import (
+            filter_by_group_quantile,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame({
+                "g": ["a"] * 4,
+                "v": [1.0, 2.0, 3.0, math.nan],
+            })
+        )
+        for keep in ("above", "below"):
+            got = filter_by_group_quantile(
+                df, ["g"], "v", 0.5, keep=keep,
+                max_size=20000, policy="off", on_invalid="drop",
+            ).collect()
+            assert not any(
+                r["v"] is not None and math.isnan(r["v"]) for r in got
+            ), keep
+
+    def test_filter_null_key_group_is_filtered_not_dropped(self, spark):
+        """A NULL group key is a real group: its rows must be compared
+        against THEIR group's threshold (null-safe join-back), not
+        silently dropped by an equi-join that can never match."""
+        import pandas as pd
+        from gr_tdigest_spark.operators.window import (
+            filter_by_group_quantile,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame({
+                "g": ["a", "a", "a", None, None, None],
+                "v": [1.0, 2.0, 3.0, 10.0, 20.0, 30.0],
+            })
+        )
+        rows = filter_by_group_quantile(
+            df, ["g"], "v", 0.5,
+            max_size=20000, policy="off", on_invalid="drop",
+        ).collect()
+        got = sorted(
+            [(r["g"], r["v"]) for r in rows],
+            key=lambda t: (t[0] is None, t),
+        )
+        assert [v for g, v in got if g == "a"] == [2.0, 3.0]
+        assert [v for g, v in got if g is None] == [20.0, 30.0]
+
+    def test_group_quantile_default_out_col_has_dot(self, spark):
+        """The default out_col embeds the q value's dot (q0.5_x) —
+        the alias-qualified select must backtick it, not parse it as
+        struct nesting."""
+        from gr_tdigest_spark.operators.window import with_group_quantile
+
+        df = spark.range(10).withColumn(
+            "v", F.col("id").cast("double")
+        ).withColumn("g", F.col("id") % 2)
+        out = with_group_quantile(df, ["g"], "v", 0.5, max_size=100)
+        assert out.columns == ["id", "v", "g", "q0.5_v"]
+        assert out.count() == 10
+
+    def test_filter_preserves_column_order(self, spark):
+        """Key columns not listed first must not migrate to the front
+        of the schema (using-join behavior the operator must undo)."""
+        import pandas as pd
+        from gr_tdigest_spark.operators.window import (
+            filter_by_group_quantile,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame({
+                "score": [1.0, 2.0, 3.0, 4.0],
+                "lang": ["en", "en", "fr", "fr"],
+            })
+        )
+        out = filter_by_group_quantile(
+            df, ["lang"], "score", 0.5,
+            max_size=20000, policy="off", on_invalid="drop",
+        )
+        assert out.columns == ["score", "lang"]
+
 
 class TestSkewSalting:
     def test_salted_equals_unsalted_under_skew(self, spark):
@@ -1027,6 +1110,49 @@ class TestDedupKeepBest:
         # {1,2,4} collapse to min id 1; 3 survives untouched
         assert kept == [1, 3]
         assert out.columns == df.columns
+
+    def test_nan_order_value_loses_election(self, spark):
+        """Spark's max crowns NaN — the election must canonicalize NaN
+        to NULL so the worst row cannot win keep-BEST."""
+        import math
+        import pandas as pd
+        from gr_tdigest_spark.operators.dedup import cluster_representatives
+
+        df = spark.createDataFrame(
+            pd.DataFrame({
+                "doc_id": [1, 2, 3, 4],
+                "score": [math.nan, 0.9, math.nan, math.nan],
+            })
+        )
+        clusters = spark.createDataFrame(
+            pd.DataFrame({"id": [1, 2, 3, 4], "cluster": [1, 1, 3, 3]})
+        )
+        reps = {
+            r["cluster"]: r["rep_id"]
+            for r in cluster_representatives(
+                df, clusters, "doc_id", "score"
+            ).collect()
+        }
+        # cluster 1: NaN loses to 0.9 → 2; cluster 3: all-NaN → min id
+        assert reps == {1: 2, 3: 3}
+
+    def test_absent_min_id_cannot_ghost_a_cluster(self, spark):
+        """order_col=None elects among ids PRESENT in df: stale labels
+        for removed rows shift the winner, never erase the cluster."""
+        import pandas as pd
+        from gr_tdigest_spark.operators.dedup import dedup_keep_best
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [2, 3, 9], "x": [1.0, 2.0, 3.0]})
+        )
+        clusters = spark.createDataFrame(  # doc 1 no longer in df
+            pd.DataFrame({"id": [1, 2, 3], "cluster": [1, 1, 1]})
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup_keep_best(df, clusters, "doc_id").collect()
+        )
+        assert kept == [2, 9]
 
     def test_keep_longest_policy(self, spark):
         """order_col on a derived length column implements the usual
