@@ -917,7 +917,8 @@ def q_kll_rank_docs(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup fingerprints + PII detection counts.
+    """Exact dedup fingerprints + PII detection counts + benchmark
+    decontamination (r6).
 
     The fixture corpus contains no PII, which would make the email
     columns a vacuous 0 == 0 — so the query APPENDS deterministic
@@ -925,7 +926,20 @@ def q_dedup_exact(spark, sf_dir):
     what-you-test pattern; the oracle constructs the identical rows in
     SQL).  redact_pii's email pattern is plain character classes, so
     Java regex and RE2 agree and the counts hash-match exactly; a
-    broken redaction now shows up as n_email_after_redact != 0."""
+    broken redaction now shows up as n_email_after_redact != 0.
+
+    Decontamination gate: docs with doc_id % 17 == 0 play the
+    "benchmark"; contamination_scores (5-gram, exact join path) runs
+    over the whole corpus and the aggregate pins total gram/hit counts
+    plus the ≥0.35-contaminated doc count — the oracle rebuilds the
+    identical n-gram sets with DuckDB list comprehensions (every gram
+    is compared as a STRING, so there is no cross-engine hash to
+    disagree on).  Every benchmark doc self-hits at 1.0 and each synth
+    email row embeds its base doc's text, so the contaminated set is
+    non-trivially larger than the benchmark itself."""
+    from gr_tdigest_spark.operators.contamination import (
+        contamination_scores,
+    )
     from gr_tdigest_spark.operators.text import (
         PII_PATTERNS, redact_pii, with_fingerprint,
     )
@@ -940,7 +954,9 @@ def q_dedup_exact(spark, sf_dir):
     )
     d = with_fingerprint(base.unionByName(synth), "text", "fp")
     red = redact_pii(d, "text", out_col="red")
-    return red.agg(
+    benchmark = base.filter(F.col("doc_id") % 17 == 0)
+    scored = contamination_scores(red, "doc_id", benchmark, n=5)
+    return scored.agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("fp").alias("n_unique"),
         F.sum(
@@ -950,6 +966,11 @@ def q_dedup_exact(spark, sf_dir):
         F.sum(
             F.col("red").rlike(PII_PATTERNS["email"]).cast("long")
         ).alias("n_email_after_redact"),
+        F.sum("n_grams").alias("tot_grams"),
+        F.sum("n_hit").alias("tot_hits"),
+        F.sum(
+            (F.col("contamination") >= 0.35).cast("long")
+        ).alias("n_contaminated"),
     )
 
 
@@ -2118,6 +2139,30 @@ def oracle_sql() -> dict[str, str]:
             ), corpus AS (
               SELECT doc_id, text FROM documents
               UNION ALL SELECT doc_id, text FROM synth
+            ), toks AS (
+              SELECT doc_id, list_filter(string_split(lower(
+                       regexp_replace(text, '[ \\t\\n\\r\\f]+', ' ', 'g')),
+                       ' '), x -> x <> '') AS tk
+              FROM corpus
+            ), grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(tk) >= 5 THEN list_distinct(
+                       [array_to_string(tk[i+1:i+5], ' ')
+                        for i in range(0, len(tk) - 4)])
+                     ELSE [] END AS g
+              FROM toks
+            ), bench AS (
+              SELECT DISTINCT unnest(g) AS gram FROM grams
+              WHERE doc_id % 17 = 0 AND doc_id < 1000000
+            ), hits AS (
+              SELECT dg.doc_id, count(*) AS n_hit
+              FROM (SELECT doc_id, unnest(g) AS gram FROM grams) dg
+              JOIN bench b ON dg.gram = b.gram
+              GROUP BY dg.doc_id
+            ), scored AS (
+              SELECT g.doc_id, len(g.g) AS n_grams,
+                     coalesce(h.n_hit, 0) AS n_hit
+              FROM grams g LEFT JOIN hits h USING (doc_id)
             )
             SELECT count(*) AS n_docs,
                    count(DISTINCT md5(lower(trim(
@@ -2125,7 +2170,13 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN regexp_matches(text,
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
                      THEN 1 ELSE 0 END)::BIGINT AS n_email_docs,
-                   0::BIGINT AS n_email_after_redact
+                   0::BIGINT AS n_email_after_redact,
+                   (SELECT sum(n_grams) FROM scored)::BIGINT AS tot_grams,
+                   (SELECT sum(n_hit) FROM scored)::BIGINT AS tot_hits,
+                   (SELECT count(*) FROM scored
+                    WHERE n_grams > 0
+                      AND n_hit * 1.0 / n_grams >= 0.35)::BIGINT
+                     AS n_contaminated
             FROM corpus
             """
         ),

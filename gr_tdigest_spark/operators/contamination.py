@@ -1,0 +1,279 @@
+"""Benchmark decontamination for training corpora.
+
+The standard pre-training hygiene step (GPT-3 App. C, PaLM §8, Llama 2
+App. A.6): a training document is *contaminated* when a large fraction
+of its word n-grams also occur in an evaluation/benchmark set; such
+documents leak test data into training and must be flagged or dropped.
+
+The measure here is the conventional one::
+
+    contamination(doc) = |distinct n-grams(doc) ∩ n-grams(benchmark)|
+                         -------------------------------------------
+                         |distinct n-grams(doc)|
+
+with word n-grams over a normalized rendering (lowercased, whitespace
+collapsed — the same token boundary on every engine).
+
+Scale shape (the 100 TB contract — benchmark ≪ corpus, always):
+
+- n-gram construction is a pure JVM expression chain
+  (``split``/``transform``/``slice``/``concat_ws``) — whole-stage
+  codegen, zero Python in the corpus scan.
+- ``method='join'``: the benchmark collapses to its distinct-gram
+  table (skinny — one string column), which BROADCASTS; the corpus
+  explodes its grams and hit-counts through a broadcast LEFT SEMI
+  join + map-side-combinable count.  No corpus-sized shuffle: only
+  (id, count) pairs move.
+- ``method='bloom'``: the benchmark grams feed a mergeable Bloom
+  filter (one tree-aggregated blob, 20-50× smaller than the gram
+  table); the corpus probes it row-locally through one Arrow-batched
+  pandas UDF over JVM-hashed gram arrays — **no shuffle and no join
+  at all** on the corpus side.  Bloom false positives can only
+  INFLATE a score (no false negatives → no missed contamination);
+  size via ``bloom_fpr`` so the inflation is below the decision
+  threshold's resolution.
+
+The reference engine has no decontamination operator; this extends the
+training-data family (SURVEY §2.8 charter) with the same determinism
+contract as operators/sample.py: scores are a pure function of the
+text and the benchmark — partition-layout independent, rerun-stable.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+__all__ = ["word_ngrams", "contamination_scores", "decontaminate"]
+
+# explicit ASCII whitespace class: Java regex \s and RE2/DuckDB \s
+# disagree on \x0B (q_text_stats precedent) — the token boundary must
+# be identical on every engine an oracle might run on.  The pattern is
+# embedded in a Spark SQL STRING LITERAL, which itself processes
+# backslash escapes, so the backslashes are doubled here ('\\t' in the
+# literal -> '\t' reaching the regex engine); a single '\f' would
+# collapse to the LETTER f and silently strip f-runs next to spaces
+_WS_SQL = r"[ \\t\\n\\r\\f]+"
+
+
+def _norm_tokens_sql(text_sql: str) -> str:
+    return (
+        f"filter(split(lower(regexp_replace({text_sql}, '{_WS_SQL}', "
+        "' ')), ' '), x -> x != '')"
+    )
+
+
+def word_ngrams(text_col: Union[str, Column], n: int,
+                distinct: bool = True) -> Column:
+    """Word n-grams of a text column as ``array<string>`` — pure JVM
+    expressions (codegen-friendly, engine-portable semantics).
+
+    Normalization: lowercase, split on ASCII whitespace runs, drop
+    empty tokens; each gram is ``n`` consecutive tokens joined by a
+    single space.  Texts with fewer than ``n`` tokens (and NULL texts)
+    yield the EMPTY array — they carry no n-gram evidence.
+
+    ``distinct=True`` (default) dedupes grams within the row: the
+    contamination measure is over the doc's distinct gram set, and
+    duplicate grams would double-count hits.
+    """
+    if n <= 0:
+        raise ValueError("word_ngrams n must be > 0")
+    name = text_col if isinstance(text_col, str) else None
+    if name is None:
+        raise ValueError("word_ngrams needs a column NAME (the "
+                         "expression is built in SQL form)")
+    toks = _norm_tokens_sql(f"`{name}`")
+    grams = (
+        f"CASE WHEN size({toks}) >= {int(n)} THEN "
+        f"transform(sequence(0, size({toks}) - {int(n)}), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {int(n)}))) "
+        f"ELSE array() END"
+    )
+    if distinct:
+        grams = f"array_distinct({grams})"
+    return F.expr(grams)
+
+
+def _gram_hashes(grams: Column, seed: int) -> Column:
+    """xxhash64 of each gram, JVM-side — only ``array<long>`` ever
+    crosses the Arrow boundary on the bloom path, never gram text."""
+    return F.transform(grams, lambda g: F.xxhash64(g, F.lit(int(seed))))
+
+
+def _bench_gram_rows(benchmark: DataFrame, text_col: str,
+                     n: int) -> DataFrame:
+    """The benchmark's distinct-gram table (one skinny string column
+    ``__gram``).  Benchmarks are small by contract; this is the side
+    that broadcasts / feeds the Bloom build."""
+    return (
+        benchmark
+        .select(F.explode(word_ngrams(text_col, n)).alias("__gram"))
+        .distinct()
+    )
+
+
+def contamination_scores(
+    df: DataFrame,
+    id_cols: Union[str, Sequence[str]],
+    benchmark: DataFrame,
+    text_col: str = "text",
+    bench_text_col: Optional[str] = None,
+    n: int = 8,
+    method: str = "join",
+    seed: int = 0,
+    bloom_fpr: float = 1e-6,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-document benchmark-overlap scores.
+
+    Returns ``df``'s rows with three appended columns:
+
+    - ``n_grams`` — distinct word n-grams in the doc (0 for NULL/short
+      texts);
+    - ``n_hit`` — how many of them occur in the benchmark;
+    - ``contamination`` — ``n_hit / n_grams`` ∈ [0, 1], NULL when the
+      doc has no grams (no evidence either way — :func:`decontaminate`
+      keeps such docs).
+
+    ``method='join'`` (default): broadcast LEFT SEMI join of exploded
+    doc grams against the benchmark's distinct-gram table — exact, all
+    JVM.  ``method='bloom'``: probe a tree-aggregated Bloom filter of
+    the benchmark grams row-locally (no shuffle, no join; ``n_hit``
+    may be inflated by the filter's FPR, never deflated).  Size it
+    with ``bloom_fpr`` (expected inflation per doc ≈ fpr · n_grams).
+    ``broadcast_benchmark=False`` drops the broadcast hint on the join
+    path for a benchmark too large to broadcast (shuffle join on the
+    gram — still skinny).
+
+    Contract (shared with operators/sample.py): ``id_cols`` identify
+    rows uniquely and non-NULL — the join path reassembles scores by
+    id.  The bloom path computes scores row-locally and carries no id
+    requirement (duplicate/NULL ids pass through).
+    """
+    if method not in ("join", "bloom"):
+        raise ValueError(
+            f"contamination_scores method must be join/bloom, got {method!r}"
+        )
+    if not (0.0 < bloom_fpr < 1.0):
+        raise ValueError("bloom_fpr must be in (0, 1)")
+    ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    btc = bench_text_col or text_col
+    bench = _bench_gram_rows(benchmark, btc, n)
+
+    if method == "bloom":
+        return _bloom_scores(df, text_col, bench, n, seed, bloom_fpr)
+
+    doc = df.withColumn("__grams", word_ngrams(text_col, n)) \
+            .withColumn("n_grams", F.size("__grams").cast("long"))
+    exploded = doc.select(*ids, F.explode("__grams").alias("__gram"))
+    b = F.broadcast(bench) if broadcast_benchmark else bench
+    hits = (
+        exploded.join(b, on="__gram", how="leftsemi")
+        .groupBy(*ids).agg(F.count("*").alias("__n_hit"))
+    )
+    out = doc.join(hits, on=ids, how="left").withColumn(
+        "n_hit", F.coalesce(F.col("__n_hit"), F.lit(0)).cast("long")
+    ).drop("__grams", "__n_hit")
+    return _with_fraction(out)
+
+
+def _with_fraction(out: DataFrame) -> DataFrame:
+    return out.withColumn(
+        "contamination",
+        F.when(
+            F.col("n_grams") > 0,
+            F.col("n_hit").cast("double") / F.col("n_grams"),
+        ),
+    )
+
+
+def _bloom_scores(df: DataFrame, text_col: str, bench: DataFrame,
+                  n: int, seed: int, fpr: float) -> DataFrame:
+    """The shuffle-free scale path: one Bloom blob of benchmark-gram
+    hashes, broadcast; per-row probe over JVM-hashed gram arrays.
+
+    The Bloom ingests the grams' xxhash64 values (hashed JVM-side on
+    BOTH sides with one seed), so only ``array<long>`` crosses Arrow —
+    document text never round-trips through Python."""
+    from gr_tdigest_spark.operators.companions import bloom_agg
+    from gr_tdigest_spark.sketches.bloom import BloomFilter, optimal_bloom
+
+    bench_hashes = bench.select(
+        F.xxhash64("__gram", F.lit(int(seed))).alias("__gh")
+    )
+    # geometry needs the gram count; the benchmark is small by
+    # contract, so this extra job is bounded (and the distinct-gram
+    # table is already the reduced form)
+    n_bench = bench_hashes.count()
+    shape = optimal_bloom(max(n_bench, 1), fpr=fpr, seed=11 + seed)
+    blob_row = bloom_agg(
+        bench_hashes, keys=None, col="__gh",
+        m_bits=shape.m_bits, k=shape.k, seed=shape.seed,
+    ).select("bloom").first()
+    bc = df.sparkSession.sparkContext.broadcast(bytes(blob_row[0]))
+
+    @F.pandas_udf(LongType())
+    def _hit_count(grams: pd.Series) -> pd.Series:
+        sk = BloomFilter.from_bytes(bc.value)
+        lens = grams.map(lambda a: 0 if a is None else len(a)).to_numpy()
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in grams if a is not None
+             and len(a)] or [np.empty(0, np.int64)]
+        )
+        member = sk.contains(flat).astype(np.int64) if flat.size else \
+            np.empty(0, np.int64)
+        # segment sums: one reduceat over the batch, no per-row loop
+        out = np.zeros(len(grams), dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            starts = np.zeros(int(nz.sum()), dtype=np.int64)
+            starts[1:] = np.cumsum(lens[nz])[:-1]
+            out[nz] = np.add.reduceat(member, starts) if member.size \
+                else 0
+        return pd.Series(out)
+
+    doc = df.withColumn(
+        "__gh", _gram_hashes(word_ngrams(text_col, n), seed)
+    ).withColumn("n_grams", F.size("__gh").cast("long"))
+    out = doc.withColumn("n_hit", _hit_count("__gh")).drop("__gh")
+    return _with_fraction(out)
+
+
+def decontaminate(
+    df: DataFrame,
+    id_cols: Union[str, Sequence[str]],
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    keep_scores: bool = False,
+    **kwargs,
+) -> DataFrame:
+    """Drop documents whose benchmark contamination is ≥ ``threshold``.
+
+    Docs with no n-grams (NULL/short texts) carry no evidence and are
+    KEPT — decontamination is a targeted removal, not a length filter
+    (compose with a quality filter for that).  ``keep_scores=True``
+    retains the three score columns on the survivors; all other
+    keyword arguments pass through to :func:`contamination_scores`
+    (``n``, ``method``, ``seed``, ``bloom_fpr``, ...).
+
+    On ``method='bloom'``, false positives can only inflate scores —
+    i.e. the Bloom path may drop a few extra docs near the threshold
+    (rate bounded by ``bloom_fpr``), never leak a contaminated one.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("decontaminate threshold must be in (0, 1]")
+    scored = contamination_scores(df, id_cols, benchmark, **kwargs)
+    kept = scored.where(
+        F.col("contamination").isNull()
+        | (F.col("contamination") < F.lit(float(threshold)))
+    )
+    if keep_scores:
+        return kept
+    return kept.drop("n_grams", "n_hit", "contamination")

@@ -1,0 +1,225 @@
+"""Benchmark decontamination: exact replica oracle, bloom/join
+agreement, plan shapes, determinism."""
+
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gr_tdigest_spark.operators.contamination import (
+    contamination_scores, decontaminate, word_ngrams,
+)
+
+
+def ref_ngrams(text, n):
+    """Driver-side replica of word_ngrams' contract (independent
+    implementation: plain Python string ops, no Spark)."""
+    if text is None:
+        return set()
+    toks = [t for t in re.sub(r"[ \t\n\r\f]+", " ", text.lower())
+            .split(" ") if t]
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def ref_scores(rows, bench_texts, n):
+    bench = set()
+    for t in bench_texts:
+        bench |= ref_ngrams(t, n)
+    out = {}
+    for i, t in rows:
+        g = ref_ngrams(t, n)
+        out[i] = (len(g), len(g & bench))
+    return out
+
+
+BENCH = [
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+]
+DOCS = [
+    # exact copy of a benchmark doc -> contamination 1.0
+    (0, "the quick brown fox jumps over the lazy dog"),
+    # embeds a benchmark passage inside fresh text -> partial
+    (1, "breaking news today the quick brown fox jumps over the "
+        "lazy dog said witnesses downtown"),
+    # clean
+    (2, "completely unrelated sentences about distributed query "
+        "engines and shuffle partitions at scale"),
+    # shorter than n tokens -> no grams, NULL contamination
+    (3, "too short"),
+    # NULL text
+    (4, None),
+    # whitespace/case normalization must line up with the replica
+    (5, "The  QUICK\tbrown fox JUMPS over\nthe lazy dog extra tail"),
+    # duplicate grams inside one doc must not double-count
+    (6, "pack my box pack my box pack my box with nothing else"),
+]
+N = 3
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    bench = spark.createDataFrame([(t,) for t in BENCH], ["text"])
+    return df, bench
+
+
+class TestJoinPath:
+    def test_matches_replica_exactly(self, fixture):
+        df, bench = fixture
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_hit"], r["contamination"])
+            for r in contamination_scores(
+                df, "doc_id", bench, n=N
+            ).collect()
+        }
+        exp = ref_scores(DOCS, BENCH, N)
+        assert set(got) == set(exp)
+        for i, (ng, nh) in exp.items():
+            assert got[i][0] == ng, f"doc {i} n_grams"
+            assert got[i][1] == nh, f"doc {i} n_hit"
+            if ng == 0:
+                assert got[i][2] is None
+            else:
+                assert got[i][2] == pytest.approx(nh / ng)
+
+    def test_known_endpoints(self, fixture):
+        df, bench = fixture
+        got = {r["doc_id"]: r["contamination"]
+               for r in contamination_scores(df, "doc_id", bench,
+                                             n=N).collect()}
+        assert got[0] == pytest.approx(1.0)   # exact benchmark copy
+        assert 0.0 < got[1] < 1.0             # embedded passage
+        assert got[2] == 0.0                  # clean
+        assert got[3] is None and got[4] is None
+
+    def test_row_passthrough(self, fixture):
+        df, bench = fixture
+        out = contamination_scores(df.withColumn("extra", F.lit("x")),
+                                   "doc_id", bench, n=N)
+        assert out.count() == len(DOCS)
+        assert {"doc_id", "text", "extra", "n_grams", "n_hit",
+                "contamination"} == set(out.columns)
+
+    def test_broadcast_join_in_plan(self, fixture):
+        df, bench = fixture
+        out = contamination_scores(df, "doc_id", bench, n=N)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+        assert "Window" not in plan
+
+    def test_determinism_under_repartition(self, fixture):
+        df, bench = fixture
+        a = sorted(contamination_scores(df, "doc_id", bench, n=N)
+                   .select("doc_id", "n_hit").collect())
+        b = sorted(contamination_scores(df.repartition(7), "doc_id",
+                                        bench.repartition(3), n=N)
+                   .select("doc_id", "n_hit").collect())
+        assert a == b
+
+
+class TestBloomPath:
+    def test_agrees_with_join_at_low_fpr(self, fixture):
+        df, bench = fixture
+        j = sorted(contamination_scores(df, "doc_id", bench, n=N)
+                   .select("doc_id", "n_grams", "n_hit").collect())
+        b = sorted(contamination_scores(df, "doc_id", bench, n=N,
+                                        method="bloom", bloom_fpr=1e-9)
+                   .select("doc_id", "n_grams", "n_hit").collect())
+        assert j == b
+
+    def test_never_undercounts(self, fixture):
+        # no false negatives: even a tiny, collision-prone filter may
+        # only INFLATE n_hit
+        df, bench = fixture
+        j = {r["doc_id"]: r["n_hit"]
+             for r in contamination_scores(df, "doc_id", bench,
+                                           n=N).collect()}
+        b = {r["doc_id"]: r["n_hit"]
+             for r in contamination_scores(df, "doc_id", bench, n=N,
+                                           method="bloom",
+                                           bloom_fpr=0.5).collect()}
+        assert all(b[i] >= j[i] for i in j)
+
+    def test_no_shuffle_on_corpus_side(self, fixture):
+        # the scale contract: scoring is row-local — no Exchange, no
+        # join in the executed plan
+        df, bench = fixture
+        out = contamination_scores(df, "doc_id", bench, n=N,
+                                   method="bloom")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+
+    def test_null_and_duplicate_ids_pass_through(self, fixture, spark):
+        # bloom path is row-local: no id contract
+        _, bench = fixture
+        df = spark.createDataFrame(
+            [(None, BENCH[0]), (1, BENCH[0]), (1, "other words here")],
+            ["doc_id", "text"],
+        )
+        out = contamination_scores(df, "doc_id", bench, n=N,
+                                   method="bloom").collect()
+        assert len(out) == 3
+
+
+class TestDecontaminate:
+    def test_threshold_semantics(self, fixture):
+        df, bench = fixture
+        kept = decontaminate(df, "doc_id", bench, threshold=0.5, n=N)
+        ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        # doc 0 (1.0) dropped; docs with no grams kept
+        assert 0 not in ids
+        assert {2, 3, 4} <= ids
+        # threshold is inclusive-drop: a doc AT the threshold goes
+        scored = {r["doc_id"]: r["contamination"]
+                  for r in contamination_scores(df, "doc_id", bench,
+                                                n=N).collect()}
+        for i, c in scored.items():
+            if c is not None and c >= 0.5:
+                assert i not in ids
+            else:
+                assert i in ids
+
+    def test_keep_scores(self, fixture):
+        df, bench = fixture
+        out = decontaminate(df, "doc_id", bench, threshold=0.99, n=N,
+                            keep_scores=True)
+        assert "contamination" in out.columns
+        out2 = decontaminate(df, "doc_id", bench, threshold=0.99, n=N)
+        assert "contamination" not in out2.columns
+        assert set(out2.columns) == set(df.columns)
+
+    def test_validation(self, fixture):
+        df, bench = fixture
+        with pytest.raises(ValueError, match="threshold"):
+            decontaminate(df, "doc_id", bench, threshold=0.0)
+        with pytest.raises(ValueError, match="method"):
+            contamination_scores(df, "doc_id", bench, method="nope")
+        with pytest.raises(ValueError, match="bloom_fpr"):
+            contamination_scores(df, "doc_id", bench, bloom_fpr=2.0)
+        with pytest.raises(ValueError, match="n must be"):
+            word_ngrams("text", 0)
+
+
+class TestWordNgrams:
+    def test_replica_parity_on_fixture_corpus(self, spark, sf_dir):
+        # the real documents table: every doc's gram set must equal
+        # the independent driver-side replica
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .select("doc_id", "text").limit(50)
+        got = {r["doc_id"]: set(r["g"]) for r in docs.select(
+            "doc_id", word_ngrams("text", 5).alias("g")).collect()}
+        for r in docs.collect():
+            assert got[r["doc_id"]] == ref_ngrams(r["text"], 5), \
+                f"doc {r['doc_id']}"
+
+    def test_nondistinct_keeps_duplicates(self, spark):
+        df = spark.createDataFrame([("a b a b a b",)], ["text"])
+        dup = df.select(word_ngrams("text", 2, distinct=False)
+                        .alias("g")).first()["g"]
+        dis = df.select(word_ngrams("text", 2).alias("g")).first()["g"]
+        assert len(dup) == 5 and len(dis) == 2
