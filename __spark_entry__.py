@@ -993,8 +993,9 @@ def q_text_stats(spark, sf_dir):
     # duplicate-line column a vacuous 0 == 0: append deterministic
     # multiline rows (text repeated over '\n') so the dup-line
     # expression is genuinely exercised (oracle builds the same rows)
-    src = base.select("lang", "text").unionByName(
+    src = base.unionByName(
         base.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
             "lang",
             F.concat(t, F.lit("\n"), t, F.lit("\n"), t).alias("text"),
         )
@@ -1023,13 +1024,26 @@ def q_text_stats(spark, sf_dir):
             )))
         ).alias("n_dup_lines"),
     )
-    return d.groupBy("lang").agg(
+    agg = d.groupBy("lang").agg(
         F.sum("n_tok").alias("tot_tokens"),
         F.sum("n_chars").alias("tot_chars"),
         F.sum("n_punct").alias("tot_punct"),
         F.sum("n_bpe").alias("tot_bpe_tokens"),
         F.sum("n_dup_lines").alias("tot_dup_lines"),
     )
+    # corpus-level line dedup gate (r6): keep_first removes every later
+    # occurrence of a line across docs — here each synthesized
+    # multiline row repeats a base doc's line 3x, so per lang exactly
+    # 3 x (synth docs) lines are removed, and the winner election is a
+    # genuinely global (doc_id, idx) min the oracle replicates with a
+    # window.  Integer totals -> exact cross-engine hash.
+    from gr_tdigest_spark.operators.dedup import dedup_lines
+
+    ded = dedup_lines(src, "doc_id").groupBy("lang").agg(
+        F.sum("n_lines_kept").alias("tot_lines_kept"),
+        F.sum("n_lines_removed").alias("tot_lines_removed"),
+    )
+    return agg.join(F.broadcast(ded), on="lang", how="inner")
 
 
 def q_quality_score(spark, sf_dir):
@@ -2183,11 +2197,31 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": (
             """
             WITH corpus AS (
-              SELECT lang, text FROM documents
+              SELECT doc_id, lang, text FROM documents
               UNION ALL
-              SELECT lang, text || chr(10) || text || chr(10) || text
+              SELECT doc_id + 1000000 AS doc_id, lang,
+                     text || chr(10) || text || chr(10) || text
               FROM documents WHERE doc_id % 10 = 0
-            )
+            ), lines AS (
+              SELECT doc_id, lang,
+                     unnest(string_split(text, chr(10))) AS ln,
+                     unnest(range(1, len(string_split(text, chr(10)))
+                                     + 1)) AS idx
+              FROM corpus
+            ), content AS (
+              SELECT * FROM lines WHERE trim(ln) <> ''
+            ), ranked AS (
+              SELECT lang, row_number() OVER (
+                PARTITION BY ln ORDER BY doc_id, idx) AS rn
+              FROM content
+            ), line_agg AS (
+              SELECT lang,
+                     sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS tot_lines_kept,
+                     sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS tot_lines_removed
+              FROM ranked GROUP BY lang
+            ), base_agg AS (
             SELECT lang,
                    sum(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')))
                      ::BIGINT AS tot_tokens,
@@ -2207,6 +2241,11 @@ def oracle_sql() -> dict[str, str]:
                          ln -> trim(ln) <> '')))
                    )::BIGINT AS tot_dup_lines
             FROM corpus GROUP BY lang
+            )
+            SELECT b.lang, b.tot_tokens, b.tot_chars, b.tot_punct,
+                   b.tot_bpe_tokens, b.tot_dup_lines,
+                   la.tot_lines_kept, la.tot_lines_removed
+            FROM base_agg b JOIN line_agg la USING (lang)
             """
         ),
         # replicates with_quality_score's expression tree in the same

@@ -33,6 +33,7 @@ __all__ = [
     "cluster_representatives",
     "dedup_keep_best",
     "near_dedup",
+    "dedup_lines",
 ]
 
 
@@ -556,3 +557,148 @@ def near_dedup(
         )
     clusters = near_dup_clusters(pairs.select("a", "b"))
     return dedup_keep_best(df, clusters, id_col, order_col)
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    mode: str = "keep_first",
+    max_count: Optional[int] = None,
+    broadcast_frequent: bool = True,
+) -> DataFrame:
+    """Corpus-level LINE deduplication — the C4/RefinedWeb boilerplate
+    step that no per-document operator can express: a line's fate
+    depends on every OTHER document containing it.
+
+    Two rules:
+
+    - ``mode='keep_first'`` (C4's rule): across the whole corpus, the
+      first occurrence of each distinct line survives; every later
+      occurrence is removed from its document.  "First" is the
+      occurrence with the smallest ``(id, line_index)`` — a global,
+      deterministic, partition-independent order (``id_col`` must be
+      orderable, unique, and non-NULL for analyzed rows).
+    - ``mode='drop_frequent'``: every occurrence of a line whose
+      corpus frequency exceeds ``max_count`` is removed (navigation
+      chrome, cookie banners, boilerplate headers) — including the
+      first one.
+
+    Line identity is the EXACT line string (documents split on
+    ``\\n``); blank lines (empty after SQL ``trim`` — i.e. spaces
+    only; a tab-only line counts as content) carry no content and are
+    dropped from every rebuilt document.  Rebuilt text preserves original line
+    text and order; a document left with no content lines gets NULL
+    text.  Appends ``n_lines_kept`` / ``n_lines_removed``.
+
+    Scale shape (what each mode shuffles at 100 TB):
+
+    - Both modes explode to (id, idx, line) once and aggregate line
+      frequencies/winners with map-side combine on the line's md5 —
+      ≤ one skinny row per distinct line, immune to a boilerplate
+      line occurring 10^9 times.
+    - ``keep_first`` rejoins winners on the composite
+      (line-hash, id, idx) — UNIQUE on both sides, so the join has no
+      skew by construction (a window over the line hash would funnel
+      every copy of a hot line through one task).
+    - ``drop_frequent``'s frequent-line set is boilerplate-sized and
+      broadcasts into an anti join (``broadcast_frequent=False`` for a
+      pathologically low ``max_count``).
+    - Document text moves through at most two content shuffles (the
+      winner rejoin and the per-document rebuild) — the irreducible
+      cost of an operator that rewrites documents from global line
+      state.
+
+    Rows with a NULL id cannot take part in a deterministic global
+    order, so they PASS THROUGH unchanged (text untouched, NULL
+    stats) and their lines neither claim first-occurrence slots nor
+    count toward frequencies — mirroring the samplers' unjoinable-id
+    contract.
+    """
+    if mode not in ("keep_first", "drop_frequent"):
+        raise ValueError(
+            f"dedup_lines mode must be keep_first/drop_frequent, "
+            f"got {mode!r}"
+        )
+    if mode == "drop_frequent":
+        if max_count is None or max_count < 1:
+            raise ValueError(
+                "dedup_lines mode='drop_frequent' needs max_count >= 1"
+            )
+    elif max_count is not None:
+        raise ValueError("dedup_lines max_count only applies to "
+                         "mode='drop_frequent'")
+
+    analyzed = df.where(F.col(id_col).isNotNull())
+    passthru = df.where(F.col(id_col).isNull()).select(
+        "*",
+        F.lit(None).cast("long").alias("n_lines_kept"),
+        F.lit(None).cast("long").alias("n_lines_removed"),
+    )
+
+    lines = analyzed.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "__idx", "__ln"
+        ),
+    )
+    content = lines.where(F.trim("__ln") != "").withColumn(
+        "__lh", F.md5(F.col("__ln").cast("binary"))
+    )
+
+    if mode == "keep_first":
+        winners = content.groupBy("__lh").agg(
+            F.min(F.struct(
+                F.col(id_col).alias("i"), F.col("__idx").alias("x")
+            )).alias("__w")
+        ).select(
+            "__lh",
+            F.col("__w.i").alias(id_col), F.col("__w.x").alias("__idx"),
+        )
+        kept_lines = content.join(
+            winners, on=["__lh", id_col, "__idx"], how="leftsemi"
+        )
+    else:
+        frequent = (
+            content.groupBy("__lh")
+            .agg(F.count("*").alias("__n"))
+            .where(F.col("__n") > int(max_count))
+            .select("__lh")
+        )
+        if broadcast_frequent:
+            frequent = F.broadcast(frequent)
+        kept_lines = content.join(frequent, on="__lh", how="left_anti")
+
+    rebuilt = kept_lines.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("__idx").alias("x"),
+                             F.col("__ln").alias("ln"))
+                )),
+                lambda s: s["ln"],
+            ),
+        ).alias("__new_text"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    # content-line totals per doc: removed = total content - kept
+    totals = content.groupBy(id_col).agg(
+        F.count("*").alias("__n_content")
+    )
+    out = (
+        analyzed.join(totals, on=id_col, how="left")
+        .join(rebuilt, on=id_col, how="left")
+        .withColumn(
+            "n_lines_kept",
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "n_lines_removed",
+            (F.coalesce(F.col("__n_content"), F.lit(0))
+             - F.col("n_lines_kept")).cast("long"),
+        )
+        .withColumn(text_col, F.col("__new_text"))
+        .drop("__new_text", "__n_content")
+    )
+    return out.unionByName(passthru)
