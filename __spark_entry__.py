@@ -956,6 +956,23 @@ def q_dedup_exact(spark, sf_dir):
     red = redact_pii(d, "text", out_col="red")
     benchmark = base.filter(F.col("doc_id") % 17 == 0)
     scored = contamination_scores(red, "doc_id", benchmark, n=5)
+    # corpus-overlap gate (r6): two overlapping dumps carved from the
+    # docs table by doc_id % 10 (A: 0-6, B: 5-9 → docs 5-6 shared);
+    # unit='doc' with k=65536 keeps the KMV sketches below capacity at
+    # every driver SF, so every returned figure is EXACT and the
+    # oracle recomputes the identical set arithmetic on distinct texts
+    from gr_tdigest_spark.operators.contamination import corpus_overlap
+
+    ov = corpus_overlap(
+        base.filter(F.col("doc_id") % 10 < 7),
+        base.filter(F.col("doc_id") % 10 >= 5),
+        unit="doc", k=65536,
+    ).select(
+        F.col("distinct_a").alias("ov_distinct_a"),
+        F.col("distinct_b").alias("ov_distinct_b"),
+        F.col("intersection_size").alias("ov_intersection"),
+        F.col("jaccard").alias("ov_jaccard"),
+    )
     return scored.agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("fp").alias("n_unique"),
@@ -971,7 +988,7 @@ def q_dedup_exact(spark, sf_dir):
         F.sum(
             (F.col("contamination") >= 0.35).cast("long")
         ).alias("n_contaminated"),
-    )
+    ).crossJoin(ov)
 
 
 def q_text_stats(spark, sf_dir):
@@ -2177,6 +2194,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT g.doc_id, len(g.g) AS n_grams,
                      coalesce(h.n_hit, 0) AS n_hit
               FROM grams g LEFT JOIN hits h USING (doc_id)
+            ), ta AS (
+              SELECT DISTINCT text FROM documents WHERE doc_id % 10 < 7
+            ), tb AS (
+              SELECT DISTINCT text FROM documents WHERE doc_id % 10 >= 5
+            ), ov AS (
+              SELECT (SELECT count(*) FROM ta)::DOUBLE AS ov_distinct_a,
+                     (SELECT count(*) FROM tb)::DOUBLE AS ov_distinct_b,
+                     (SELECT count(*) FROM ta JOIN tb USING (text))
+                       ::DOUBLE AS ov_intersection
             )
             SELECT count(*) AS n_docs,
                    count(DISTINCT md5(lower(trim(
@@ -2190,7 +2216,13 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM scored
                     WHERE n_grams > 0
                       AND n_hit * 1.0 / n_grams >= 0.35)::BIGINT
-                     AS n_contaminated
+                     AS n_contaminated,
+                   (SELECT ov_distinct_a FROM ov) AS ov_distinct_a,
+                   (SELECT ov_distinct_b FROM ov) AS ov_distinct_b,
+                   (SELECT ov_intersection FROM ov) AS ov_intersection,
+                   (SELECT ov_intersection
+                      / (ov_distinct_a + ov_distinct_b - ov_intersection)
+                    FROM ov) AS ov_jaccard
             FROM corpus
             """
         ),

@@ -50,7 +50,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-__all__ = ["word_ngrams", "contamination_scores", "decontaminate"]
+__all__ = ["word_ngrams", "contamination_scores", "decontaminate",
+           "corpus_overlap"]
 
 # explicit ASCII whitespace class: Java regex \s and RE2/DuckDB \s
 # disagree on \x0B (q_text_stats precedent) — the token boundary must
@@ -277,3 +278,94 @@ def decontaminate(
     if keep_scores:
         return kept
     return kept.drop("n_grams", "n_hit", "contamination")
+
+
+def _unit_hash_rows(df: DataFrame, text_col: str, unit: str, n: int,
+                    seed: int) -> DataFrame:
+    """One int64 hash row per content unit of each document — all JVM
+    (xxhash64), so only 8-byte hashes ever reach the sketch aggregate."""
+    if unit == "ngram":
+        return df.select(
+            F.explode(
+                _gram_hashes(word_ngrams(text_col, n), seed)
+            ).alias("__uh")
+        )
+    if unit == "line":
+        ln = F.explode(F.split(F.col(text_col), "\n")).alias("__ln")
+        return (
+            df.select(ln)
+            .where(F.trim("__ln") != "")
+            .select(F.xxhash64("__ln", F.lit(int(seed))).alias("__uh"))
+        )
+    if unit == "doc":
+        return (
+            df.where(F.col(text_col).isNotNull())
+            .select(F.xxhash64(text_col, F.lit(int(seed))).alias("__uh"))
+        )
+    raise ValueError(
+        f"corpus_overlap unit must be ngram/line/doc, got {unit!r}"
+    )
+
+
+def corpus_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    unit: str = "ngram",
+    n: int = 5,
+    k: int = 4096,
+    seed: int = 0,
+) -> DataFrame:
+    """Estimated set overlap between two corpora (crawl dumps, dataset
+    versions, train vs. eval) from one bounded sketch per side.
+
+    ``unit`` picks the comparison granularity: ``'ngram'`` (distinct
+    word ``n``-grams — near-dup-aware content overlap), ``'line'``
+    (shared boilerplate / copied passages), ``'doc'`` (exact document
+    texts — "how many docs of dump B are already in dump A").
+
+    Scale shape: each corpus is scanned ONCE; units hash to int64
+    JVM-side, a bottom-k (KMV) sketch aggregates with map-side combine
+    (≤ k entries of state on every executor), and exactly TWO blobs
+    reach the driver, where the classical KMV composition
+    (:func:`gr_tdigest_spark.sketches.bottomk.overlap_estimate`)
+    yields Jaccard, union/intersection sizes, and containments.  All
+    estimates are EXACT when the union has < ``k`` distinct units;
+    above it the distinct estimates carry ~1/√(k−2) relative error
+    and Jaccard ~1/(2√k) absolute.
+
+    Returns a single-row DataFrame:
+    ``(distinct_a, distinct_b, union_size, intersection_size, jaccard,
+    containment_a_in_b, containment_b_in_a)`` — containment_a_in_b is
+    the fraction of A's units also present in B (novelty of B relative
+    to A = 1 − containment_b_in_a).
+    """
+    from gr_tdigest_spark.operators.companions import bottomk_agg
+    from gr_tdigest_spark.sketches.bottomk import (
+        BottomK, overlap_estimate,
+    )
+
+    def _sketch(d: DataFrame) -> BottomK:
+        # an EMPTY corpus yields no aggregate row at all (global UDAF
+        # over zero rows) — treat both no-row and NULL-blob as empty
+        row = bottomk_agg(
+            _unit_hash_rows(d, text_col, unit, n, seed),
+            keys=None, col="__uh", k=k, seed=seed + 31,
+        ).select("bottomk").first()
+        blob = row[0] if row is not None else None
+        return BottomK.from_bytes(bytes(blob)) if blob is not None \
+            else BottomK(k=max(k, 2), seed=seed + 31)
+
+    est = overlap_estimate(_sketch(df_a), _sketch(df_b))
+    spark = df_a.sparkSession
+    return spark.createDataFrame(
+        [(
+            float(est["distinct_a"]), float(est["distinct_b"]),
+            float(est["union"]), float(est["intersection"]),
+            float(est["jaccard"]), float(est["containment_a_in_b"]),
+            float(est["containment_b_in_a"]),
+        )],
+        "distinct_a double, distinct_b double, union_size double, "
+        "intersection_size double, jaccard double, "
+        "containment_a_in_b double, containment_b_in_a double",
+    )

@@ -41,7 +41,7 @@ import numpy as np
 
 from gr_tdigest_spark.sketches.hashing import hash64
 
-__all__ = ["BottomK", "WeightedBottomK"]
+__all__ = ["BottomK", "WeightedBottomK", "overlap_estimate"]
 
 _MAGIC = b"GSBK"
 _HEAD = "<BIqd"  # version, k, seed, n_items
@@ -347,3 +347,55 @@ class WeightedBottomK(BottomK):
             h_all, v_all = h_all[keep], v_all[keep]
         self.hashes = h_all[: self.k]
         self.values = v_all[: self.k]
+
+
+def overlap_estimate(a: "BottomK", b: "BottomK") -> dict:
+    """KMV set-operation estimates from two bottom-k sketches built
+    over the same hash domain (same seed; enforced by ``merge``).
+
+    The classical KMV composition (Beyer et al., SIGMOD'07): the
+    merged sketch U holds the k smallest hashes of A∪B — a uniform
+    sample of the union — so the fraction of U's hashes present in
+    BOTH input sketches estimates Jaccard, and scaling by U's
+    distinct estimate gives the intersection size::
+
+        Ĵ = |{h ∈ U : h ∈ A_k ∧ h ∈ B_k}| / |U|
+        |A∩B| ≈ Ĵ · D̂(A∪B)
+
+    Exact whenever the union has fewer than k distinct values (every
+    sketch below capacity).  Returns a dict with ``distinct_a/b``,
+    ``union``, ``intersection``, ``jaccard``, ``containment_a_in_b``
+    (= |A∩B|/|A|, how much of A also appears in B) and
+    ``containment_b_in_a``; the intersection is clamped to
+    ``min(distinct_a, distinct_b)`` so containments stay in [0, 1].
+    Both sketches empty → NaN jaccard/containments, zeros elsewhere.
+    """
+    u = a.merge(b)
+    da = a.distinct_estimate()
+    db = b.distinct_estimate()
+    union = u.distinct_estimate()
+    if u.hashes.size == 0:
+        nan = float("nan")
+        return {
+            "distinct_a": 0.0, "distinct_b": 0.0, "union": 0.0,
+            "intersection": 0.0, "jaccard": nan,
+            "containment_a_in_b": nan, "containment_b_in_a": nan,
+        }
+    both = np.isin(u.hashes, a.hashes) & np.isin(u.hashes, b.hashes)
+    j = float(both.sum()) / float(u.hashes.size)
+    if u.hashes.size < u.k:
+        # exact regime: U holds every distinct hash, so the match
+        # count IS the intersection — don't round-trip it through
+        # (i/u)·u, which need not return the integer exactly
+        inter = float(both.sum())
+    else:
+        inter = min(j * union, da, db)
+    return {
+        "distinct_a": da,
+        "distinct_b": db,
+        "union": union,
+        "intersection": inter,
+        "jaccard": j,
+        "containment_a_in_b": inter / da if da > 0 else float("nan"),
+        "containment_b_in_a": inter / db if db > 0 else float("nan"),
+    }
