@@ -186,6 +186,37 @@ def main() -> None:
         .agg(F.count("*")).collect(),
     )
 
+    # benchmark decontamination over the docs corpus, Bloom path (r6):
+    # the shuffle-free shape — one Bloom blob of the benchmark's
+    # 8-gram hashes, then a row-local probe of every doc's JVM-hashed
+    # gram array (no join, no shuffle on the corpus side)
+    from gr_tdigest_spark.operators.contamination import (
+        contamination_scores,
+    )
+    doc_bench = docs.where(F.col("doc_id") % 17 == 0)
+    bench(
+        "q16_decontaminate_bloom",
+        lambda: contamination_scores(
+            docs, "doc_id", doc_bench, n=8, method="bloom"
+        ).agg(F.sum("n_hit"), F.count("*")).collect(),
+    )
+
+    # corpus-level line dedup, keep_first (r6): 3-line docs (the
+    # text_stats synthesis) → explode, map-side-combined winner
+    # election on md5(line), skew-free composite rejoin, per-doc
+    # rebuild — the C4 boilerplate-removal shape
+    from gr_tdigest_spark.operators.dedup import dedup_lines
+    t3 = F.col("text")
+    docs3 = docs.select(
+        "doc_id",
+        F.concat(t3, F.lit("\n"), t3, F.lit("\n"), t3).alias("text"),
+    )
+    bench(
+        "q17_line_dedup",
+        lambda: dedup_lines(docs3, "doc_id")
+        .agg(F.sum("n_lines_kept"), F.sum("n_lines_removed")).collect(),
+    )
+
     # transcript sketch-build throughput (turns/sec), the BASELINE metric
     from gr_tdigest_spark.sources.transcripts import transcripts_df
 

@@ -13,7 +13,9 @@ column in the keys to get windowed digests that keep accepting
 out-of-order turns until the watermark passes.
 """
 
+from gr_tdigest_spark.streaming.dedup_stream import stream_dedup_exact
 from gr_tdigest_spark.streaming.sketch_stream import sketch_stream_agg
 from gr_tdigest_spark.streaming.tdigest_stream import tdigest_stream_agg
 
-__all__ = ["sketch_stream_agg", "tdigest_stream_agg"]
+__all__ = ["sketch_stream_agg", "tdigest_stream_agg",
+           "stream_dedup_exact"]

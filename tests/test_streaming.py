@@ -323,3 +323,115 @@ def test_streaming_hll_stable_dtype_across_null_batches(spark, tmp_path):
     ref.add(np.array([7], dtype=np.int64))
     np.testing.assert_array_equal(got.registers, ref.registers)
     assert round(got.estimate()) == 1
+
+
+def test_stream_dedup_exact_matches_batch_identity(spark, tmp_path):
+    """Streaming dedup keeps exactly one row per content fingerprint
+    across micro-batches AND across a checkpoint restart, and the
+    surviving fingerprint SET equals batch dedup_exact's."""
+    import pandas as pd  # noqa: F401  (parity with suite imports)
+    from gr_tdigest_spark.operators.dedup import dedup_exact
+    from gr_tdigest_spark.operators.text import with_fingerprint
+    from gr_tdigest_spark.streaming import stream_dedup_exact
+
+    src = str(tmp_path / "in_dd")
+    ckpt = str(tmp_path / "ckpt_dd")
+    os.makedirs(src)
+
+    schema = "doc_id long, text string"
+    b1 = [(1, "alpha doc"), (2, "beta doc"), (3, "Alpha   DOC")]
+    b2 = [(4, "beta doc"), (5, "gamma doc"), (6, "alpha doc")]
+
+    collected = []
+
+    def sink(df, epoch_id):
+        collected.extend(df.collect())
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_dedup_exact(stream, "text")
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+    run_once()
+    # restart from checkpoint: cross-run duplicates must still drop
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    run_once()
+
+    # one survivor per fingerprint: 'alpha doc' ~ 'Alpha   DOC' (the
+    # batch normalization), 'beta doc' deduped across runs
+    batch = spark.createDataFrame(b1 + b2, schema)
+    exp_fps = {
+        r["fp"] for r in with_fingerprint(batch, "text", "fp")
+        .select("fp").distinct().collect()
+    }
+    got_fps = [
+        r["fp"] for r in with_fingerprint(
+            spark.createDataFrame(collected, schema), "text", "fp"
+        ).select("fp").collect()
+    ]
+    assert sorted(got_fps) == sorted(set(got_fps)), "dup fingerprint kept"
+    assert set(got_fps) == exp_fps
+    # and the batch operator sees the same identity partition
+    assert dedup_exact(batch, "doc_id", "text").count() == len(exp_fps)
+    # within-run + cross-run dedup actually dropped rows
+    assert len(collected) == 3
+
+
+def test_bloom_contamination_is_stream_safe(spark, tmp_path):
+    """The bloom contamination path is stateless/shuffle-free, so it
+    runs unchanged on a stream; per-row scores equal the batch run."""
+    from gr_tdigest_spark.operators.contamination import (
+        contamination_scores,
+    )
+
+    src = str(tmp_path / "in_ct")
+    ckpt = str(tmp_path / "ckpt_ct")
+    os.makedirs(src)
+
+    schema = "doc_id long, text string"
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "totally novel words that never appeared anywhere else"),
+        (3, "prefix words then the quick brown fox jumps over the end"),
+    ]
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], ["text"]
+    )
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+    collected = []
+
+    def sink(df, epoch_id):
+        collected.extend(df.collect())
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        contamination_scores(stream, "doc_id", bench, n=3,
+                             method="bloom", bloom_fpr=1e-9)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {r["doc_id"]: (r["n_grams"], r["n_hit"]) for r in collected}
+    exp = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"])
+        for r in contamination_scores(
+            spark.createDataFrame(rows, schema), "doc_id", bench,
+            n=3, method="bloom", bloom_fpr=1e-9
+        ).collect()
+    }
+    assert got == exp
+    assert got[1][1] == got[1][0] > 0   # benchmark copy fully hit
+    assert got[2][1] == 0               # clean doc
