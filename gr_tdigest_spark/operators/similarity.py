@@ -28,6 +28,7 @@ __all__ = [
     "lsh_bucket_topk",
     "embedding_near_dup_pairs",
     "build_ann_index",
+    "append_to_ann_index",
     "ann_index_topk",
     "ann_index_topk_batch",
     "build_ivf_index",
@@ -306,6 +307,41 @@ def build_ann_index(
     spark.createDataFrame(
         plane_rows, schema="plane_id long, vec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}_planes")
+
+
+def append_to_ann_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a persisted hyperplane index with the
+    FROZEN stored planes — the daily-ingest twin of
+    :func:`append_to_ivf_index`.
+
+    Bucket assignment is the identical sign-bit expression the builder
+    uses, re-instantiated from the ``_planes`` table, and rows land in
+    their ``bucket=`` partition directories with ``mode('append')`` —
+    existing partitions and the plane table are untouched, so
+    concurrent readers keep partition-pruning correctly and an
+    appended index EQUALS rebuilding on the union (hyperplanes are
+    data-independent, so unlike IVF there is no drift to manage: the
+    appended layout is exactly the rebuilt layout, forever).  The
+    caller owns id uniqueness across appends (append never
+    deduplicates)."""
+    spark = df.sparkSession
+    prows = spark.read.parquet(f"{path}_planes").collect()
+    if not prows:
+        raise ValueError(
+            f"append_to_ann_index: no hyperplanes at {path}_planes — "
+            "build the index first"
+        )
+    planes = np.asarray(
+        [list(r["vec"]) for r in
+         sorted(prows, key=lambda r: r["plane_id"])],
+        dtype=np.float64,
+    )
+    b = df.withColumn("bucket", _bucket_expr(F.col(vec_col), planes))
+    b.write.partitionBy("bucket").mode("append").parquet(path)
 
 
 def ann_index_topk(

@@ -1842,3 +1842,66 @@ class TestIvfAppend:
         after = plan.split("PartitionFilters: [", 1)
         assert len(after) == 2 and "list_id" in after[1][:300]
         assert pruned.count() >= 1
+
+
+class TestAnnAppend:
+    def test_append_equals_rebuild_on_union(self, spark, tmp_path):
+        """append_to_ann_index buckets with the FROZEN stored planes:
+        the appended index holds the same (vec_id, bucket) layout as
+        rebuilding on the union (hyperplanes are data-independent),
+        appended vectors are findable, and the probe's partition
+        pruning stays in the plan."""
+        import numpy as np
+
+        from gr_tdigest_spark.operators.similarity import (
+            ann_index_topk, append_to_ann_index, build_ann_index,
+            cosine_topk,
+        )
+
+        rng = np.random.default_rng(47)
+        A = rng.standard_normal((60, 12))
+        B = rng.standard_normal((30, 12))
+        dfa = spark.createDataFrame(
+            [(int(i), A[i].tolist()) for i in range(60)],
+            "vec_id long, embedding array<double>",
+        )
+        dfb = spark.createDataFrame(
+            [(int(100 + i), B[i].tolist()) for i in range(30)],
+            "vec_id long, embedding array<double>",
+        )
+        union = dfa.union(dfb)
+
+        path = str(tmp_path / "ann_app")
+        build_ann_index(dfa, path, n_planes=6, seed=23)
+        append_to_ann_index(dfb, path)
+
+        rebuilt = str(tmp_path / "ann_reb")
+        build_ann_index(union, rebuilt, n_planes=6, seed=23)
+        lay_a = {(r["vec_id"], r["bucket"])
+                 for r in spark.read.parquet(path).collect()}
+        lay_r = {(r["vec_id"], r["bucket"])
+                 for r in spark.read.parquet(rebuilt).collect()}
+        assert lay_a == lay_r and len(lay_a) == 90
+
+        # full-probe (multiprobe covers all buckets at tiny n_planes?
+        # no — compare against the REBUILT index instead: identical
+        # layout must give identical answers at any multiprobe)
+        q = B[7]
+        got = [(r["vec_id"], round(r["cosine"], 9))
+               for r in ann_index_topk(spark, path, q, k=5,
+                                       multiprobe=1).collect()]
+        ref = [(r["vec_id"], round(r["cosine"], 9))
+               for r in ann_index_topk(spark, rebuilt, q, k=5,
+                                       multiprobe=1).collect()]
+        assert got == ref
+        # the appended vector's own bucket is probed at multiprobe=0:
+        # its exact copy must surface as the top hit
+        hit = ann_index_topk(spark, path, B[7], k=1).collect()
+        assert hit[0]["vec_id"] == 107
+
+        # pruning pin: the probe scan carries partition filters
+        plan = ann_index_topk(
+            spark, path, q, k=3
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
