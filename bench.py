@@ -193,11 +193,18 @@ def main() -> None:
     from gr_tdigest_spark.operators.contamination import (
         contamination_scores,
     )
+    # the fixture corpus is ONE ~50 MB parquet file → a 1-task scan;
+    # the bloom path is deliberately shuffle-free, so without a
+    # repartition the whole probe would inherit that single task. A
+    # real corpus arrives as thousands of files (scan parallelism for
+    # free) — restore the representative shape, once, outside timing.
+    docs_p = docs.repartition(cpus).persist()
+    docs_p.count()
     doc_bench = docs.where(F.col("doc_id") % 17 == 0)
     bench(
         "q16_decontaminate_bloom",
         lambda: contamination_scores(
-            docs, "doc_id", doc_bench, n=8, method="bloom"
+            docs_p, "doc_id", doc_bench, n=8, method="bloom"
         ).agg(F.sum("n_hit"), F.count("*")).collect(),
     )
 
@@ -207,7 +214,7 @@ def main() -> None:
     # rebuild — the C4 boilerplate-removal shape
     from gr_tdigest_spark.operators.dedup import dedup_lines
     t3 = F.col("text")
-    docs3 = docs.select(
+    docs3 = docs_p.select(
         "doc_id",
         F.concat(t3, F.lit("\n"), t3, F.lit("\n"), t3).alias("text"),
     )
@@ -216,6 +223,7 @@ def main() -> None:
         lambda: dedup_lines(docs3, "doc_id")
         .agg(F.sum("n_lines_kept"), F.sum("n_lines_removed")).collect(),
     )
+    docs_p.unpersist()
 
     # transcript sketch-build throughput (turns/sec), the BASELINE metric
     from gr_tdigest_spark.sources.transcripts import transcripts_df

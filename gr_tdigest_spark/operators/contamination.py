@@ -51,7 +51,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 __all__ = ["word_ngrams", "contamination_scores", "decontaminate",
-           "corpus_overlap"]
+           "corpus_overlap", "build_contamination_filter",
+           "ContaminationFilter"]
 
 # explicit ASCII whitespace class: Java regex \s and RE2/DuckDB \s
 # disagree on \x0B (q_text_stats precedent) — the token boundary must
@@ -91,11 +92,17 @@ def word_ngrams(text_col: Union[str, Column], n: int,
         raise ValueError("word_ngrams needs a column NAME (the "
                          "expression is built in SQL form)")
     toks = _norm_tokens_sql(f"`{name}`")
+    # let-bind the token array ONCE via transform(array(toks), t ->
+    # ...)[0]: Catalyst's subexpression elimination does not cover
+    # repeated higher-order-function subtrees, so naming `toks` in
+    # each of the four use sites re-ran regexp+split+filter per site —
+    # measured 5× slower on the fixture corpus
     grams = (
-        f"CASE WHEN size({toks}) >= {int(n)} THEN "
-        f"transform(sequence(0, size({toks}) - {int(n)}), "
-        f"i -> concat_ws(' ', slice({toks}, i + 1, {int(n)}))) "
-        f"ELSE array() END"
+        f"transform(array({toks}), t -> "
+        f"CASE WHEN size(t) >= {int(n)} THEN "
+        f"transform(sequence(0, size(t) - {int(n)}), "
+        f"i -> concat_ws(' ', slice(t, i + 1, {int(n)}))) "
+        f"ELSE array() END)[0]"
     )
     if distinct:
         grams = f"array_distinct({grams})"
@@ -120,10 +127,59 @@ def _bench_gram_rows(benchmark: DataFrame, text_col: str,
     )
 
 
+class ContaminationFilter:
+    """A prebuilt benchmark Bloom filter with its gram config pinned —
+    pass to :func:`contamination_scores` as ``benchmark`` to amortize
+    the benchmark build across corpora / bench iterations / streaming
+    micro-batch plans.  Build with :func:`build_contamination_filter`;
+    carrying (n, seed) inside the object makes a config-mismatched
+    probe impossible by construction."""
+
+    __slots__ = ("blob", "n", "seed", "n_bench_grams")
+
+    def __init__(self, blob: bytes, n: int, seed: int,
+                 n_bench_grams: int):
+        self.blob = blob
+        self.n = n
+        self.seed = seed
+        self.n_bench_grams = n_bench_grams
+
+
+def build_contamination_filter(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    seed: int = 0,
+    bloom_fpr: float = 1e-6,
+) -> ContaminationFilter:
+    """One-time build of the benchmark's gram Bloom filter (the same
+    tree-aggregated build the inline bloom path runs per call).  The
+    returned object is a plain driver-side value — reusable across
+    any number of corpora, picklable into checkpoints."""
+    from gr_tdigest_spark.operators.companions import bloom_agg
+    from gr_tdigest_spark.sketches.bloom import optimal_bloom
+
+    if not (0.0 < bloom_fpr < 1.0):
+        raise ValueError("bloom_fpr must be in (0, 1)")
+    bench_hashes = _bench_gram_rows(benchmark, text_col, n).select(
+        F.xxhash64("__gram", F.lit(int(seed))).alias("__gh")
+    )
+    n_bench = bench_hashes.count()
+    shape = optimal_bloom(max(n_bench, 1), fpr=bloom_fpr,
+                          seed=11 + seed)
+    row = bloom_agg(
+        bench_hashes, keys=None, col="__gh",
+        m_bits=shape.m_bits, k=shape.k, seed=shape.seed,
+    ).select("bloom").first()
+    blob = bytes(row[0]) if row is not None and row[0] is not None \
+        else shape.to_bytes()
+    return ContaminationFilter(blob, int(n), int(seed), int(n_bench))
+
+
 def contamination_scores(
     df: DataFrame,
     id_cols: Union[str, Sequence[str]],
-    benchmark: DataFrame,
+    benchmark: Union[DataFrame, ContaminationFilter],
     text_col: str = "text",
     bench_text_col: Optional[str] = None,
     n: int = 8,
@@ -157,6 +213,12 @@ def contamination_scores(
     rows uniquely and non-NULL — the join path reassembles scores by
     id.  The bloom path computes scores row-locally and carries no id
     requirement (duplicate/NULL ids pass through).
+
+    ``benchmark`` may be a prebuilt :class:`ContaminationFilter`
+    (bloom method only — its pinned ``n``/``seed`` override the
+    arguments): the per-call benchmark gram scan + Bloom aggregation
+    disappears, which is the shape for scoring many corpora — or
+    every micro-batch of a stream — against one eval set.
     """
     if method not in ("join", "bloom"):
         raise ValueError(
@@ -165,6 +227,14 @@ def contamination_scores(
     if not (0.0 < bloom_fpr < 1.0):
         raise ValueError("bloom_fpr must be in (0, 1)")
     ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    if isinstance(benchmark, ContaminationFilter):
+        if method != "bloom":
+            raise ValueError(
+                "a prebuilt ContaminationFilter requires method='bloom' "
+                "(the join path needs the benchmark gram TABLE)"
+            )
+        return _bloom_probe(df, text_col, benchmark.blob,
+                            benchmark.n, benchmark.seed)
     btc = bench_text_col or text_col
     bench = _bench_gram_rows(benchmark, btc, n)
 
@@ -218,7 +288,15 @@ def _bloom_scores(df: DataFrame, text_col: str, bench: DataFrame,
         bench_hashes, keys=None, col="__gh",
         m_bits=shape.m_bits, k=shape.k, seed=shape.seed,
     ).select("bloom").first()
-    bc = df.sparkSession.sparkContext.broadcast(bytes(blob_row[0]))
+    return _bloom_probe(df, text_col, bytes(blob_row[0]), n, seed)
+
+
+def _bloom_probe(df: DataFrame, text_col: str, blob: bytes,
+                 n: int, seed: int) -> DataFrame:
+    """Row-local probe of a (pre)built benchmark Bloom blob."""
+    from gr_tdigest_spark.sketches.bloom import BloomFilter
+
+    bc = df.sparkSession.sparkContext.broadcast(blob)
 
     @F.pandas_udf(LongType())
     def _hit_count(grams: pd.Series) -> pd.Series:

@@ -646,6 +646,10 @@ def dedup_lines(
         "__lh", F.md5(F.col("__ln").cast("binary"))
     )
 
+    # mark every content row kept/removed with ONE join, then fold
+    # kept count, removed count, AND the rebuilt text in ONE per-doc
+    # aggregate — a separate totals pass + second join would shuffle
+    # the corpus text an extra time for numbers this agg already sees
     if mode == "keep_first":
         winners = content.groupBy("__lh").agg(
             F.min(F.struct(
@@ -654,51 +658,56 @@ def dedup_lines(
         ).select(
             "__lh",
             F.col("__w.i").alias(id_col), F.col("__w.x").alias("__idx"),
+            F.lit(True).alias("__keep"),
         )
-        kept_lines = content.join(
-            winners, on=["__lh", id_col, "__idx"], how="leftsemi"
-        )
+        marked = content.join(
+            winners, on=["__lh", id_col, "__idx"], how="left"
+        ).withColumn("__keep", F.col("__keep").isNotNull())
     else:
         frequent = (
             content.groupBy("__lh")
             .agg(F.count("*").alias("__n"))
             .where(F.col("__n") > int(max_count))
-            .select("__lh")
+            .select("__lh", F.lit(True).alias("__drop"))
         )
         if broadcast_frequent:
             frequent = F.broadcast(frequent)
-        kept_lines = content.join(frequent, on="__lh", how="left_anti")
+        marked = content.join(
+            frequent, on="__lh", how="left"
+        ).withColumn("__keep", F.col("__drop").isNull()).drop("__drop")
 
-    rebuilt = kept_lines.groupBy(id_col).agg(
+    kept = F.col("__keep")
+    stats = marked.groupBy(id_col).agg(
+        F.sum(kept.cast("long")).alias("n_lines_kept"),
+        F.sum((~kept).cast("long")).alias("n_lines_removed"),
+        # collect_list skips NULL entries, so only kept rows land in
+        # the rebuild array
         F.concat_ws(
             "\n",
             F.transform(
-                F.array_sort(F.collect_list(
+                F.array_sort(F.collect_list(F.when(
+                    kept,
                     F.struct(F.col("__idx").alias("x"),
-                             F.col("__ln").alias("ln"))
-                )),
+                             F.col("__ln").alias("ln")),
+                ))),
                 lambda s: s["ln"],
             ),
         ).alias("__new_text"),
-        F.count("*").alias("n_lines_kept"),
-    )
-    # content-line totals per doc: removed = total content - kept
-    totals = content.groupBy(id_col).agg(
-        F.count("*").alias("__n_content")
     )
     out = (
-        analyzed.join(totals, on=id_col, how="left")
-        .join(rebuilt, on=id_col, how="left")
+        analyzed.join(stats, on=id_col, how="left")
         .withColumn(
             "n_lines_kept",
             F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long"),
         )
         .withColumn(
             "n_lines_removed",
-            (F.coalesce(F.col("__n_content"), F.lit(0))
-             - F.col("n_lines_kept")).cast("long"),
+            F.coalesce(F.col("n_lines_removed"), F.lit(0)).cast("long"),
         )
-        .withColumn(text_col, F.col("__new_text"))
-        .drop("__new_text", "__n_content")
+        .withColumn(
+            text_col,
+            F.when(F.col("n_lines_kept") > 0, F.col("__new_text")),
+        )
+        .drop("__new_text")
     )
     return out.unionByName(passthru)

@@ -223,3 +223,61 @@ class TestWordNgrams:
                         .alias("g")).first()["g"]
         dis = df.select(word_ngrams("text", 2).alias("g")).first()["g"]
         assert len(dup) == 5 and len(dis) == 2
+
+
+class TestPrebuiltFilter:
+    def test_prebuilt_equals_inline_bloom(self, fixture):
+        df, bench = fixture
+        from gr_tdigest_spark.operators.contamination import (
+            build_contamination_filter,
+        )
+
+        flt = build_contamination_filter(bench, n=N, bloom_fpr=1e-9)
+        pre = sorted(contamination_scores(df, "doc_id", flt,
+                                          method="bloom")
+                     .select("doc_id", "n_grams", "n_hit").collect())
+        inl = sorted(contamination_scores(df, "doc_id", bench, n=N,
+                                          method="bloom",
+                                          bloom_fpr=1e-9)
+                     .select("doc_id", "n_grams", "n_hit").collect())
+        assert pre == inl
+        assert flt.n == N and flt.n_bench_grams > 0
+
+    def test_filter_pins_its_own_config(self, fixture):
+        # the filter's (n, seed) win over the call's arguments: a probe
+        # with conflicting args still scores with the BUILT config
+        df, bench = fixture
+        from gr_tdigest_spark.operators.contamination import (
+            build_contamination_filter,
+        )
+
+        flt = build_contamination_filter(bench, n=N, seed=3)
+        with_args = contamination_scores(
+            df, "doc_id", flt, method="bloom", n=99, seed=42
+        ).select("doc_id", "n_hit")
+        ref = contamination_scores(
+            df, "doc_id", bench, method="bloom", n=N, seed=3,
+            bloom_fpr=1e-6,
+        ).select("doc_id", "n_hit")
+        assert sorted(with_args.collect()) == sorted(ref.collect())
+
+    def test_join_method_rejects_filter(self, fixture):
+        df, bench = fixture
+        from gr_tdigest_spark.operators.contamination import (
+            build_contamination_filter,
+        )
+
+        flt = build_contamination_filter(bench, n=N)
+        with pytest.raises(ValueError, match="method='bloom'"):
+            contamination_scores(df, "doc_id", flt, method="join")
+
+    def test_empty_benchmark_filter(self, spark, fixture):
+        df, _ = fixture
+        from gr_tdigest_spark.operators.contamination import (
+            build_contamination_filter,
+        )
+
+        empty = spark.createDataFrame([], "text string")
+        flt = build_contamination_filter(empty, n=N)
+        out = contamination_scores(df, "doc_id", flt, method="bloom")
+        assert all(r["n_hit"] == 0 for r in out.collect())
