@@ -956,6 +956,17 @@ def q_dedup_exact(spark, sf_dir):
     red = redact_pii(d, "text", out_col="red")
     benchmark = base.filter(F.col("doc_id") % 17 == 0)
     scored = contamination_scores(red, "doc_id", benchmark, n=5)
+    # token-SPAN contamination gate (r6): tokens covered by the union
+    # of matched 5-gram spans, summed corpus-wide.  The bloom filter
+    # at fpr=1e-12 makes a false positive across the corpus's probed
+    # grams ~1e-7-improbable AND deterministic, so the exact DuckDB
+    # range-join replica hash-matches
+    from gr_tdigest_spark.operators.contamination import (
+        token_contamination,
+    )
+
+    scored = token_contamination(scored, benchmark, n=5,
+                                 bloom_fpr=1e-12)
     # corpus-overlap gate (r6): two overlapping dumps carved from the
     # docs table by doc_id % 10 (A: 0-6, B: 5-9 → docs 5-6 shared);
     # unit='doc' with k=65536 keeps the KMV sketches below capacity at
@@ -988,6 +999,7 @@ def q_dedup_exact(spark, sf_dir):
         F.sum(
             (F.col("contamination") >= 0.35).cast("long")
         ).alias("n_contaminated"),
+        F.sum("n_contaminated_tokens").alias("tot_contam_tokens"),
     ).crossJoin(ov)
 
 
@@ -2194,6 +2206,27 @@ def oracle_sql() -> dict[str, str]:
               SELECT g.doc_id, len(g.g) AS n_grams,
                      coalesce(h.n_hit, 0) AS n_hit
               FROM grams g LEFT JOIN hits h USING (doc_id)
+            ), pgrams AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(tk) >= 5 THEN
+                       [array_to_string(tk[i+1:i+5], ' ')
+                        for i in range(0, len(tk) - 4)]
+                     ELSE [] END) AS gram,
+                     unnest(CASE WHEN len(tk) >= 5 THEN
+                       range(0, len(tk) - 4) ELSE [] END) AS gpos
+              FROM toks
+            ), thits AS (
+              SELECT DISTINCT p.doc_id, p.gpos
+              FROM pgrams p JOIN bench b ON p.gram = b.gram
+            ), tok_pos AS (
+              SELECT doc_id, unnest(range(0, len(tk))) AS pos FROM toks
+            ), cov AS (
+              SELECT count(*) AS tot_contam_tokens FROM (
+                SELECT DISTINCT t.doc_id, t.pos
+                FROM tok_pos t JOIN thits h
+                  ON t.doc_id = h.doc_id
+                 AND t.pos BETWEEN h.gpos AND h.gpos + 4
+              )
             ), ta AS (
               SELECT DISTINCT text FROM documents WHERE doc_id % 10 < 7
             ), tb AS (
@@ -2217,6 +2250,8 @@ def oracle_sql() -> dict[str, str]:
                     WHERE n_grams > 0
                       AND n_hit * 1.0 / n_grams >= 0.35)::BIGINT
                      AS n_contaminated,
+                   (SELECT tot_contam_tokens FROM cov)::BIGINT
+                     AS tot_contam_tokens,
                    (SELECT ov_distinct_a FROM ov) AS ov_distinct_a,
                    (SELECT ov_distinct_b FROM ov) AS ov_distinct_b,
                    (SELECT ov_intersection FROM ov) AS ov_intersection,

@@ -52,7 +52,8 @@ from pyspark.sql.types import LongType
 
 __all__ = ["word_ngrams", "contamination_scores", "decontaminate",
            "corpus_overlap", "build_contamination_filter",
-           "ContaminationFilter"]
+           "ContaminationFilter", "token_contamination",
+           "word_token_count"]
 
 # explicit ASCII whitespace class: Java regex \s and RE2/DuckDB \s
 # disagree on \x0B (q_text_stats precedent) — the token boundary must
@@ -446,4 +447,103 @@ def corpus_overlap(
         "distinct_a double, distinct_b double, union_size double, "
         "intersection_size double, jaccard double, "
         "containment_a_in_b double, containment_b_in_a double",
+    )
+
+
+def word_token_count(text_col: Union[str, Column]) -> Column:
+    """Normalized word-token count of a text column (the same token
+    boundary as :func:`word_ngrams`); 0 for NULL text."""
+    name = text_col if isinstance(text_col, str) else None
+    if name is None:
+        raise ValueError("word_token_count needs a column NAME")
+    toks = _norm_tokens_sql(f"`{name}`")
+    return F.expr(f"size(coalesce({toks}, array()))")
+
+
+def token_contamination(
+    df: DataFrame,
+    benchmark: Union[DataFrame, ContaminationFilter],
+    text_col: str = "text",
+    bench_text_col: Optional[str] = None,
+    n: int = 8,
+    seed: int = 0,
+    bloom_fpr: float = 1e-6,
+) -> DataFrame:
+    """Token-SPAN contamination (the Llama-2 App. A.6 measure): the
+    fraction of a document's tokens covered by at least one benchmark-
+    matching n-gram span.  Where :func:`contamination_scores` counts
+    matching grams, this measures how much of the document's token
+    mass sits inside matched spans — a doc quoting one benchmark
+    passage verbatim scores the passage's length, not a diluted gram
+    ratio.
+
+    Appends ``n_tokens``, ``n_contaminated_tokens`` (tokens covered by
+    the union of matched spans — overlapping spans counted once) and
+    ``token_contamination`` (their ratio; NULL when the doc has no
+    tokens).  Docs with fewer than ``n`` tokens carry no spans →
+    0 covered tokens.
+
+    Scale shape: POSITIONAL grams hash JVM-side, one Bloom probe per
+    Arrow batch, span-union coverage via a difference-array cumsum per
+    row — no shuffle, no join, stream-safe (same contract as the bloom
+    scores path).  False positives can only inflate coverage, never
+    miss it.  ``benchmark`` may be a prebuilt
+    :class:`ContaminationFilter` (its pinned n/seed override the
+    arguments).
+    """
+    from gr_tdigest_spark.sketches.bloom import BloomFilter
+
+    if isinstance(benchmark, ContaminationFilter):
+        blob, n, seed = benchmark.blob, benchmark.n, benchmark.seed
+    else:
+        flt = build_contamination_filter(
+            benchmark, bench_text_col or text_col, n, seed, bloom_fpr
+        )
+        blob = flt.blob
+    bc = df.sparkSession.sparkContext.broadcast(blob)
+    n_ = int(n)
+
+    @F.pandas_udf(LongType())
+    def _covered(grams: pd.Series) -> pd.Series:
+        sk = BloomFilter.from_bytes(bc.value)
+        arrs = [
+            np.asarray(a, dtype=np.int64) if a is not None
+            else np.empty(0, np.int64) for a in grams
+        ]
+        lens = np.array([a.size for a in arrs], dtype=np.int64)
+        flat = np.concatenate(arrs) if lens.sum() else \
+            np.empty(0, np.int64)
+        mem = sk.contains(flat) if flat.size else np.empty(0, bool)
+        out = np.zeros(len(arrs), dtype=np.int64)
+        off = 0
+        for r, L in enumerate(lens):
+            if L == 0:
+                continue
+            hits = np.nonzero(mem[off:off + L])[0]
+            off += L
+            if hits.size:
+                # union of [h, h+n) spans: difference array + cumsum
+                T = int(L) + n_ - 1
+                d = np.zeros(T + 1, dtype=np.int32)
+                np.add.at(d, hits, 1)
+                np.add.at(d, hits + n_, -1)
+                out[r] = int((np.cumsum(d[:-1]) > 0).sum())
+        return pd.Series(out)
+
+    doc = df.withColumn(
+        "__gh",
+        _gram_hashes(word_ngrams(text_col, n_, distinct=False), seed),
+    ).withColumn("n_tokens", word_token_count(text_col).cast("long"))
+    out = doc.withColumn(
+        "n_contaminated_tokens",
+        F.when(F.size("__gh") > 0, _covered("__gh"))
+        .otherwise(F.lit(0)).cast("long"),
+    ).drop("__gh")
+    return out.withColumn(
+        "token_contamination",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_contaminated_tokens").cast("double")
+            / F.col("n_tokens"),
+        ),
     )

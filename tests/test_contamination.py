@@ -281,3 +281,103 @@ class TestPrebuiltFilter:
         flt = build_contamination_filter(empty, n=N)
         out = contamination_scores(df, "doc_id", flt, method="bloom")
         assert all(r["n_hit"] == 0 for r in out.collect())
+
+
+def ref_token_coverage(text, bench_texts, n):
+    """Independent replica: tokens covered by the union of benchmark-
+    matching n-gram spans."""
+    if text is None:
+        return 0, 0
+    toks = [t for t in re.sub(r"[ \t\n\r\f]+", " ", text.lower())
+            .split(" ") if t]
+    T = len(toks)
+    bench = set()
+    for t in bench_texts:
+        bench |= ref_ngrams(t, n)
+    covered = set()
+    for i in range(T - n + 1):
+        if " ".join(toks[i:i + n]) in bench:
+            covered |= set(range(i, i + n))
+    return T, len(covered)
+
+
+class TestTokenContamination:
+    def test_matches_replica(self, fixture):
+        from gr_tdigest_spark.operators.contamination import (
+            token_contamination,
+        )
+
+        df, bench = fixture
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_contaminated_tokens"])
+            for r in token_contamination(
+                df, bench, n=N, bloom_fpr=1e-9
+            ).collect()
+        }
+        for i, t in DOCS:
+            exp = ref_token_coverage(t, BENCH, N)
+            assert got[i] == exp, f"doc {i}: {got[i]} != {exp}"
+
+    def test_span_vs_gram_measure(self, spark, fixture):
+        # one verbatim benchmark sentence inside a long doc: the token
+        # measure reports the passage's length, the gram measure a
+        # diluted ratio — both correct, deliberately different
+        from gr_tdigest_spark.operators.contamination import (
+            token_contamination,
+        )
+
+        _, bench = fixture
+        filler = " ".join(f"w{i}" for i in range(91))
+        df = spark.createDataFrame(
+            [(1, filler + " " + BENCH[0])], ["doc_id", "text"]
+        )
+        r = token_contamination(df, bench, n=3, bloom_fpr=1e-9).first()
+        # 9 benchmark tokens covered out of 100
+        assert r["n_tokens"] == 100
+        assert r["n_contaminated_tokens"] == 9
+        assert r["token_contamination"] == pytest.approx(0.09)
+
+    def test_overlapping_spans_count_once(self, spark, fixture):
+        from gr_tdigest_spark.operators.contamination import (
+            token_contamination,
+        )
+
+        _, bench = fixture
+        # the full benchmark sentence: every sliding 3-gram hits, spans
+        # overlap heavily, coverage is exactly the 9 tokens
+        df = spark.createDataFrame([(1, BENCH[0])], ["doc_id", "text"])
+        r = token_contamination(df, bench, n=3, bloom_fpr=1e-9).first()
+        assert r["n_contaminated_tokens"] == r["n_tokens"] == 9
+        assert r["token_contamination"] == pytest.approx(1.0)
+
+    def test_short_and_null_docs(self, spark, fixture):
+        from gr_tdigest_spark.operators.contamination import (
+            token_contamination,
+        )
+
+        _, bench = fixture
+        df = spark.createDataFrame(
+            [(1, "two words"), (2, None), (3, "")], ["doc_id", "text"]
+        )
+        got = {r["doc_id"]: (r["n_tokens"], r["n_contaminated_tokens"],
+                             r["token_contamination"])
+               for r in token_contamination(df, bench, n=3).collect()}
+        assert got[1] == (2, 0, 0.0)
+        assert got[2] == (0, 0, None)
+        assert got[3] == (0, 0, None)
+
+    def test_prebuilt_filter_and_plan(self, fixture):
+        from gr_tdigest_spark.operators.contamination import (
+            build_contamination_filter, token_contamination,
+        )
+
+        df, bench = fixture
+        flt = build_contamination_filter(bench, n=N, bloom_fpr=1e-9)
+        a = sorted(token_contamination(df, flt)
+                   .select("doc_id", "n_contaminated_tokens").collect())
+        b = sorted(token_contamination(df, bench, n=N, bloom_fpr=1e-9)
+                   .select("doc_id", "n_contaminated_tokens").collect())
+        assert a == b
+        plan = token_contamination(df, flt)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan
