@@ -50,10 +50,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-__all__ = ["word_ngrams", "contamination_scores", "decontaminate",
-           "corpus_overlap", "build_contamination_filter",
-           "ContaminationFilter", "token_contamination",
-           "word_token_count"]
+__all__ = ["word_ngrams", "with_word_ngrams", "contamination_scores",
+           "decontaminate", "corpus_overlap",
+           "build_contamination_filter", "ContaminationFilter",
+           "token_contamination", "word_token_count"]
 
 # explicit ASCII whitespace class: Java regex \s and RE2/DuckDB \s
 # disagree on \x0B (q_text_stats precedent) — the token boundary must
@@ -92,22 +92,53 @@ def word_ngrams(text_col: Union[str, Column], n: int,
     if name is None:
         raise ValueError("word_ngrams needs a column NAME (the "
                          "expression is built in SQL form)")
-    toks = _norm_tokens_sql(f"`{name}`")
-    # let-bind the token array ONCE via transform(array(toks), t ->
-    # ...)[0]: Catalyst's subexpression elimination does not cover
-    # repeated higher-order-function subtrees, so naming `toks` in
-    # each of the four use sites re-ran regexp+split+filter per site —
-    # measured 5× slower on the fixture corpus
+    # CAPTURE-FREE inline form: the tokenize subtree is repeated at
+    # each use site, which Catalyst does not dedupe across HOFs (~5×
+    # slower per row than the single-evaluation plan) — corpus-scale
+    # callers should use :func:`with_word_ngrams`, which tokenizes
+    # into a real intermediate column instead.  Do NOT "optimize" this
+    # back into a let-binding `transform(array(toks), t -> ... slice(t,
+    # ...) ...)`: a nested lambda CAPTURING the outer lambda variable,
+    # used as a pandas-UDF argument above a repartition/Exchange,
+    # trips a Spark planner bug — the Python UDF is left unextracted
+    # inside an interpreted projection and every task dies with
+    # [INTERNAL_ERROR] "Cannot evaluate expression: pythonUDF".
+    return _gram_expr(_norm_tokens_sql(f"`{name}`"), n, distinct)
+
+
+def _gram_expr(toks_sql: str, n: int, distinct: bool) -> Column:
+    """Sliding n-grams over a token-array SQL expression (a column
+    reference or an inline tokenizer) — no nested-lambda capture."""
     grams = (
-        f"transform(array({toks}), t -> "
-        f"CASE WHEN size(t) >= {int(n)} THEN "
-        f"transform(sequence(0, size(t) - {int(n)}), "
-        f"i -> concat_ws(' ', slice(t, i + 1, {int(n)}))) "
-        f"ELSE array() END)[0]"
+        f"CASE WHEN size({toks_sql}) >= {int(n)} THEN "
+        f"transform(sequence(0, size({toks_sql}) - {int(n)}), "
+        f"i -> concat_ws(' ', slice({toks_sql}, i + 1, {int(n)}))) "
+        f"ELSE array() END"
     )
     if distinct:
         grams = f"array_distinct({grams})"
     return F.expr(grams)
+
+
+def with_word_ngrams(df: DataFrame, text_col: str, n: int,
+                     out_col: str, distinct: bool = True) -> DataFrame:
+    """The corpus-scale n-gram builder: identical output to
+    :func:`word_ngrams`, but the tokenizer runs ONCE per row — the
+    token array lands in a real intermediate column, and
+    CollapseProject keeps non-cheap aliases referenced more than once
+    as their own projection instead of re-inlining them (verified: one
+    ``regexp_replace`` in the optimized plan vs four).  Also the
+    planner-safe shape: no lambda nesting, so pandas UDFs over the
+    gram column extract correctly above any Exchange."""
+    if n <= 0:
+        raise ValueError("with_word_ngrams n must be > 0")
+    tok_col = f"__wn_toks_{out_col}"
+    staged = df.withColumn(
+        tok_col, F.expr(_norm_tokens_sql(f"`{text_col}`"))
+    )
+    return staged.withColumn(
+        out_col, _gram_expr(f"`{tok_col}`", n, distinct)
+    ).drop(tok_col)
 
 
 def _gram_hashes(grams: Column, seed: int) -> Column:
@@ -122,8 +153,8 @@ def _bench_gram_rows(benchmark: DataFrame, text_col: str,
     ``__gram``).  Benchmarks are small by contract; this is the side
     that broadcasts / feeds the Bloom build."""
     return (
-        benchmark
-        .select(F.explode(word_ngrams(text_col, n)).alias("__gram"))
+        with_word_ngrams(benchmark, text_col, n, "__wn_g")
+        .select(F.explode("__wn_g").alias("__gram"))
         .distinct()
     )
 
@@ -242,8 +273,8 @@ def contamination_scores(
     if method == "bloom":
         return _bloom_scores(df, text_col, bench, n, seed, bloom_fpr)
 
-    doc = df.withColumn("__grams", word_ngrams(text_col, n)) \
-            .withColumn("n_grams", F.size("__grams").cast("long"))
+    doc = with_word_ngrams(df, text_col, n, "__grams") \
+        .withColumn("n_grams", F.size("__grams").cast("long"))
     exploded = doc.select(*ids, F.explode("__grams").alias("__gram"))
     b = F.broadcast(bench) if broadcast_benchmark else bench
     hits = (
@@ -319,9 +350,9 @@ def _bloom_probe(df: DataFrame, text_col: str, blob: bytes,
                 else 0
         return pd.Series(out)
 
-    doc = df.withColumn(
-        "__gh", _gram_hashes(word_ngrams(text_col, n), seed)
-    ).withColumn("n_grams", F.size("__gh").cast("long"))
+    doc = with_word_ngrams(df, text_col, n, "__wn_g").withColumn(
+        "__gh", _gram_hashes(F.col("__wn_g"), seed)
+    ).drop("__wn_g").withColumn("n_grams", F.size("__gh").cast("long"))
     out = doc.withColumn("n_hit", _hit_count("__gh")).drop("__gh")
     return _with_fraction(out)
 
@@ -364,10 +395,11 @@ def _unit_hash_rows(df: DataFrame, text_col: str, unit: str, n: int,
     """One int64 hash row per content unit of each document — all JVM
     (xxhash64), so only 8-byte hashes ever reach the sketch aggregate."""
     if unit == "ngram":
-        return df.select(
-            F.explode(
-                _gram_hashes(word_ngrams(text_col, n), seed)
-            ).alias("__uh")
+        return (
+            with_word_ngrams(df, text_col, n, "__wn_g")
+            .select(F.explode(
+                _gram_hashes(F.col("__wn_g"), seed)
+            ).alias("__uh"))
         )
     if unit == "line":
         ln = F.explode(F.split(F.col(text_col), "\n")).alias("__ln")
@@ -530,10 +562,13 @@ def token_contamination(
                 out[r] = int((np.cumsum(d[:-1]) > 0).sum())
         return pd.Series(out)
 
-    doc = df.withColumn(
-        "__gh",
-        _gram_hashes(word_ngrams(text_col, n_, distinct=False), seed),
-    ).withColumn("n_tokens", word_token_count(text_col).cast("long"))
+    doc = with_word_ngrams(
+        df, text_col, n_, "__wn_g", distinct=False
+    ).withColumn(
+        "__gh", _gram_hashes(F.col("__wn_g"), seed)
+    ).drop("__wn_g").withColumn(
+        "n_tokens", word_token_count(text_col).cast("long")
+    )
     out = doc.withColumn(
         "n_contaminated_tokens",
         F.when(F.size("__gh") > 0, _covered("__gh"))

@@ -381,3 +381,60 @@ class TestTokenContamination:
         plan = token_contamination(df, flt)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan and "Join" not in plan
+
+
+class TestPlannerSafety:
+    def test_bloom_scores_survive_repartition(self, fixture, spark):
+        """Regression: a pandas UDF whose argument contains a nested
+        lambda capturing an outer lambda variable, above an Exchange,
+        dies with [INTERNAL_ERROR] Cannot evaluate PythonUDF (the UDF
+        is left unextracted in an interpreted projection).  The gram
+        builder must therefore stay capture-free — this pins the
+        failing shape end-to-end: repartition → bloom scores →
+        aggregate."""
+        df, bench = fixture
+        out = contamination_scores(
+            df.repartition(4), "doc_id", bench, n=N, method="bloom"
+        ).agg(F.sum("n_hit"), F.count("*")).collect()
+        assert out[0][1] == len(DOCS)
+        # and the token-span path too
+        from gr_tdigest_spark.operators.contamination import (
+            token_contamination,
+        )
+        out2 = token_contamination(
+            df.repartition(4), bench, n=N
+        ).agg(F.sum("n_contaminated_tokens")).collect()
+        assert out2[0][0] is not None
+
+    def test_single_tokenize_in_plan(self, fixture):
+        """with_word_ngrams evaluates the tokenizer once: exactly one
+        regexp_replace in the optimized plan (the inline word_ngrams
+        form carries four)."""
+        from gr_tdigest_spark.operators.contamination import (
+            with_word_ngrams,
+        )
+
+        df, _ = fixture
+        fast = with_word_ngrams(df, "text", N, "g")
+        plan = fast._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("regexp_replace") == 1
+
+    def test_helper_equals_inline(self, fixture):
+        from gr_tdigest_spark.operators.contamination import (
+            with_word_ngrams,
+        )
+
+        df, _ = fixture
+        a = {r["doc_id"]: r["g"] for r in with_word_ngrams(
+            df, "text", N, "g").select("doc_id", "g").collect()}
+        b = {r["doc_id"]: r["g"] for r in df.select(
+            "doc_id", word_ngrams("text", N).alias("g")).collect()}
+        assert a == b
+        # non-distinct variant too
+        c = {r["doc_id"]: r["g"] for r in with_word_ngrams(
+            df, "text", N, "g", distinct=False)
+            .select("doc_id", "g").collect()}
+        d = {r["doc_id"]: r["g"] for r in df.select(
+            "doc_id", word_ngrams("text", N, distinct=False).alias("g"))
+            .collect()}
+        assert c == d
