@@ -72,7 +72,7 @@ def _norm_tokens_sql(text_sql: str) -> str:
     )
 
 
-def word_ngrams(text_col: Union[str, Column], n: int,
+def word_ngrams(text_col: str, n: int,
                 distinct: bool = True) -> Column:
     """Word n-grams of a text column as ``array<string>`` — pure JVM
     expressions (codegen-friendly, engine-portable semantics).
@@ -88,10 +88,10 @@ def word_ngrams(text_col: Union[str, Column], n: int,
     """
     if n <= 0:
         raise ValueError("word_ngrams n must be > 0")
-    name = text_col if isinstance(text_col, str) else None
-    if name is None:
+    if not isinstance(text_col, str):
         raise ValueError("word_ngrams needs a column NAME (the "
                          "expression is built in SQL form)")
+    name = text_col
     # CAPTURE-FREE inline form: the tokenize subtree is repeated at
     # each use site, which Catalyst does not dedupe across HOFs (~5×
     # slower per row than the single-evaluation plan) — corpus-scale
@@ -121,7 +121,8 @@ def _gram_expr(toks_sql: str, n: int, distinct: bool) -> Column:
 
 
 def with_word_ngrams(df: DataFrame, text_col: str, n: int,
-                     out_col: str, distinct: bool = True) -> DataFrame:
+                     out_col: str, distinct: bool = True,
+                     tokens_col: Optional[str] = None) -> DataFrame:
     """The corpus-scale n-gram builder: identical output to
     :func:`word_ngrams`, but the tokenizer runs ONCE per row — the
     token array lands in a real intermediate column, and
@@ -129,16 +130,21 @@ def with_word_ngrams(df: DataFrame, text_col: str, n: int,
     as their own projection instead of re-inlining them (verified: one
     ``regexp_replace`` in the optimized plan vs four).  Also the
     planner-safe shape: no lambda nesting, so pandas UDFs over the
-    gram column extract correctly above any Exchange."""
+    gram column extract correctly above any Exchange.
+
+    ``tokens_col`` keeps the intermediate token array under that name
+    (NULL text → NULL tokens) so callers needing token counts don't
+    re-run the tokenizer; omitted, it is dropped."""
     if n <= 0:
         raise ValueError("with_word_ngrams n must be > 0")
-    tok_col = f"__wn_toks_{out_col}"
+    tok_col = tokens_col or f"__wn_toks_{out_col}"
     staged = df.withColumn(
         tok_col, F.expr(_norm_tokens_sql(f"`{text_col}`"))
     )
-    return staged.withColumn(
+    out = staged.withColumn(
         out_col, _gram_expr(f"`{tok_col}`", n, distinct)
-    ).drop(tok_col)
+    )
+    return out if tokens_col else out.drop(tok_col)
 
 
 def _gram_hashes(grams: Column, seed: int) -> Column:
@@ -268,10 +274,14 @@ def contamination_scores(
         return _bloom_probe(df, text_col, benchmark.blob,
                             benchmark.n, benchmark.seed)
     btc = bench_text_col or text_col
-    bench = _bench_gram_rows(benchmark, btc, n)
 
     if method == "bloom":
-        return _bloom_scores(df, text_col, bench, n, seed, bloom_fpr)
+        # one definition of the benchmark-filter build (shared with the
+        # prebuilt path — including its empty-benchmark fallback)
+        flt = build_contamination_filter(benchmark, btc, n, seed,
+                                         bloom_fpr)
+        return _bloom_probe(df, text_col, flt.blob, n, seed)
+    bench = _bench_gram_rows(benchmark, btc, n)
 
     doc = with_word_ngrams(df, text_col, n, "__grams") \
         .withColumn("n_grams", F.size("__grams").cast("long"))
@@ -297,35 +307,13 @@ def _with_fraction(out: DataFrame) -> DataFrame:
     )
 
 
-def _bloom_scores(df: DataFrame, text_col: str, bench: DataFrame,
-                  n: int, seed: int, fpr: float) -> DataFrame:
-    """The shuffle-free scale path: one Bloom blob of benchmark-gram
-    hashes, broadcast; per-row probe over JVM-hashed gram arrays.
-
-    The Bloom ingests the grams' xxhash64 values (hashed JVM-side on
-    BOTH sides with one seed), so only ``array<long>`` crosses Arrow —
-    document text never round-trips through Python."""
-    from gr_tdigest_spark.operators.companions import bloom_agg
-    from gr_tdigest_spark.sketches.bloom import BloomFilter, optimal_bloom
-
-    bench_hashes = bench.select(
-        F.xxhash64("__gram", F.lit(int(seed))).alias("__gh")
-    )
-    # geometry needs the gram count; the benchmark is small by
-    # contract, so this extra job is bounded (and the distinct-gram
-    # table is already the reduced form)
-    n_bench = bench_hashes.count()
-    shape = optimal_bloom(max(n_bench, 1), fpr=fpr, seed=11 + seed)
-    blob_row = bloom_agg(
-        bench_hashes, keys=None, col="__gh",
-        m_bits=shape.m_bits, k=shape.k, seed=shape.seed,
-    ).select("bloom").first()
-    return _bloom_probe(df, text_col, bytes(blob_row[0]), n, seed)
-
-
 def _bloom_probe(df: DataFrame, text_col: str, blob: bytes,
                  n: int, seed: int) -> DataFrame:
-    """Row-local probe of a (pre)built benchmark Bloom blob."""
+    """The shuffle-free scale path: row-local probe of a (pre)built
+    benchmark Bloom blob.  The Bloom holds the grams' xxhash64 values
+    (hashed JVM-side on BOTH sides with one seed), so only
+    ``array<long>`` crosses Arrow — document text never round-trips
+    through Python."""
     from gr_tdigest_spark.sketches.bloom import BloomFilter
 
     bc = df.sparkSession.sparkContext.broadcast(blob)
@@ -482,12 +470,12 @@ def corpus_overlap(
     )
 
 
-def word_token_count(text_col: Union[str, Column]) -> Column:
+def word_token_count(text_col: str) -> Column:
     """Normalized word-token count of a text column (the same token
     boundary as :func:`word_ngrams`); 0 for NULL text."""
-    name = text_col if isinstance(text_col, str) else None
-    if name is None:
+    if not isinstance(text_col, str):
         raise ValueError("word_token_count needs a column NAME")
+    name = text_col
     toks = _norm_tokens_sql(f"`{name}`")
     return F.expr(f"size(coalesce({toks}, array()))")
 
@@ -563,12 +551,17 @@ def token_contamination(
         return pd.Series(out)
 
     doc = with_word_ngrams(
-        df, text_col, n_, "__wn_g", distinct=False
+        df, text_col, n_, "__wn_g", distinct=False,
+        tokens_col="__wn_t",
     ).withColumn(
         "__gh", _gram_hashes(F.col("__wn_g"), seed)
     ).drop("__wn_g").withColumn(
-        "n_tokens", word_token_count(text_col).cast("long")
-    )
+        # token count from the staged token array — tokenizing again
+        # via word_token_count would re-run the regexp pipeline per row
+        "n_tokens",
+        F.when(F.col("__wn_t").isNotNull(), F.size("__wn_t"))
+        .otherwise(F.lit(0)).cast("long"),
+    ).drop("__wn_t")
     out = doc.withColumn(
         "n_contaminated_tokens",
         F.when(F.size("__gh") > 0, _covered("__gh"))

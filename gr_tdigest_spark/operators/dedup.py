@@ -44,12 +44,17 @@ def dedup_exact(
 
     One shuffle on the fingerprint; survivors join back to rows. At
     scale this beats a window-over-everything: the aggregate combines
-    map-side."""
+    map-side.
+
+    NULL-text rows have no content identity, so they are neither
+    duplicates of anything nor of each other — ALL pass through
+    (previously the NULL fingerprint silently failed the survivor
+    join and such rows vanished)."""
     fp = with_fingerprint(df, text_col, "__fp")
     keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    return (
-        fp.join(keep, [id_col, "__fp"], "leftsemi").drop("__fp")
-    )
+    winners = fp.join(keep, [id_col, "__fp"], "leftsemi")
+    nulls = fp.where(F.col("__fp").isNull())
+    return winners.unionByName(nulls).drop("__fp")
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:

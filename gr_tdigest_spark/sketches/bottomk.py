@@ -390,6 +390,12 @@ def overlap_estimate(a: "BottomK", b: "BottomK") -> dict:
         inter = float(both.sum())
     else:
         inter = min(j * union, da, db)
+        if inter < j * union and union > 0:
+            # the clamp re-derives jaccard so the returned triple
+            # stays internally consistent: intersection == jaccard ×
+            # union always holds (a consumer deriving one from the
+            # others must not exceed the dict's own containments)
+            j = inter / union
     return {
         "distinct_a": da,
         "distinct_b": db,

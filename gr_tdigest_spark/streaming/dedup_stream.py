@@ -44,16 +44,26 @@ def stream_dedup_exact(
     event-time timestamp column); omit for exact-forever semantics
     with one state entry per distinct fingerprint.
 
+    NULL-text rows have no content identity and ALL pass through
+    unscreened — a naive ``dropDuplicates`` on the fingerprint would
+    treat the NULL fingerprint as one key and silently delete every
+    NULL-text doc after the first (batch ``dedup_exact`` keeps them
+    all too, so the stream/batch identity partition agrees).
+
     Works on batch DataFrames too (same plan minus the state store),
     so one code path serves backfill and ingest.
     """
+    from pyspark.sql import functions as F
+
     from gr_tdigest_spark.operators.text import with_fingerprint
 
     d = with_fingerprint(stream_df, text_col, "__fp")
+    screened = d.where(F.col("__fp").isNotNull())
+    passthru = d.where(F.col("__fp").isNull()).drop("__fp")
     if watermark is not None:
         ts_col, delay = watermark
-        d = d.withWatermark(ts_col, delay)
-        out = d.dropDuplicatesWithinWatermark(["__fp"])
+        screened = screened.withWatermark(ts_col, delay)
+        out = screened.dropDuplicatesWithinWatermark(["__fp"])
     else:
-        out = d.dropDuplicates(["__fp"])
-    return out.drop("__fp")
+        out = screened.dropDuplicates(["__fp"])
+    return out.drop("__fp").unionByName(passthru)

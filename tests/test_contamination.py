@@ -438,3 +438,41 @@ class TestPlannerSafety:
             "doc_id", word_ngrams("text", N, distinct=False).alias("g"))
             .collect()}
         assert c == d
+
+
+class TestReviewFixes:
+    def test_inline_bloom_empty_benchmark(self, fixture, spark):
+        # empty benchmark (or all-short docs): bloom path must return
+        # zero hits, not crash on the missing aggregate row
+        df, _ = fixture
+        empty = spark.createDataFrame([], "text string")
+        out = contamination_scores(df, "doc_id", empty, n=N,
+                                   method="bloom").collect()
+        assert all(r["n_hit"] == 0 for r in out)
+        short = spark.createDataFrame([("one two",)], ["text"])
+        out2 = contamination_scores(df, "doc_id", short, n=N,
+                                    method="bloom").collect()
+        assert all(r["n_hit"] == 0 for r in out2)
+
+    def test_token_contamination_single_tokenize(self, fixture):
+        from gr_tdigest_spark.operators.contamination import (
+            token_contamination,
+        )
+
+        df, bench = fixture
+        plan = token_contamination(df, bench, n=N)._jdf \
+            .queryExecution().optimizedPlan().toString()
+        # corpus side tokenizes once; the benchmark build is collected
+        # eagerly and never appears in this plan
+        assert plan.count("regexp_replace") == 1
+
+    def test_column_argument_rejected_loudly(self, fixture):
+        df, _ = fixture
+        from gr_tdigest_spark.operators.contamination import (
+            word_token_count,
+        )
+
+        with pytest.raises(ValueError, match="column NAME"):
+            word_ngrams(F.col("text"), 3)
+        with pytest.raises(ValueError, match="column NAME"):
+            word_token_count(F.col("text"))

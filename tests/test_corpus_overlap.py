@@ -155,3 +155,27 @@ class TestOperator:
         a = spark.createDataFrame([(1, "t")], ["doc_id", "text"])
         with pytest.raises(ValueError, match="unit"):
             corpus_overlap(a, a, unit="nope")
+
+
+class TestConsistency:
+    def test_intersection_equals_jaccard_times_union(self):
+        # the clamp must keep the returned triple consistent:
+        # intersection == jaccard * union (within fp rounding), so a
+        # consumer deriving one from the others can never exceed the
+        # dict's own containments
+        rng = np.random.default_rng(11)
+        for trial in range(20):
+            na = int(rng.integers(500, 5000))
+            xs = rng.choice(1_000_000, size=na, replace=False)
+            cut = int(rng.integers(10, na))
+            a = BottomK(k=128)
+            a.add(xs)
+            b = BottomK(k=128)
+            b.add(xs[:cut])
+            r = overlap_estimate(a, b)
+            if r["union"] > 0:
+                assert r["intersection"] == pytest.approx(
+                    r["jaccard"] * r["union"], rel=1e-12
+                )
+            assert r["containment_a_in_b"] <= 1.0 + 1e-12
+            assert r["containment_b_in_a"] <= 1.0 + 1e-12

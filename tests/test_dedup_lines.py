@@ -164,3 +164,17 @@ class TestContracts:
         got = {r["doc_id"]: r["text"]
                for r in dedup_lines(df, "doc_id").collect()}
         assert got["a"] == "dup" and got["b"] is None
+
+
+def test_dedup_exact_keeps_null_text_rows(spark):
+    """NULL-text rows have no content identity: dedup_exact passes
+    them ALL through (regression: the NULL fingerprint used to fail
+    the survivor join and such rows vanished)."""
+    from gr_tdigest_spark.operators.dedup import dedup_exact
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x y"), (4, "x y")],
+        ["doc_id", "text"],
+    )
+    got = sorted(r["doc_id"] for r in dedup_exact(df, "doc_id").collect())
+    assert got == [1, 2, 3]

@@ -435,3 +435,21 @@ def test_bloom_contamination_is_stream_safe(spark, tmp_path):
     assert got == exp
     assert got[1][1] == got[1][0] > 0   # benchmark copy fully hit
     assert got[2][1] == 0               # clean doc
+
+
+def test_stream_dedup_null_text_passthrough(spark):
+    """NULL-text docs have no content identity: ALL pass through
+    (regression: dropDuplicates on the NULL fingerprint used to keep
+    only the first).  stream_dedup_exact runs on batch DataFrames with
+    the same plan, so this pins the semantics cheaply."""
+    from gr_tdigest_spark.streaming import stream_dedup_exact
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x y"), (4, "x y")],
+        "doc_id long, text string",
+    )
+    got = sorted(r["doc_id"] for r in
+                 stream_dedup_exact(df, "text").collect()
+                 if r["doc_id"] in (1, 2))
+    assert got == [1, 2]
+    assert stream_dedup_exact(df, "text").count() == 3
