@@ -171,9 +171,16 @@ class ContaminationFilter:
     the benchmark build across corpora / bench iterations / streaming
     micro-batch plans.  Build with :func:`build_contamination_filter`;
     carrying (n, seed) inside the object makes a config-mismatched
-    probe impossible by construction."""
+    probe impossible by construction.
+
+    Checkpointable: ``to_bytes``/``from_bytes`` give a self-describing
+    wire blob (``GSCF`` + version + gram config + the Bloom blob), so
+    a daily pipeline builds the eval-set filter once and stores it
+    next to its other sketch state (sources/checkpoint.py).  Also
+    picklable (Spark closures / joblib)."""
 
     __slots__ = ("blob", "n", "seed", "n_bench_grams")
+    _MAGIC = b"GSCF"
 
     def __init__(self, blob: bytes, n: int, seed: int,
                  n_bench_grams: int):
@@ -181,6 +188,45 @@ class ContaminationFilter:
         self.n = n
         self.seed = seed
         self.n_bench_grams = n_bench_grams
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        return (
+            self._MAGIC
+            + struct.pack("<Biqq", 1, int(self.n), int(self.seed),
+                          int(self.n_bench_grams))
+            + bytes(self.blob)
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "ContaminationFilter":
+        import struct
+
+        data = bytes(data)
+        if data[:4] != cls._MAGIC:
+            raise ValueError(
+                "ContaminationFilter.from_bytes: bad magic "
+                f"{data[:4]!r} (want {cls._MAGIC!r})"
+            )
+        ver = data[4]
+        if ver != 1:
+            raise ValueError(
+                f"ContaminationFilter.from_bytes: unknown version {ver}"
+            )
+        n, seed, n_bench = struct.unpack_from("<iqq", data, 5)
+        blob = data[5 + struct.calcsize("<iqq"):]
+        # validate the payload decodes as a Bloom blob up front
+        from gr_tdigest_spark.sketches.bloom import BloomFilter
+
+        BloomFilter.from_bytes(blob)
+        return cls(blob, n, seed, n_bench)
+
+    def __getstate__(self):
+        return (self.blob, self.n, self.seed, self.n_bench_grams)
+
+    def __setstate__(self, state):
+        self.blob, self.n, self.seed, self.n_bench_grams = state
 
 
 def build_contamination_filter(

@@ -476,3 +476,43 @@ class TestReviewFixes:
             word_ngrams(F.col("text"), 3)
         with pytest.raises(ValueError, match="column NAME"):
             word_token_count(F.col("text"))
+
+
+class TestFilterWire:
+    def test_roundtrip_and_pickle(self, fixture):
+        import pickle
+
+        from gr_tdigest_spark.operators.contamination import (
+            ContaminationFilter, build_contamination_filter,
+        )
+
+        df, bench = fixture
+        flt = build_contamination_filter(bench, n=N, seed=7)
+        rt = ContaminationFilter.from_bytes(flt.to_bytes())
+        assert (rt.n, rt.seed, rt.n_bench_grams) == (
+            flt.n, flt.seed, flt.n_bench_grams)
+        assert rt.blob == flt.blob
+        pk = pickle.loads(pickle.dumps(flt))
+        assert pk.blob == flt.blob and pk.n == flt.n
+        # the restored filter scores identically
+        a = sorted(contamination_scores(df, "doc_id", rt,
+                                        method="bloom")
+                   .select("doc_id", "n_hit").collect())
+        b = sorted(contamination_scores(df, "doc_id", flt,
+                                        method="bloom")
+                   .select("doc_id", "n_hit").collect())
+        assert a == b
+
+    def test_corruption_detected(self, fixture):
+        from gr_tdigest_spark.operators.contamination import (
+            ContaminationFilter, build_contamination_filter,
+        )
+
+        _, bench = fixture
+        w = build_contamination_filter(bench, n=N).to_bytes()
+        with pytest.raises(ValueError, match="magic"):
+            ContaminationFilter.from_bytes(b"XXXX" + w[4:])
+        with pytest.raises(ValueError, match="version"):
+            ContaminationFilter.from_bytes(w[:4] + b"\x09" + w[5:])
+        with pytest.raises(Exception):
+            ContaminationFilter.from_bytes(w[:30])  # truncated payload
