@@ -153,3 +153,92 @@ class TestPipelineCompose:
             r["n_chars"] is not None and r["n_chars"] > max_tok
             for r in rows
         )
+
+
+class TestPipelineComposeR6:
+    def test_r6_hygiene_chain(self, spark, docs):
+        """The round-6 hygiene operators composed into the same
+        one-seed product:
+
+            dedup_exact → dedup_lines(keep_first)
+                → decontaminate (bloom) → assign_split
+
+        Invariants:
+        - line dedup after exact dedup is a NO-OP on this fixture
+          (texts are distinct single-line docs → every doc keeps its
+          line) — the operators do not interfere;
+        - decontamination drops exactly the docs whose 5-gram overlap
+          with the benchmark slice is ≥ threshold, and the benchmark
+          docs themselves all go (self-contamination = 1.0);
+        - the split of a surviving doc equals its split in the
+          unfiltered corpus (hygiene upstream never moves a doc
+          between splits — the leakage-control property).
+        """
+        from gr_tdigest_spark.operators.contamination import (
+            build_contamination_filter, contamination_scores,
+            decontaminate,
+        )
+        from gr_tdigest_spark.operators.dedup import (
+            dedup_exact, dedup_lines,
+        )
+        from gr_tdigest_spark.operators.sample import assign_split
+
+        deduped = dedup_exact(docs, "doc_id", "text")
+        n0 = deduped.count()
+
+        lined = dedup_lines(deduped, "doc_id", "text")
+        assert lined.count() == n0
+        assert lined.where(F.col("n_lines_removed") > 0).count() == 0
+        lined = lined.drop("n_lines_kept", "n_lines_removed")
+
+        bench = docs.where(F.col("doc_id") % 17 == 0)
+        clean = decontaminate(lined, "doc_id", bench,
+                              threshold=0.5, n=5, method="bloom")
+        kept_ids = {r["doc_id"] for r in
+                    clean.select("doc_id").collect()}
+        # every benchmark doc that survived dedup is dropped
+        bench_ids = {r["doc_id"] for r in
+                     dedup_exact(bench, "doc_id", "text")
+                     .select("doc_id").collect()}
+        assert bench_ids.isdisjoint(kept_ids)
+        # drops match the score threshold exactly (join path replica)
+        scored = contamination_scores(lined, "doc_id", bench, n=5)
+        for r in scored.collect():
+            c = r["contamination"]
+            if c is not None and c >= 0.5:
+                assert r["doc_id"] not in kept_ids
+            else:
+                assert r["doc_id"] in kept_ids
+
+        # split stability: hygiene upstream never moves a doc
+        full_split = {r["doc_id"]: r["split"] for r in assign_split(
+            docs, "doc_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1}, seed=SEED,
+        ).select("doc_id", "split").collect()}
+        clean_split = assign_split(
+            clean, "doc_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1}, seed=SEED,
+        )
+        for r in clean_split.select("doc_id", "split").collect():
+            assert full_split[r["doc_id"]] == r["split"]
+
+    def test_prebuilt_filter_in_stream_and_batch_agree(self, spark,
+                                                       docs):
+        """One checkpointed filter serves the batch backfill and the
+        streaming ingest: wire-roundtripped filter scores == fresh
+        filter scores on the same corpus."""
+        from gr_tdigest_spark.operators.contamination import (
+            ContaminationFilter, build_contamination_filter,
+            contamination_scores,
+        )
+
+        bench = docs.where(F.col("doc_id") % 17 == 0)
+        flt = build_contamination_filter(bench, n=5)
+        restored = ContaminationFilter.from_bytes(flt.to_bytes())
+        a = sorted(contamination_scores(docs, "doc_id", flt,
+                                        method="bloom")
+                   .select("doc_id", "n_hit").collect())
+        b = sorted(contamination_scores(docs, "doc_id", restored,
+                                        method="bloom")
+                   .select("doc_id", "n_hit").collect())
+        assert a == b
