@@ -612,7 +612,11 @@ def dedup_lines(
     - Document text moves through at most two content shuffles (the
       winner rejoin and the per-document rebuild) — the irreducible
       cost of an operator that rewrites documents from global line
-      state.
+      state.  The rebuild collects one (idx, line) array per document
+      in an aggregation buffer, so per-DOCUMENT size must fit in task
+      memory (documents are bounded in practice; a pathological
+      multi-GB "document" should be split upstream) — per-CORPUS and
+      per-LINE-frequency state stay bounded regardless.
 
     Rows with a NULL id cannot take part in a deterministic global
     order, so they PASS THROUGH unchanged (text untouched, NULL
