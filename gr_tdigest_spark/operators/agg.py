@@ -630,6 +630,88 @@ def _partial_builder_arrow(
 # generic two-phase plan
 # --------------------------------------------------------------------- #
 
+# Conf key (bytes): inputs whose projected size is at or under this are
+# eligible for the single-phase by-key rebalance when their scan has
+# fewer partitions than the cluster's task slots. 0 disables the
+# rebalance entirely. The default is scale-adaptive (64 MB per task
+# slot), so the same code picks the shuffle-free two-phase plan on a
+# 100 TB table and the fully-parallel single-phase plan on a
+# one-row-group fixture file.
+_REBALANCE_CONF = "spark.gr_tdigest.agg.rebalance.maxBytes"
+_REBALANCE_MB_PER_SLOT = 64
+# keyless (global) aggregates below this size keep the no-extra-shuffle
+# plan: one partial task is cheaper than an added exchange + AQE stage
+_GLOBAL_REBALANCE_FLOOR = 16 << 20
+
+
+def _rebalance_parts(est: int, target: int) -> int:
+    """Partition count for a rebalanced small input: ~1 MB of projected
+    input per Python task, clamped to [4, 2·slots]. Each Python task
+    carries ~9 ms of fixed launch cost (measured: a 64-task identity
+    mapInArrow stage pays ~0.5 s more wall than an 8-task one on the
+    same rows), so tiny inputs want FEW tasks; the byte-proportional
+    count keeps the policy scale-adaptive instead of pinning a local
+    core count."""
+    per_task = 1 << 20
+    return int(max(4, min(2 * target, (est + per_task - 1) // per_task)))
+
+
+def _plan_size_bytes(df: DataFrame) -> Optional[int]:
+    """Catalyst's size estimate for the (column-pruned) input — file
+    bytes × projection fraction for scans, cached size for persisted
+    inputs. Driver-side only; no job runs."""
+    try:
+        return int(str(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ))
+    except Exception:
+        return None
+
+
+def _scan_partition_count(df: DataFrame) -> Optional[int]:
+    """Partition count of an exchange-free batch input, else None.
+
+    Under AQE, ``.rdd`` on a plan containing any Exchange EXECUTES the
+    intermediate query stages eagerly (the final plan needs their
+    runtime stats) — measured ~2 s of double work on a 600 k-row
+    distinct. So inputs that already crossed a shuffle are never
+    probed; they arrive at shuffle-partition-grade parallelism anyway
+    and need no rebalance."""
+    if getattr(df, "isStreaming", False):
+        return None
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return None
+    if "Exchange" in plan:
+        return None
+    try:
+        return df.rdd.getNumPartitions()
+    except Exception:
+        return None
+
+
+def _canon_float_keys(df: DataFrame, key_cols: List[str]) -> DataFrame:
+    """JVM-side canonicalization of float/double KEY columns (NaN→NULL,
+    -0.0→+0.0) so a hash repartition by the raw keys agrees with the
+    partial builders' canonicalized group identity (``_canon_key``):
+    without it a NaN key and a NULL key would land in different
+    partitions and the single-phase plan would emit two rows for the
+    one canonical group the two-phase merger produces."""
+    from pyspark.sql.types import DoubleType as _D, FloatType as _F
+
+    for c in key_cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, (_F, _D)):
+            col = F.col(c)
+            df = df.withColumn(
+                c,
+                F.when(F.isnan(col), F.lit(None).cast(dt))
+                .when(col == 0.0, F.lit(0.0).cast(dt))
+                .otherwise(col),
+            )
+    return df
+
 def _partial_builder(
     spec: SketchSpec,
     key_cols: List[str],
@@ -766,17 +848,54 @@ def sketch_agg(
     # anti-scale. Run the partial stage at ~1 partition per core: fewer,
     # bigger flushes amortize the fixed term; the 1M-row flush threshold
     # bounds memory.
-    # coalesce() never increases the partition count, so this is a no-op
-    # on already-coarse scans; checking src.rdd.getNumPartitions() first
-    # would materialize the RDD lineage and plan the query twice.
-    # Corollary: coalesce cannot SPLIT a too-coarse input either — real
-    # table scans split via spark.sql.files.maxPartitionBytes, but a
-    # driver-synthesized or single-file DataFrame with fewer partitions
-    # than cores serializes the partial stage; callers own repartition()
-    # there (measured: the same 4.8M-row build scales 0.92-efficient
-    # 2→8 cores when pre-partitioned, flat when the input is 2 splits).
+    #
+    # coalesce() cannot SPLIT a too-coarse input — and a single-row-group
+    # parquet file (or any driver-synthesized DataFrame with fewer
+    # partitions than cores) serializes the whole partial stage through
+    # one Python task. When the scan has fewer partitions than task
+    # slots, rebalance it (guide §2.5 input skew: "repartition
+    # immediately after the read"):
+    #
+    # - keyed + small input (≤ 64 MB/slot by Catalyst's estimate, conf
+    #   below): hash-repartition the raw rows BY THE KEYS and run
+    #   SINGLE-PHASE — every group is completely local to one partition,
+    #   so the partials are final and the blob shuffle + merge stage
+    #   disappear (one Exchange total, one Python stage). The shuffle
+    #   moves raw rows, which is exactly why it is gated on the input
+    #   being small; at scale the sketch-sized two-phase shuffle wins.
+    # - otherwise: round-robin repartition, classic two-phase (partial
+    #   parallelism restored; only sketch blobs reshuffle).
+    #
+    # Streaming inputs take the classic path untouched (.rdd/stats are
+    # batch-only introspection).
     target = df.sparkSession.sparkContext.defaultParallelism
-    src = src.coalesce(2 * target)
+    single_phase = False
+    has_salt = bool(salt_buckets and salt_buckets > 1)
+    n_parts = _scan_partition_count(src)
+    if n_parts is not None and n_parts < target:
+        thr = int(df.sparkSession.conf.get(
+            _REBALANCE_CONF,
+            str(_REBALANCE_MB_PER_SLOT * (1 << 20) * target),
+        ))
+        est = _plan_size_bytes(src) if thr > 0 else None
+        if key_cols and not has_salt and est is not None and est <= thr:
+            src = _canon_float_keys(src, key_cols)
+            src = src.repartition(_rebalance_parts(est, target), *key_cols)
+            single_phase = True
+        elif est is not None and est <= _GLOBAL_REBALANCE_FLOOR:
+            # keyless and tiny: the extra exchange + AQE stage costs
+            # more than the serial build it would parallelize
+            # (measured: a 600 k-row global build is ~0.35 s serial;
+            # the added hop is ~0.4 s)
+            src = src.coalesce(2 * target)
+        elif thr > 0 and est is not None and est <= thr:
+            src = src.repartition(_rebalance_parts(est, target))
+        elif thr > 0:
+            src = src.repartition(2 * target)
+        else:
+            src = src.coalesce(2 * target)
+    else:
+        src = src.coalesce(2 * target)
 
     out_fields = [src.schema[k] for k in key_cols] + [
         StructField(out_col, BinaryType(), True)
@@ -797,6 +916,13 @@ def sketch_agg(
             _partial_builder(spec, key_cols, value_col, weight_col, out_col),
             schema=out_schema,
         )
+
+    if single_phase:
+        # the by-key rebalance made every group local to one partition:
+        # each key has exactly one partial (multi-flush partitions merge
+        # locally in the builder's states dict), so the partials ARE the
+        # result — no blob shuffle, no merge stage.
+        return partials
 
     if not key_cols:
         merged = partials.repartition(1).mapInPandas(

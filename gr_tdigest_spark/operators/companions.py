@@ -1181,6 +1181,31 @@ def cms_topk(
     key_cols = list(keys) if keys else []
     m = m or max(4 * k, 64)
     src = df.select(*dict.fromkeys(key_cols + [col]))
+    # a one-row-group scan would serialize the Python candidate pass
+    # through one task (guide §2.5 input skew); rebalance small coarse
+    # inputs by (keys, value) — collocating a value's copies makes each
+    # partition's local count the value's TRUE count, so candidate
+    # completeness only improves. Same scale-adaptive gate as
+    # sketch_agg: big inputs with healthy scan parallelism never pay
+    # the raw-row shuffle.
+    from gr_tdigest_spark.operators.agg import (
+        _plan_size_bytes, _rebalance_parts, _scan_partition_count,
+        _REBALANCE_CONF, _REBALANCE_MB_PER_SLOT,
+    )
+
+    target = df.sparkSession.sparkContext.defaultParallelism
+    n_parts = _scan_partition_count(src)
+    if n_parts is not None and n_parts < target:
+        thr = int(df.sparkSession.conf.get(
+            _REBALANCE_CONF,
+            str(_REBALANCE_MB_PER_SLOT * (1 << 20) * target),
+        ))
+        est = _plan_size_bytes(src) if thr > 0 else None
+        if est is not None and est <= thr:
+            src = src.repartition(
+                _rebalance_parts(est, target),
+                *dict.fromkeys(key_cols + [col]),
+            )
     cand_schema = StructType(
         [src.schema[c] for c in key_cols] + [src.schema[col]]
     )
