@@ -204,6 +204,11 @@ class ContaminationFilter:
         import struct
 
         data = bytes(data)
+        if len(data) < 4 + 1 + struct.calcsize("<iqq"):
+            raise ValueError(
+                f"ContaminationFilter.from_bytes: truncated GSCF blob "
+                f"({len(data)} bytes)"
+            )
         if data[:4] != cls._MAGIC:
             raise ValueError(
                 "ContaminationFilter.from_bytes: bad magic "
@@ -229,6 +234,17 @@ class ContaminationFilter:
         self.blob, self.n, self.seed, self.n_bench_grams = state
 
 
+# collect-build toggle: "true" (default) pulls the benchmark's distinct
+# gram hashes (8 B each) to the driver and sets the Bloom bits locally —
+# ONE Spark job instead of three (count + two-phase aggregate + first).
+# The driver footprint is the same order as the join method's broadcast
+# gram table (benchmarks are the small side by contract); set "false"
+# for a pathologically large benchmark to build through the distributed
+# bloom_agg instead. Both paths produce byte-identical blobs (bitwise
+# OR of the same positions, same n_added bookkeeping).
+_COLLECT_BUILD_CONF = "spark.gr_tdigest.contamination.collectBuild"
+
+
 def build_contamination_filter(
     benchmark: DataFrame,
     text_col: str = "text",
@@ -237,10 +253,9 @@ def build_contamination_filter(
     bloom_fpr: float = 1e-6,
 ) -> ContaminationFilter:
     """One-time build of the benchmark's gram Bloom filter (the same
-    tree-aggregated build the inline bloom path runs per call).  The
-    returned object is a plain driver-side value — reusable across
-    any number of corpora, picklable into checkpoints."""
-    from gr_tdigest_spark.operators.companions import bloom_agg
+    filter the inline bloom path builds per call).  The returned object
+    is a plain driver-side value — reusable across any number of
+    corpora, picklable into checkpoints."""
     from gr_tdigest_spark.sketches.bloom import optimal_bloom
 
     if not (0.0 < bloom_fpr < 1.0):
@@ -248,6 +263,22 @@ def build_contamination_filter(
     bench_hashes = _bench_gram_rows(benchmark, text_col, n).select(
         F.xxhash64("__gram", F.lit(int(seed))).alias("__gh")
     )
+    collect_build = str(benchmark.sparkSession.conf.get(
+        _COLLECT_BUILD_CONF, "true"
+    )).lower() == "true"
+    if collect_build:
+        arr = np.asarray(
+            bench_hashes.toPandas()["__gh"].to_numpy(), dtype=np.int64
+        )
+        n_bench = int(arr.size)
+        flt = optimal_bloom(max(n_bench, 1), fpr=bloom_fpr,
+                            seed=11 + seed)
+        flt.add(arr)
+        return ContaminationFilter(flt.to_bytes(), int(n), int(seed),
+                                   n_bench)
+
+    from gr_tdigest_spark.operators.companions import bloom_agg
+
     n_bench = bench_hashes.count()
     shape = optimal_bloom(max(n_bench, 1), fpr=bloom_fpr,
                           seed=11 + seed)
@@ -394,7 +425,7 @@ def _bloom_probe(df: DataFrame, text_col: str, blob: bytes,
 def decontaminate(
     df: DataFrame,
     id_cols: Union[str, Sequence[str]],
-    benchmark: DataFrame,
+    benchmark: Union[DataFrame, ContaminationFilter],
     threshold: float = 0.5,
     keep_scores: bool = False,
     **kwargs,

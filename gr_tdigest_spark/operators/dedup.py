@@ -315,15 +315,34 @@ def near_dup_clusters(
     round — the standard Spark iterative-algorithm shape (GraphX
     connected components does the same under the hood).
     """
-    e = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("t"))
-    edges = e.union(
-        e.select(F.col("t").alias("s"), F.col("s").alias("t"))
-    ).distinct().localCheckpoint()
+    jsc = pairs.sparkSession.sparkContext._jsc
 
-    labels = (
+    def _cp(df):
+        """localCheckpoint (eager) + the executor-storage RDD ids it
+        pinned, so each round can RELEASE the previous round's blocks —
+        without this a long-lived driver making many clustering calls
+        accretes one cached label table per round until GC."""
+        before = {int(i) for i in jsc.getPersistentRDDs().keySet()}
+        out = df.localCheckpoint()
+        after = {int(i) for i in jsc.getPersistentRDDs().keySet()}
+        return out, after - before
+
+    def _release(rdd_ids):
+        sc = jsc.sc()
+        for rid in rdd_ids:
+            try:
+                sc.unpersistRDD(rid, False)
+            except Exception:
+                pass  # already evicted / cleaned
+
+    e = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("t"))
+    edges, edge_ids = _cp(e.union(
+        e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    ).distinct())
+
+    labels, prev_ids = _cp(
         edges.select(F.col("s").alias("id")).distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
     changed = 0
     for _ in range(max_iter):
@@ -337,7 +356,7 @@ def near_dup_clusters(
             .groupBy("s")
             .agg(F.min("nl").alias("min_nbr"))
         )
-        new_labels = (
+        new_labels, new_ids = _cp(
             labels.join(nbr_min, labels["id"] == nbr_min["s"], "left")
             .select(
                 "id",
@@ -345,7 +364,6 @@ def near_dup_clusters(
                     F.col("label"), F.coalesce("min_nbr", "label")
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -353,7 +371,11 @@ def near_dup_clusters(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new_labels
+        # the convergence count was the old table's last consumer;
+        # new_labels is materialized (eager checkpoint), so the old
+        # round's blocks can go now
+        _release(prev_ids)
+        labels, prev_ids = new_labels, new_ids
         if changed == 0:
             break
     if changed != 0:
@@ -369,6 +391,11 @@ def near_dup_clusters(
             RuntimeWarning,
             stacklevel=2,
         )
+    # the returned table is its own (checkpointed) data — the edge
+    # blocks are not referenced by it and can be released; the FINAL
+    # label checkpoint must stay pinned (its lineage is truncated, so
+    # unpersisting it would lose the result)
+    _release(edge_ids)
     return labels.select(F.col("id"), F.col("label").alias("cluster"))
 
 

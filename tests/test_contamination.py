@@ -226,6 +226,25 @@ class TestWordNgrams:
 
 
 class TestPrebuiltFilter:
+    def test_collect_build_byte_equals_distributed(self, fixture, spark):
+        """The driver-side collect build (one job) must emit the SAME
+        wire blob as the distributed bloom_agg build: identical bit
+        positions (bitwise OR is order-free) and identical n_added
+        bookkeeping, so probe results cannot depend on the build path."""
+        _, bench = fixture
+        from gr_tdigest_spark.operators.contamination import (
+            _COLLECT_BUILD_CONF, build_contamination_filter,
+        )
+
+        local = build_contamination_filter(bench, n=N, bloom_fpr=1e-6)
+        spark.conf.set(_COLLECT_BUILD_CONF, "false")
+        try:
+            dist = build_contamination_filter(bench, n=N, bloom_fpr=1e-6)
+        finally:
+            spark.conf.unset(_COLLECT_BUILD_CONF)
+        assert local.to_bytes() == dist.to_bytes()
+        assert local.n_bench_grams == dist.n_bench_grams > 0
+
     def test_prebuilt_equals_inline_bloom(self, fixture):
         df, bench = fixture
         from gr_tdigest_spark.operators.contamination import (

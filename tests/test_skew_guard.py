@@ -171,3 +171,24 @@ def test_near_dup_clusters_warns_when_unconverged(spark):
         out = near_dup_clusters(pairs, max_iter=50).collect()
     assert not any("did not converge" in str(w.message) for w in rec)
     assert {r["cluster"] for r in out} == {0}
+
+
+def test_near_dup_clusters_releases_checkpoint_storage(spark):
+    """Each propagation round localCheckpoints a new label table; the
+    previous round's blocks (and the edge table's, at return) must be
+    RELEASED, or a long-lived driver making many clustering calls
+    accretes executor storage until GC. Only the returned table's own
+    checkpoint may stay pinned per call."""
+    from gr_tdigest_spark.operators.dedup import near_dup_clusters
+
+    jsc = spark.sparkContext._jsc
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a long, b long"
+    )
+    base = len(jsc.getPersistentRDDs())
+    for _ in range(3):
+        near_dup_clusters(pairs, max_iter=50).collect()
+    # a 12-edge path graph needs ~12 rounds x 3 calls; without release
+    # that is ~40 lingering cached RDDs. With release: one final label
+    # checkpoint per call.
+    assert len(jsc.getPersistentRDDs()) - base <= 3
