@@ -1244,6 +1244,11 @@ def cms_topk(
     # broadcast JOIN would ship it once per candidate row through Arrow.
     # Ship the tiny sketch TABLE once per executor as a Spark broadcast
     # variable instead; candidates carry only (keys, value).
+    # (Tried and rejected: overlapping the sketch collect with an
+    # eager persist of the candidate table — caching the candidate
+    # subtree loses AQE shuffle coalescing inside the cached plan, and
+    # the 32-task un-coalesced Python stages cost more than the ~0.2 s
+    # of job overlap bought back: q10 1.05 s → 2.0 s measured.)
     from gr_tdigest_spark.operators.agg import _canon_key_tuple
 
     sk_map = {

@@ -157,7 +157,12 @@ def _bench_gram_rows(benchmark: DataFrame, text_col: str,
                      n: int) -> DataFrame:
     """The benchmark's distinct-gram table (one skinny string column
     ``__gram``).  Benchmarks are small by contract; this is the side
-    that broadcasts / feeds the Bloom build."""
+    that broadcasts / feeds the Bloom build.
+
+    Measured (sf0.1, 294-doc benchmark): rebalancing the benchmark
+    before the gram chain LOSES ~0.4 s — the added exchange + AQE
+    stage outweighs parallelizing a ~0.6 s tokenize, so the scan's own
+    layout is kept (a real benchmark is file-split anyway)."""
     return (
         with_word_ngrams(benchmark, text_col, n, "__wn_g")
         .select(F.explode("__wn_g").alias("__gram"))
@@ -260,22 +265,35 @@ def build_contamination_filter(
 
     if not (0.0 < bloom_fpr < 1.0):
         raise ValueError("bloom_fpr must be in (0, 1)")
-    bench_hashes = _bench_gram_rows(benchmark, text_col, n).select(
-        F.xxhash64("__gram", F.lit(int(seed))).alias("__gh")
-    )
     collect_build = str(benchmark.sparkSession.conf.get(
         _COLLECT_BUILD_CONF, "true"
     )).lower() == "true"
     if collect_build:
-        arr = np.asarray(
-            bench_hashes.toPandas()["__gh"].to_numpy(), dtype=np.int64
+        # no distinct() exchange: per-doc grams are already distinct
+        # (with_word_ngrams), so cross-doc duplicates are the only
+        # ones — collect the hashes raw (ONE shuffle-free job) and
+        # dedupe driver-side. np.unique over the int64 hashes yields
+        # the same set/count as the gram-string distinct (a 2^-64
+        # cross-gram hash collision would conflate what the Bloom
+        # conflates anyway), so the blob stays byte-identical to the
+        # distributed build.
+        raw = (
+            with_word_ngrams(benchmark, text_col, n, "__wn_g")
+            .select(F.explode("__wn_g").alias("__gram"))
+            .select(F.xxhash64("__gram", F.lit(int(seed))).alias("__gh"))
         )
+        arr = np.unique(np.asarray(
+            raw.toPandas()["__gh"].to_numpy(), dtype=np.int64
+        ))
         n_bench = int(arr.size)
         flt = optimal_bloom(max(n_bench, 1), fpr=bloom_fpr,
                             seed=11 + seed)
         flt.add(arr)
         return ContaminationFilter(flt.to_bytes(), int(n), int(seed),
                                    n_bench)
+    bench_hashes = _bench_gram_rows(benchmark, text_col, n).select(
+        F.xxhash64("__gram", F.lit(int(seed))).alias("__gh")
+    )
 
     from gr_tdigest_spark.operators.companions import bloom_agg
 
