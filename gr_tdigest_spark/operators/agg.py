@@ -642,6 +642,14 @@ _REBALANCE_MB_PER_SLOT = 64
 # keyless (global) aggregates below this size keep the no-extra-shuffle
 # plan: one partial task is cheaper than an added exchange + AQE stage
 _GLOBAL_REBALANCE_FLOOR = 16 << 20
+# keyed inputs at or under this size go single-phase by-key without
+# asking any further questions: even in the worst case (a handful of
+# fat groups) the per-task build is tens of ms. Above it, by-key
+# parallelism is capped at the number of DISTINCT keys, so a sampled
+# cardinality probe decides between by-key single-phase (many keys)
+# and round-robin two-phase (few keys → partial merge is cheap).
+_SINGLE_PHASE_SMALL = 24 << 20
+_CARD_SAMPLE_BYTES = 16 << 20
 
 
 def _rebalance_parts(est: int, target: int) -> int:
@@ -668,6 +676,80 @@ def _plan_size_bytes(df: DataFrame) -> Optional[int]:
         return None
 
 
+# (session id, semanticHash) -> (n_parts, est_bytes). The probes cost
+# ~80 ms of driver time (plan → RDD conversion + stats); a rerun of the
+# same logical query (every bench repetition, every retry loop) hits
+# this instead. Bounded FIFO; stores plan-derived facts only, so a
+# stale entry can at worst pick the other (still-correct) plan — and
+# file-listing staleness equals Spark's own InMemoryFileIndex caching.
+_PROBE_CACHE: Dict[tuple, tuple] = {}
+_PROBE_CACHE_MAX = 256
+
+
+_CARD_CACHE: Dict[tuple, bool] = {}
+
+
+def _enough_keys_for_by_key(src: DataFrame, key_cols: List[str],
+                            est: int, target: int) -> bool:
+    """Mid-size-band plan choice: hash-partitioning BY THE KEYS caps
+    the partial stage's parallelism at the number of distinct keys, so
+    it only beats round-robin two-phase when there are comfortably
+    more keys than task slots. One Bernoulli-sampled
+    approx_count_distinct over the key hash decides (~one scan of a
+    ≤ _CARD_SAMPLE_BYTES row sample); the verdict is memoized with the
+    probe cache, so repeated runs of the same logical query pay once.
+
+    Measured basis (6 M-row single-row-group input, 32 slots):
+    1.5 M-key t-digest build is 2.9 s by-key vs 50 s two-phase (the
+    Python merge decodes every multi-partial key), while a 3-key
+    bottom-k build is 3.5 s round-robin vs 4.3 s by-key (three fat
+    partitions). Few keys also make the two-phase merge trivially
+    cheap (keys × partials blobs), so each regime gets the plan that
+    wins there."""
+    try:
+        key = (id(src.sparkSession), src.semanticHash(), tuple(key_cols))
+    except Exception:
+        key = None
+    if key is not None and key in _CARD_CACHE:
+        return _CARD_CACHE[key]
+    try:
+        frac = min(1.0, float(_CARD_SAMPLE_BYTES) / max(est, 1))
+        sampled = src.select(
+            F.xxhash64(*key_cols).alias("__kh")
+        ).sample(fraction=frac, seed=7)
+        n_keys = sampled.agg(
+            F.approx_count_distinct("__kh").alias("n")
+        ).first()["n"]
+        ok = int(n_keys) >= 2 * target
+    except Exception:
+        ok = True  # by-key is the safe default: its worst case is
+        #            bounded (keys ≥ 1 task each), the two-phase worst
+        #            case (per-key Python merges) is not
+    if key is not None:
+        if len(_CARD_CACHE) >= _PROBE_CACHE_MAX:
+            _CARD_CACHE.pop(next(iter(_CARD_CACHE)))
+        _CARD_CACHE[key] = ok
+    return ok
+
+
+def _probe_input(src: DataFrame) -> tuple:
+    """(scan partition count or None, Catalyst size estimate or None)
+    for the rebalance gate, memoized per (session, semantic hash)."""
+    try:
+        key = (id(src.sparkSession), src.semanticHash())
+    except Exception:
+        key = None
+    if key is not None and key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
+    n_parts = _scan_partition_count(src)
+    est = _plan_size_bytes(src) if n_parts is not None else None
+    if key is not None:
+        if len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
+            _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
+        _PROBE_CACHE[key] = (n_parts, est)
+    return n_parts, est
+
+
 def _scan_partition_count(df: DataFrame) -> Optional[int]:
     """Partition count of an exchange-free batch input, else None.
 
@@ -689,6 +771,21 @@ def _scan_partition_count(df: DataFrame) -> Optional[int]:
         return df.rdd.getNumPartitions()
     except Exception:
         return None
+
+
+def _spread_expr(src: DataFrame, key_cols: List[str], value_col: str,
+                 weight_col: Optional[str]):
+    """Deterministic hash spread for the two-phase rebalance: unlike a
+    keyless round-robin repartition it pays NO sort-before-repartition
+    on the (possibly single) map task (measured: ~3–4 s of serial sort
+    on a 6 M-row one-partition input), and it is retry-safe (guide
+    §2.5: derive synthetic partition keys from xxhash64, never
+    rand()). Identical (keys, value) rows collocate, which only helps
+    map-side pile coalescing."""
+    cols = [F.col(c) for c in key_cols] + [F.col(value_col)]
+    if weight_col:
+        cols.append(F.col(weight_col))
+    return F.xxhash64(*cols)
 
 
 def _canon_float_keys(df: DataFrame, key_cols: List[str]) -> DataFrame:
@@ -871,27 +968,38 @@ def sketch_agg(
     target = df.sparkSession.sparkContext.defaultParallelism
     single_phase = False
     has_salt = bool(salt_buckets and salt_buckets > 1)
-    n_parts = _scan_partition_count(src)
+    # salted aggregates are the caller's explicit extreme-skew plan —
+    # leave their shape alone (salt hop + de-salt hop, pinned)
+    n_parts, est = (None, None) if has_salt else _probe_input(src)
     if n_parts is not None and n_parts < target:
         thr = int(df.sparkSession.conf.get(
             _REBALANCE_CONF,
             str(_REBALANCE_MB_PER_SLOT * (1 << 20) * target),
         ))
-        est = _plan_size_bytes(src) if thr > 0 else None
-        if key_cols and not has_salt and est is not None and est <= thr:
+        if thr <= 0:
+            est = None
+        if key_cols and not has_salt and est is not None and est <= thr \
+                and (est <= _SINGLE_PHASE_SMALL
+                     or _enough_keys_for_by_key(src, key_cols, est,
+                                                target)):
             src = _canon_float_keys(src, key_cols)
             src = src.repartition(_rebalance_parts(est, target), *key_cols)
             single_phase = True
-        elif est is not None and est <= _GLOBAL_REBALANCE_FLOOR:
+        elif not key_cols and est is not None \
+                and est <= _GLOBAL_REBALANCE_FLOOR:
             # keyless and tiny: the extra exchange + AQE stage costs
             # more than the serial build it would parallelize
             # (measured: a 600 k-row global build is ~0.35 s serial;
             # the added hop is ~0.4 s)
             src = src.coalesce(2 * target)
         elif thr > 0 and est is not None and est <= thr:
-            src = src.repartition(_rebalance_parts(est, target))
+            src = src.repartition(_rebalance_parts(est, target),
+                                  _spread_expr(src, key_cols, value_col,
+                                               weight_col))
         elif thr > 0:
-            src = src.repartition(2 * target)
+            src = src.repartition(2 * target,
+                                  _spread_expr(src, key_cols, value_col,
+                                               weight_col))
         else:
             src = src.coalesce(2 * target)
     else:

@@ -1189,19 +1189,18 @@ def cms_topk(
     # sketch_agg: big inputs with healthy scan parallelism never pay
     # the raw-row shuffle.
     from gr_tdigest_spark.operators.agg import (
-        _plan_size_bytes, _rebalance_parts, _scan_partition_count,
-        _REBALANCE_CONF, _REBALANCE_MB_PER_SLOT,
+        _probe_input, _rebalance_parts, _REBALANCE_CONF,
+        _REBALANCE_MB_PER_SLOT,
     )
 
     target = df.sparkSession.sparkContext.defaultParallelism
-    n_parts = _scan_partition_count(src)
+    n_parts, est = _probe_input(src)
     if n_parts is not None and n_parts < target:
         thr = int(df.sparkSession.conf.get(
             _REBALANCE_CONF,
             str(_REBALANCE_MB_PER_SLOT * (1 << 20) * target),
         ))
-        est = _plan_size_bytes(src) if thr > 0 else None
-        if est is not None and est <= thr:
+        if est is not None and 0 < est <= thr:
             src = src.repartition(
                 _rebalance_parts(est, target),
                 *dict.fromkeys(key_cols + [col]),
