@@ -652,6 +652,47 @@ _SINGLE_PHASE_SMALL = 24 << 20
 _CARD_SAMPLE_BYTES = 16 << 20
 
 
+def _conf_bytes(spark, key: str, default: int) -> int:
+    """Read a byte-count conf accepting either a plain integer or the
+    Spark size-suffix format ('64m', '2g', …)."""
+    raw = spark.conf.get(key, None)
+    if raw is None:
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        pass
+    try:
+        return int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils
+            .byteStringAsBytes(raw)
+        )
+    except Exception:
+        raise ValueError(
+            f"{key} must be a byte count (e.g. 67108864 or '64m'), "
+            f"got {raw!r}"
+        )
+
+
+def _rebalance_coarse_scan(src: DataFrame, by_cols: List[str]) -> DataFrame:
+    """Shared small-input rebalance gate for Python passes outside
+    sketch_agg (e.g. cms_topk's candidate tracker): hash-repartition an
+    exchange-free input that has fewer partitions than task slots and a
+    small Catalyst size estimate. One gate, one conf
+    (_REBALANCE_CONF), so the disable/threshold semantics cannot
+    drift between call sites."""
+    spark = src.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    n_parts, est = _probe_input(src)
+    if n_parts is None or n_parts >= target:
+        return src
+    thr = _conf_bytes(spark, _REBALANCE_CONF,
+                      _REBALANCE_MB_PER_SLOT * (1 << 20) * target)
+    if thr > 0 and est is not None and 0 < est <= thr:
+        return src.repartition(_rebalance_parts(est, target), *by_cols)
+    return src
+
+
 def _rebalance_parts(est: int, target: int) -> int:
     """Partition count for a rebalanced small input: ~1 MB of projected
     input per Python task, clamped to [4, 2·slots]. Each Python task
@@ -695,9 +736,12 @@ def _enough_keys_for_by_key(src: DataFrame, key_cols: List[str],
     the partial stage's parallelism at the number of distinct keys, so
     it only beats round-robin two-phase when there are comfortably
     more keys than task slots. One Bernoulli-sampled
-    approx_count_distinct over the key hash decides (~one scan of a
-    ≤ _CARD_SAMPLE_BYTES row sample); the verdict is memoized with the
-    probe cache, so repeated runs of the same logical query pay once.
+    approx_count_distinct over the key hash decides. The sample
+    fraction bounds the hashing/HLL CPU, not the I/O — the probe still
+    scans the key columns once (column-pruned); that one scan is the
+    price of the decision. The verdict is memoized with the probe
+    cache, so repeated runs of the same logical query pay it once (and
+    best-of-N timing never includes it).
 
     Measured basis (6 M-row single-row-group input, 32 slots):
     1.5 M-key t-digest build is 2.9 s by-key vs 50 s two-phase (the
@@ -972,13 +1016,23 @@ def sketch_agg(
     # leave their shape alone (salt hop + de-salt hop, pinned)
     n_parts, est = (None, None) if has_salt else _probe_input(src)
     if n_parts is not None and n_parts < target:
-        thr = int(df.sparkSession.conf.get(
-            _REBALANCE_CONF,
-            str(_REBALANCE_MB_PER_SLOT * (1 << 20) * target),
-        ))
+        thr = _conf_bytes(df.sparkSession, _REBALANCE_CONF,
+                          _REBALANCE_MB_PER_SLOT * (1 << 20) * target)
         if thr <= 0:
             est = None
-        if key_cols and not has_salt and est is not None and est <= thr \
+        # a float/double key column doubling as the value (or weight)
+        # column would have its -0.0/NaN canonicalization leak into the
+        # aggregated VALUES on the single-phase path — keep such
+        # (contrived) aggregates on the two-phase plan, whose semantics
+        # are the historical ones
+        from pyspark.sql.types import DoubleType as _D, FloatType as _F
+        float_overlap = any(
+            c in (value_col, weight_col)
+            and isinstance(src.schema[c].dataType, (_F, _D))
+            for c in key_cols
+        )
+        if key_cols and not float_overlap and est is not None \
+                and est <= thr \
                 and (est <= _SINGLE_PHASE_SMALL
                      or _enough_keys_for_by_key(src, key_cols, est,
                                                 target)):
@@ -996,7 +1050,11 @@ def sketch_agg(
             src = src.repartition(_rebalance_parts(est, target),
                                   _spread_expr(src, key_cols, value_col,
                                                weight_col))
-        elif thr > 0:
+        elif thr > 0 and n_parts * 4 <= target:
+            # big (or unestimable) input in FAR too few partitions: the
+            # raw-row shuffle buys ≥ 4× parallelism. A marginally
+            # coarse scan (e.g. 30 partitions on 32 slots) is left
+            # alone — seconds of shuffle for a few % of parallelism
             src = src.repartition(2 * target,
                                   _spread_expr(src, key_cols, value_col,
                                                weight_col))

@@ -1188,23 +1188,9 @@ def cms_topk(
     # completeness only improves. Same scale-adaptive gate as
     # sketch_agg: big inputs with healthy scan parallelism never pay
     # the raw-row shuffle.
-    from gr_tdigest_spark.operators.agg import (
-        _probe_input, _rebalance_parts, _REBALANCE_CONF,
-        _REBALANCE_MB_PER_SLOT,
-    )
+    from gr_tdigest_spark.operators.agg import _rebalance_coarse_scan
 
-    target = df.sparkSession.sparkContext.defaultParallelism
-    n_parts, est = _probe_input(src)
-    if n_parts is not None and n_parts < target:
-        thr = int(df.sparkSession.conf.get(
-            _REBALANCE_CONF,
-            str(_REBALANCE_MB_PER_SLOT * (1 << 20) * target),
-        ))
-        if est is not None and 0 < est <= thr:
-            src = src.repartition(
-                _rebalance_parts(est, target),
-                *dict.fromkeys(key_cols + [col]),
-            )
+    src = _rebalance_coarse_scan(src, list(dict.fromkeys(key_cols + [col])))
     cand_schema = StructType(
         [src.schema[c] for c in key_cols] + [src.schema[col]]
     )

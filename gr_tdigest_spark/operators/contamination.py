@@ -268,22 +268,18 @@ def build_contamination_filter(
     collect_build = str(benchmark.sparkSession.conf.get(
         _COLLECT_BUILD_CONF, "true"
     )).lower() == "true"
+    bench_hashes = _bench_gram_rows(benchmark, text_col, n).select(
+        F.xxhash64("__gram", F.lit(int(seed))).alias("__gh")
+    )
     if collect_build:
-        # no distinct() exchange: per-doc grams are already distinct
-        # (with_word_ngrams), so cross-doc duplicates are the only
-        # ones — collect the hashes raw (ONE shuffle-free job) and
-        # dedupe driver-side. np.unique over the int64 hashes yields
-        # the same set/count as the gram-string distinct (a 2^-64
-        # cross-gram hash collision would conflate what the Bloom
-        # conflates anyway), so the blob stays byte-identical to the
-        # distributed build.
-        raw = (
-            with_word_ngrams(benchmark, text_col, n, "__wn_g")
-            .select(F.explode("__wn_g").alias("__gram"))
-            .select(F.xxhash64("__gram", F.lit(int(seed))).alias("__gh"))
-        )
+        # ONE job: the distinct gram hashes (8 B each — the distinct
+        # count bounds driver memory, matching the join path's
+        # broadcast contract) come to the driver and the Bloom bits
+        # are set locally. np.unique canonicalizes ordering; the blob
+        # is byte-identical to the distributed build (bitwise OR is
+        # order-free, n_added = distinct hash rows either way).
         arr = np.unique(np.asarray(
-            raw.toPandas()["__gh"].to_numpy(), dtype=np.int64
+            bench_hashes.toPandas()["__gh"].to_numpy(), dtype=np.int64
         ))
         n_bench = int(arr.size)
         flt = optimal_bloom(max(n_bench, 1), fpr=bloom_fpr,
@@ -291,9 +287,6 @@ def build_contamination_filter(
         flt.add(arr)
         return ContaminationFilter(flt.to_bytes(), int(n), int(seed),
                                    n_bench)
-    bench_hashes = _bench_gram_rows(benchmark, text_col, n).select(
-        F.xxhash64("__gram", F.lit(int(seed))).alias("__gh")
-    )
 
     from gr_tdigest_spark.operators.companions import bloom_agg
 
@@ -316,7 +309,7 @@ def contamination_scores(
     text_col: str = "text",
     bench_text_col: Optional[str] = None,
     n: int = 8,
-    method: str = "join",
+    method: Optional[str] = None,
     seed: int = 0,
     bloom_fpr: float = 1e-6,
     broadcast_benchmark: bool = True,
@@ -353,6 +346,11 @@ def contamination_scores(
     disappears, which is the shape for scoring many corpora — or
     every micro-batch of a stream — against one eval set.
     """
+    if method is None:
+        # a prebuilt filter can only be probed; a DataFrame benchmark
+        # defaults to the exact join path (the historical default)
+        method = "bloom" if isinstance(benchmark, ContaminationFilter) \
+            else "join"
     if method not in ("join", "bloom"):
         raise ValueError(
             f"contamination_scores method must be join/bloom, got {method!r}"

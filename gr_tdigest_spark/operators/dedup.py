@@ -318,14 +318,22 @@ def near_dup_clusters(
     jsc = pairs.sparkSession.sparkContext._jsc
 
     def _cp(df):
-        """localCheckpoint (eager) + the executor-storage RDD ids it
-        pinned, so each round can RELEASE the previous round's blocks —
-        without this a long-lived driver making many clustering calls
-        accretes one cached label table per round until GC."""
-        before = {int(i) for i in jsc.getPersistentRDDs().keySet()}
+        """localCheckpoint (eager) + the id of the EXACT cached RDD
+        backing it (the LogicalRDD the checkpointed Dataset wraps), so
+        each round can RELEASE the previous round's blocks — without
+        this a long-lived driver making many clustering calls accretes
+        one cached label table per round until GC. Reading the id off
+        the returned plan (not a before/after diff of the session's
+        persistent-RDD map) keeps concurrent checkpoints by other
+        threads untouched."""
         out = df.localCheckpoint()
-        after = {int(i) for i in jsc.getPersistentRDDs().keySet()}
-        return out, after - before
+        try:
+            rid = out._jdf.queryExecution().analyzed().rdd().id()
+            ids = {int(rid)}
+        except Exception:
+            ids = set()  # unknown plan shape: safer to leak than to
+            #              unpersist someone else's blocks
+        return out, ids
 
     def _release(rdd_ids):
         sc = jsc.sc()

@@ -340,15 +340,20 @@ def append_to_ann_index(
          sorted(prows, key=lambda r: r["plane_id"])],
         dtype=np.float64,
     )
-    # an append with mismatched columns would write mixed-schema
-    # partitions that only surface as confusing read-time errors later
-    existing = [c for c in spark.read.parquet(path).columns
-                if c != "bucket"]
-    if sorted(df.columns) != sorted(existing):
+    # an append with mismatched columns OR dtypes would write
+    # mixed-schema partitions that only surface as confusing read-time
+    # errors later
+    existing = {
+        f.name: f.dataType for f in spark.read.parquet(path).schema
+        if f.name != "bucket"
+    }
+    incoming = {f.name: f.dataType for f in df.schema}
+    if incoming != existing:
         raise ValueError(
-            "append_to_ann_index: appended columns "
-            f"{sorted(df.columns)} do not match the index schema "
-            f"{sorted(existing)}"
+            "append_to_ann_index: appended schema "
+            f"{sorted((k, str(v)) for k, v in incoming.items())} does "
+            "not match the index schema "
+            f"{sorted((k, str(v)) for k, v in existing.items())}"
         )
     b = df.withColumn("bucket", _bucket_expr(F.col(vec_col), planes))
     b.write.partitionBy("bucket").mode("append").parquet(path)
