@@ -998,14 +998,19 @@ def sketch_agg(
     # immediately after the read"):
     #
     # - keyed + small input (≤ 64 MB/slot by Catalyst's estimate, conf
-    #   below): hash-repartition the raw rows BY THE KEYS and run
-    #   SINGLE-PHASE — every group is completely local to one partition,
-    #   so the partials are final and the blob shuffle + merge stage
-    #   disappear (one Exchange total, one Python stage). The shuffle
-    #   moves raw rows, which is exactly why it is gated on the input
-    #   being small; at scale the sketch-sized two-phase shuffle wins.
-    # - otherwise: round-robin repartition, classic two-phase (partial
-    #   parallelism restored; only sketch blobs reshuffle).
+    #   below; above 24 MB a sampled key-cardinality probe must also
+    #   find ≥ 2·slots distinct keys, since by-key parallelism is
+    #   capped at the key count): hash-repartition the raw rows BY THE
+    #   KEYS and run SINGLE-PHASE — every group is completely local to
+    #   one partition, so the partials are final and the blob shuffle
+    #   + merge stage disappear (one Exchange total, one Python
+    #   stage). The shuffle moves raw rows, which is exactly why it is
+    #   gated on the input being small; at scale the sketch-sized
+    #   two-phase shuffle wins.
+    # - otherwise: deterministic hash-spread repartition
+    #   (xxhash64(keys…, value) — NOT round-robin, whose keyless form
+    #   sorts the map side serially), classic two-phase; only sketch
+    #   blobs reshuffle after the partials.
     #
     # Streaming inputs take the classic path untouched (.rdd/stats are
     # batch-only introspection).
