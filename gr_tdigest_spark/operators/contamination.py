@@ -66,9 +66,14 @@ _WS_SQL = r"[ \\t\\n\\r\\f]+"
 
 
 def _norm_tokens_sql(text_sql: str) -> str:
+    # split directly on whitespace RUNS instead of collapse-then-split:
+    # token-identical (tokens are the maximal non-whitespace runs either
+    # way — lower() never creates or removes ASCII whitespace, and the
+    # empty-string filter eats the leading/trailing artifacts of both
+    # forms) but one regex pass and one full-string copy cheaper per
+    # row, which is the dominant cost of every gram pipeline stage
     return (
-        f"filter(split(lower(regexp_replace({text_sql}, '{_WS_SQL}', "
-        "' ')), ' '), x -> x != '')"
+        f"filter(split(lower({text_sql}), '{_WS_SQL}'), x -> x != '')"
     )
 
 
@@ -268,25 +273,47 @@ def build_contamination_filter(
     collect_build = str(benchmark.sparkSession.conf.get(
         _COLLECT_BUILD_CONF, "true"
     )).lower() == "true"
-    bench_hashes = _bench_gram_rows(benchmark, text_col, n).select(
-        F.xxhash64("__gram", F.lit(int(seed))).alias("__gh")
-    )
     if collect_build:
-        # ONE job: the distinct gram hashes (8 B each — the distinct
-        # count bounds driver memory, matching the join path's
-        # broadcast contract) come to the driver and the Bloom bits
-        # are set locally. np.unique canonicalizes ordering; the blob
+        # ONE job, NO explode and NO distinct exchange: the per-doc
+        # gram-hash ARRAYS (already per-doc distinct) come to the
+        # driver as array<long> cells and np.unique flattens them into
+        # the global distinct set.  Row-exploding the grams is the
+        # dominant cost of the exchange-based build (measured: explode
+        # alone triples the stage), and the driver footprint is 8 B
+        # per per-doc-distinct gram occurrence — the same order as the
+        # benchmark TEXT itself, i.e. small by the same contract that
+        # lets the join path broadcast the full gram table.  The blob
         # is byte-identical to the distributed build (bitwise OR is
-        # order-free, n_added = distinct hash rows either way).
-        arr = np.unique(np.asarray(
-            bench_hashes.toPandas()["__gh"].to_numpy(), dtype=np.int64
-        ))
+        # order-free, n_added = distinct hash count either way).
+        cells = (
+            with_word_ngrams(benchmark, text_col, n, "__wn_g")
+            .select(_gram_hashes(F.col("__wn_g"), seed).alias("__gh"))
+            .toPandas()["__gh"]
+        )
+        flat = [
+            np.asarray(a, dtype=np.int64) for a in cells
+            if a is not None and len(a)
+        ]
+        arr = np.unique(np.concatenate(flat)) if flat else \
+            np.empty(0, np.int64)
         n_bench = int(arr.size)
         flt = optimal_bloom(max(n_bench, 1), fpr=bloom_fpr,
                             seed=11 + seed)
         flt.add(arr)
         return ContaminationFilter(flt.to_bytes(), int(n), int(seed),
                                    n_bench)
+
+    # distributed build: distinct on the 8-byte HASH, not the gram
+    # string — the same hash set reaches the Bloom either way (hashing
+    # is deterministic, and a 2^-64 cross-gram collision conflates
+    # exactly what the filter conflates), and the map-side partial
+    # distinct + exchange run over int64s instead of gram strings
+    bench_hashes = (
+        with_word_ngrams(benchmark, text_col, n, "__wn_g")
+        .select(F.explode("__wn_g").alias("__gram"))
+        .select(F.xxhash64("__gram", F.lit(int(seed))).alias("__gh"))
+        .distinct()
+    )
 
     from gr_tdigest_spark.operators.companions import bloom_agg
 

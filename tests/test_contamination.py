@@ -427,16 +427,19 @@ class TestPlannerSafety:
 
     def test_single_tokenize_in_plan(self, fixture):
         """with_word_ngrams evaluates the tokenizer once: exactly one
-        regexp_replace in the optimized plan (the inline word_ngrams
-        form carries four)."""
+        whitespace-split in the optimized plan (the inline word_ngrams
+        form repeats it at every use site)."""
         from gr_tdigest_spark.operators.contamination import (
-            with_word_ngrams,
+            with_word_ngrams, word_ngrams,
         )
 
         df, _ = fixture
         fast = with_word_ngrams(df, "text", N, "g")
         plan = fast._jdf.queryExecution().optimizedPlan().toString()
-        assert plan.count("regexp_replace") == 1
+        assert plan.count("split(lower(") == 1
+        inline = df.select(word_ngrams("text", N).alias("g"))
+        iplan = inline._jdf.queryExecution().optimizedPlan().toString()
+        assert iplan.count("split(lower(") > 1
 
     def test_helper_equals_inline(self, fixture):
         from gr_tdigest_spark.operators.contamination import (
@@ -483,7 +486,7 @@ class TestReviewFixes:
             .queryExecution().optimizedPlan().toString()
         # corpus side tokenizes once; the benchmark build is collected
         # eagerly and never appears in this plan
-        assert plan.count("regexp_replace") == 1
+        assert plan.count("split(lower(") == 1
 
     def test_column_argument_rejected_loudly(self, fixture):
         df, _ = fixture
