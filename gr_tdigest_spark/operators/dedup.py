@@ -640,7 +640,10 @@ def dedup_lines(
     - ``keep_first`` rejoins winners on the composite
       (line-hash, id, idx) — UNIQUE on both sides, so the join has no
       skew by construction (a window over the line hash would funnel
-      every copy of a hot line through one task).
+      every copy of a hot line through one task).  The exploded
+      content shuffles ONCE by that composite and the one exchange
+      feeds both the winner election and the rejoin (ReuseExchange),
+      so the corpus is scanned/exploded/hashed a single time.
     - ``drop_frequent``'s frequent-line set is boilerplate-sized and
       broadcasts into an anti join (``broadcast_frequent=False`` for a
       pathologically low ``max_count``).
@@ -695,6 +698,18 @@ def dedup_lines(
     # aggregate — a separate totals pass + second join would shuffle
     # the corpus text an extra time for numbers this agg already sees
     if mode == "keep_first":
+        # shuffle content ONCE by the unique composite and let BOTH
+        # consumers (the winner election and the rejoin) read that one
+        # exchange (Spark's ReuseExchange dedupes the identical
+        # subtree): the corpus is scanned/exploded/hashed once instead
+        # of twice.  At scale the composite exchange existed anyway
+        # (the sort-merge rejoin requires it), so this deletes a full
+        # corpus pass; the winner election aggregates PARTIALLY on the
+        # composite partitions (skinny per-partition line winners) and
+        # only those cross the second, line-keyed exchange — the
+        # skew-free properties are unchanged (the composite is unique;
+        # per-line state is ≤ one row per partition).
+        content = content.repartition("__lh", id_col, "__idx")
         winners = content.groupBy("__lh").agg(
             F.min(F.struct(
                 F.col(id_col).alias("i"), F.col("__idx").alias("x")

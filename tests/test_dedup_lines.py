@@ -103,6 +103,15 @@ class TestKeepFirst:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
 
+    def test_single_content_pass(self, df):
+        """keep_first shuffles the exploded content once by the unique
+        composite; the winner election reuses that exchange instead of
+        re-scanning/re-exploding the corpus (r7)."""
+        out = dedup_lines(df, "doc_id").agg(F.sum("n_lines_kept"))
+        out.collect()  # AQE: reuse only visible in the final plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan
+
     def test_row_count_preserved(self, df):
         assert dedup_lines(df, "doc_id").count() == len(ROWS)
 
