@@ -133,7 +133,8 @@ def with_word_ngrams(df: DataFrame, text_col: str, n: int,
     token array lands in a real intermediate column, and
     CollapseProject keeps non-cheap aliases referenced more than once
     as their own projection instead of re-inlining them (verified: one
-    ``regexp_replace`` in the optimized plan vs four).  Also the
+    whitespace-split in the optimized plan vs one per use site
+    inline; pinned by test_single_tokenize_in_plan).  Also the
     planner-safe shape: no lambda nesting, so pandas UDFs over the
     gram column extract correctly above any Exchange.
 
@@ -161,13 +162,17 @@ def _gram_hashes(grams: Column, seed: int) -> Column:
 def _bench_gram_rows(benchmark: DataFrame, text_col: str,
                      n: int) -> DataFrame:
     """The benchmark's distinct-gram table (one skinny string column
-    ``__gram``).  Benchmarks are small by contract; this is the side
-    that broadcasts / feeds the Bloom build.
+    ``__gram``) — the broadcast side of the exact JOIN scoring path.
+    Benchmarks are small by contract.  (The Bloom build paths no
+    longer route through here: they inline hash-level pipelines — the
+    collect build avoids the explode/distinct entirely, the
+    distributed build dedupes on the 8-byte hash.)
 
-    Measured (sf0.1, 294-doc benchmark): rebalancing the benchmark
+    Measured (sf0.1, 295-doc benchmark): rebalancing the benchmark
     before the gram chain LOSES ~0.4 s — the added exchange + AQE
-    stage outweighs parallelizing a ~0.6 s tokenize, so the scan's own
-    layout is kept (a real benchmark is file-split anyway)."""
+    stage outweighs parallelizing the single-task tokenize, so the
+    scan's own layout is kept (a real benchmark is file-split
+    anyway)."""
     return (
         with_word_ngrams(benchmark, text_col, n, "__wn_g")
         .select(F.explode("__wn_g").alias("__gram"))

@@ -702,13 +702,20 @@ def dedup_lines(
         # consumers (the winner election and the rejoin) read that one
         # exchange (Spark's ReuseExchange dedupes the identical
         # subtree): the corpus is scanned/exploded/hashed once instead
-        # of twice.  At scale the composite exchange existed anyway
-        # (the sort-merge rejoin requires it), so this deletes a full
-        # corpus pass; the winner election aggregates PARTIALLY on the
-        # composite partitions (skinny per-partition line winners) and
-        # only those cross the second, line-keyed exchange — the
-        # skew-free properties are unchanged (the composite is unique;
-        # per-line state is ≤ one row per partition).
+        # of twice.  Regime tradeoff: when the winners table is too
+        # big to broadcast (corpus-scale distinct lines) the
+        # sort-merge rejoin required this exchange anyway, so a full
+        # corpus scan+explode+md5 pass is deleted outright; when
+        # winners IS broadcastable the exchange replaces the second
+        # scan — one content shuffle traded for re-scanning,
+        # re-exploding and re-md5-ing every line (measured level at
+        # sf0.1 and at a 10× holdout, and the exchange additionally
+        # lets AQE size the rejoin partitions).  The winner election
+        # aggregates PARTIALLY on the composite partitions (skinny
+        # per-partition line winners) and only those cross the second,
+        # line-keyed exchange — the skew-free properties are unchanged
+        # (the composite is unique; per-line state is ≤ one row per
+        # partition).
         content = content.repartition("__lh", id_col, "__idx")
         winners = content.groupBy("__lh").agg(
             F.min(F.struct(
